@@ -1,0 +1,306 @@
+"""LLaDA: bidirectional (non-causal) diffusion-LM transformer, TPU-native.
+
+A functional re-design of the reference's OLMo-style model
+(llava/model/language_model/llada/modeling_llada.py) — not a port:
+
+  - parameters are a plain pytree with every per-layer tensor stacked along a
+    leading `n_layers` axis, and the layer stack runs as one `lax.scan` —
+    single trace/compile regardless of depth, remat-friendly, and the natural
+    layout for GSPMD sharding;
+  - the KV cache stores *rotated* keys.  The reference caches un-rotated keys
+    and re-applies RoPE to the full concatenated K every denoising step
+    (modeling_llada.py:738-749); positions are absolute, so rotating once at
+    cache-write time is mathematically identical and removes a per-step
+    O(P·d) recompute (verified by tests/test_llada_parity.py);
+  - attention is non-causal (modeling_llada.py:677-684), GQA without
+    materializing repeated K/V, with an optional prefix-LM block mask
+    (modeling_llada.py:1358-1364) expressed as an additive bias.
+
+Block layouts supported (modeling_llada.py:809-999):
+  - "llama":      separate q/k/v projections; SwiGLU as silu(ff_proj)·up_proj
+  - "sequential": fused att_proj; activation chunks its input (SwiGLU)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LLaDAConfig
+from ..ops.attention import dense_attention, flash_attention, make_bias
+from ..ops.norms import apply_norm
+from ..ops.rope import apply_rope, rope_tables
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# Initialization (for tests / training-from-scratch; real weights come from
+# the checkpoint converter in llada_loader.py)
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: LLaDAConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    E, D, L = cfg.num_embeddings, cfg.d_model, cfg.n_layers
+    H = cfg.hidden_size
+    kvD = cfg.effective_n_kv_heads * cfg.head_dim
+    keys = iter(jax.random.split(key, 16))
+
+    def dense(k, shape, std=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    def norm_p(shape):
+        p = {"weight": jnp.ones(shape, dtype)}
+        return p
+
+    blocks: dict[str, Any] = {
+        "attn_norm": norm_p((L, D)),
+        "ff_norm": norm_p((L, D)),
+        "attn_out": {"kernel": dense(next(keys), (L, D, D))},
+    }
+    if cfg.block_type == "llama":
+        blocks.update(
+            q_proj={"kernel": dense(next(keys), (L, D, D))},
+            k_proj={"kernel": dense(next(keys), (L, D, kvD))},
+            v_proj={"kernel": dense(next(keys), (L, D, kvD))},
+            ff_proj={"kernel": dense(next(keys), (L, D, H))},
+            up_proj={"kernel": dense(next(keys), (L, D, H))},
+            ff_out={"kernel": dense(next(keys), (L, H, D))},
+        )
+    elif cfg.block_type == "sequential":
+        ff_out_in = H // 2 if cfg.activation == "swiglu" else H
+        blocks.update(
+            att_proj={"kernel": dense(next(keys), (L, D, D + 2 * kvD))},
+            ff_proj={"kernel": dense(next(keys), (L, D, H))},
+            ff_out={"kernel": dense(next(keys), (L, ff_out_in, D))},
+        )
+    else:
+        raise NotImplementedError(cfg.block_type)
+    if cfg.attention_layer_norm:
+        blocks["q_norm"] = norm_p((L, D))
+        blocks["k_norm"] = norm_p((L, kvD))
+
+    params: Params = {
+        "wte": dense(next(keys), (E, D)),
+        "ln_f": norm_p((D,)),
+        "blocks": blocks,
+    }
+    if not cfg.weight_tying:
+        params["ff_out"] = {"kernel": dense(next(keys), (D, E))}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _act(cfg: LLaDAConfig, x: jax.Array) -> jax.Array:
+    a = cfg.activation
+    if a == "silu":
+        return jax.nn.silu(x)
+    if a == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if a == "relu":
+        return jax.nn.relu(x)
+    if a == "swiglu":
+        # reference SwiGLU chunks (x, gate) and returns silu(gate) * x
+        # (modeling_llada.py:499-506)
+        xx, gate = jnp.split(x, 2, axis=-1)
+        return jax.nn.silu(gate) * xx
+    raise NotImplementedError(a)
+
+
+def _block(
+    cfg: LLaDAConfig,
+    x: jax.Array,
+    p: Params,
+    *,
+    sin: jax.Array,
+    cos: jax.Array,
+    positions: jax.Array,
+    bias: Optional[jax.Array],
+    layer_past: Optional[tuple[jax.Array, jax.Array]],
+    use_flash: bool,
+    q_segment_ids: Optional[jax.Array],
+    kv_segment_ids: Optional[jax.Array],
+):
+    """One transformer block. x: [B, T, D]. Returns (x, (k_rot, v))."""
+    B, T, D = x.shape
+    Hq, Hkv, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
+    nt = cfg.layer_norm_type
+
+    h = apply_norm(x, p["attn_norm"], nt, rms_eps=cfg.rms_norm_eps,
+                   ln_eps=cfg.layer_norm_eps)
+    if cfg.block_type == "llama":
+        q = h @ p["q_proj"]["kernel"]
+        k = h @ p["k_proj"]["kernel"]
+        v = h @ p["v_proj"]["kernel"]
+        if cfg.include_qkv_bias or cfg.include_bias:
+            q = q + p["q_proj"]["bias"]
+            k = k + p["k_proj"]["bias"]
+            v = v + p["v_proj"]["bias"]
+    else:
+        qkv = h @ p["att_proj"]["kernel"]
+        if cfg.include_qkv_bias or cfg.include_bias:
+            qkv = qkv + p["att_proj"]["bias"]
+        q, k, v = jnp.split(qkv, [D, D + Hkv * hd], axis=-1)
+
+    # optional q/k layernorm on the flattened projections (modeling_llada.py:726-728)
+    if cfg.attention_layer_norm:
+        q = apply_norm(q, p["q_norm"], nt, rms_eps=cfg.rms_norm_eps,
+                       ln_eps=cfg.layer_norm_eps).astype(x.dtype)
+        k = apply_norm(k, p["k_norm"], nt, rms_eps=cfg.rms_norm_eps,
+                       ln_eps=cfg.layer_norm_eps).astype(x.dtype)
+
+    q = q.reshape(B, T, Hq, hd)
+    k = k.reshape(B, T, Hkv, hd)
+    v = v.reshape(B, T, Hkv, hd)
+
+    if cfg.rope:
+        q = apply_rope(q, positions, sin, cos, cfg.rope_full_precision)
+        k = apply_rope(k, positions, sin, cos, cfg.rope_full_precision)
+
+    present = (k, v)
+    if layer_past is not None:
+        pk, pv = layer_past
+        k = jnp.concatenate([pk, k], axis=1)
+        v = jnp.concatenate([pv, v], axis=1)
+
+    if use_flash:
+        att = flash_attention(q, k, v, q_segment_ids, kv_segment_ids)
+    else:
+        att = dense_attention(q, k, v, bias=bias)
+    att = att.reshape(B, T, D)
+    att_out = att @ p["attn_out"]["kernel"]
+    if cfg.include_bias:
+        att_out = att_out + p["attn_out"]["bias"]
+    x = x + att_out
+
+    h2 = apply_norm(x, p["ff_norm"], nt, rms_eps=cfg.rms_norm_eps,
+                    ln_eps=cfg.layer_norm_eps)
+    if cfg.block_type == "llama":
+        ff = _act(cfg, h2 @ p["ff_proj"]["kernel"]) * (h2 @ p["up_proj"]["kernel"])
+    else:
+        ff = _act(cfg, h2 @ p["ff_proj"]["kernel"])
+    ff = ff @ p["ff_out"]["kernel"]
+    if cfg.include_bias:
+        ff = ff + p["ff_out"]["bias"]
+    x = x + ff
+    return x, present
+
+
+def forward(
+    params: Params,
+    cfg: LLaDAConfig,
+    embeds: jax.Array,
+    *,
+    positions: Optional[jax.Array] = None,
+    kv_cache: Optional[dict] = None,
+    kv_valid: Optional[jax.Array] = None,
+    self_valid: Optional[jax.Array] = None,
+    prefix_lengths: Optional[jax.Array] = None,
+    use_cache: bool = False,
+    return_logits: bool = True,
+    use_flash: bool = False,
+    remat: bool = False,
+):
+    """Run the transformer on input embeddings.
+
+    embeds: [B, T, D] (the caller embeds tokens / splices vision features).
+    positions: [T] absolute positions for RoPE (default arange(T) + past_len
+      where past_len is taken from kv_cache).
+    kv_cache: {"k","v"}: [L, B, P, Hkv, hd] rotated-key cache, or None.
+    kv_valid: [B, P] bool mask over cached positions (padding-aware decode).
+    self_valid: [B, T] bool mask over current tokens.
+    prefix_lengths: [B] enables the prefix-LM block mask for training
+      (modeling_llada.py:1351-1368).
+    use_cache: return this call's (k, v) per layer (stacked) as a new cache.
+
+    Returns (logits [B,T,V] or hidden [B,T,D], new_cache or None).
+    """
+    B, T, D = embeds.shape
+    past_len = 0 if kv_cache is None else kv_cache["k"].shape[2]
+    S = past_len + T
+
+    if positions is None:
+        positions = jnp.arange(past_len, past_len + T, dtype=jnp.int32)
+    sin, cos = rope_tables(
+        cfg.head_dim, max(cfg.max_sequence_length, S), cfg.rope_theta
+    )
+
+    x = embeds
+    if cfg.input_emb_norm:
+        x = x * math.sqrt(cfg.d_model)
+
+    # additive bias from padding + prefix-LM mask
+    kv_pos = jnp.arange(S, dtype=jnp.int32)
+    valid = None
+    if kv_valid is not None or self_valid is not None:
+        pv = kv_valid if kv_valid is not None else jnp.ones((B, past_len), bool)
+        sv = self_valid if self_valid is not None else jnp.ones((B, T), bool)
+        valid = jnp.concatenate([pv, sv], axis=1) if past_len else sv
+    bias = make_bias(
+        kv_valid=valid,
+        prefix_lengths=prefix_lengths,
+        q_positions=positions if prefix_lengths is not None else None,
+        kv_positions=kv_pos if prefix_lengths is not None else None,
+    )
+
+    q_seg = kv_seg = None
+    if use_flash:
+        assert bias is None or prefix_lengths is None, (
+            "flash path expresses masking via segment ids; prefix-LM mask "
+            "requires the dense or splash path"
+        )
+        if valid is not None:
+            kv_seg = valid.astype(jnp.int32)
+            q_seg = (self_valid if self_valid is not None
+                     else jnp.ones((B, T), bool)).astype(jnp.int32)
+            bias = None
+
+    block_params = params["blocks"]
+
+    def layer_fn(carry, scanned):
+        h = carry
+        layer_p, layer_past = scanned
+        h, present = _block(
+            cfg, h, layer_p,
+            sin=sin, cos=cos, positions=positions, bias=bias,
+            layer_past=layer_past, use_flash=use_flash,
+            q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+        )
+        return h, present if use_cache else None
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn, prevent_cse=False)
+
+    scanned = (block_params, None if kv_cache is None
+               else (kv_cache["k"], kv_cache["v"]))
+    x, presents = jax.lax.scan(layer_fn, x, scanned)
+
+    x = apply_norm(x, params["ln_f"], cfg.layer_norm_type,
+                   rms_eps=cfg.rms_norm_eps, ln_eps=cfg.layer_norm_eps)
+
+    new_cache = None
+    if use_cache:
+        new_cache = {"k": presents[0], "v": presents[1]}
+
+    if not return_logits:
+        return x, new_cache
+
+    if cfg.weight_tying:
+        logits = jnp.einsum("btd,vd->btv", x, params["wte"],
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.einsum("btd,dv->btv", x, params["ff_out"]["kernel"],
+                            preferred_element_type=jnp.float32)
+    if cfg.scale_logits:
+        logits = logits * (1.0 / math.sqrt(cfg.d_model))
+    return logits, new_cache
+
+
+def embed_tokens(params: Params, ids: jax.Array) -> jax.Array:
+    """wte lookup (modeling_llada.py:1283)."""
+    return params["wte"][ids]

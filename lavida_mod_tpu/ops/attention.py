@@ -1,0 +1,138 @@
+"""Attention ops: non-causal GQA attention with optional additive bias.
+
+The reference runs torch SDPA / flash-attn with `is_causal=False` and GQA via
+repeat_interleave (modeling_llada.py:648-684).  Here:
+
+  - `dense_attention`: reference semantics in pure XLA — bf16 matmuls with
+    f32 accumulation on the MXU, f32 softmax.  GQA is expressed by reshaping
+    queries into [groups, kv_heads] instead of materializing repeated K/V.
+  - `flash_attention`: dispatches to the Pallas TPU flash-attention kernel
+    shipped with JAX (jax.experimental.pallas.ops.tpu.flash_attention) for
+    long sequences where the O(T^2) scores don't fit comfortably in VMEM/HBM;
+    non-causal, used by the training path.
+
+Bias convention: additive f32, broadcastable to [B, H, T, S] (0 = attend,
+NEG_INF = masked).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def dense_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array | None = None,
+    scale: float | None = None,
+) -> jax.Array:
+    """q: [B, T, Hq, hd]; k, v: [B, S, Hkv, hd]; Hq % Hkv == 0.
+
+    Returns [B, T, Hq, hd] in q.dtype.
+    """
+    B, T, Hq, hd = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    assert Hq % Hkv == 0, (Hq, Hkv)
+    G = Hq // Hkv
+    if scale is None:
+        scale = 1.0 / (hd**0.5)
+
+    qg = q.reshape(B, T, Hkv, G, hd)
+    # [B, Hkv, G, T, S] f32 scores
+    scores = jnp.einsum(
+        "bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32
+    )
+    scores = scores * scale
+    if bias is not None:
+        # bias broadcast over the query-group axis
+        bias = bias.astype(jnp.float32)
+        if bias.ndim == 4:  # [B or 1, H or 1, T, S]
+            bh = bias.shape[1]
+            if bh == 1:
+                bias = bias[:, :, None, :, :]
+            else:
+                bias = bias.reshape(bias.shape[0], Hkv, G, T, S)
+        scores = scores + bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhgts,bshd->bthgd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, T, Hq, hd).astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal",))
+def _pallas_flash(q, k, v, segment_ids_q, segment_ids_kv, causal=False):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention as _fa,
+    )
+
+    seg = None
+    if segment_ids_q is not None:
+        seg = SegmentIds(q=segment_ids_q, kv=segment_ids_kv)
+    return _fa(q, k, v, segment_ids=seg, causal=causal,
+               sm_scale=1.0 / (q.shape[-1] ** 0.5))
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids_q: jax.Array | None = None,
+    segment_ids_kv: jax.Array | None = None,
+) -> jax.Array:
+    """Non-causal Pallas flash attention.  q: [B, T, Hq, hd]; k, v: [B, S,
+    Hkv, hd].  Segment ids express padding (0 = pad segment) — tokens attend
+    only within equal segment ids.  GQA handled by repeating K/V heads (the
+    kernel streams K/V from HBM, so the repeat is a view-level broadcast cost).
+    """
+    B, T, Hq, hd = q.shape
+    Hkv = k.shape[2]
+    if Hq != Hkv:
+        rep = Hq // Hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    # kernel layout is [B, H, T, hd]
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = _pallas_flash(qt, kt, vt, segment_ids_q, segment_ids_kv, causal=False)
+    return out.transpose(0, 2, 1, 3)
+
+
+def make_bias(
+    kv_valid: jax.Array | None = None,
+    prefix_lengths: jax.Array | None = None,
+    q_positions: jax.Array | None = None,
+    kv_positions: jax.Array | None = None,
+) -> jax.Array | None:
+    """Assemble the additive attention bias.
+
+    kv_valid: [B, S] bool — key-padding mask (True = attend).
+    prefix_lengths: [B] — prefix-LM block mask (modeling_llada.py:1358-1364):
+      allowed(q, kv) = (kv_pos < prefix_len) | (q_pos >= prefix_len),
+      i.e. everyone sees the prefix; suffix tokens see everything.
+    q_positions / kv_positions: [T] / [S] absolute positions (required when
+      prefix_lengths is given).
+    Returns [B, 1, T, S] f32 bias or None.
+    """
+    bias = None
+    if kv_valid is not None:
+        bias = jnp.where(kv_valid[:, None, None, :], 0.0, NEG_INF)
+    if prefix_lengths is not None:
+        assert q_positions is not None and kv_positions is not None
+        pl = prefix_lengths[:, None, None, None].astype(jnp.int32)
+        qpos = q_positions.reshape(1, 1, -1, 1)
+        kpos = kv_positions.reshape(1, 1, 1, -1)
+        allowed = (kpos < pl) | (qpos >= pl)
+        b2 = jnp.where(allowed, 0.0, NEG_INF)
+        bias = b2 if bias is None else bias + b2
+        bias = jnp.maximum(bias, NEG_INF)  # keep finite after summing
+    return bias

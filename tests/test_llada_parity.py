@@ -1,0 +1,187 @@
+"""Logit-parity of the JAX LLaDA core against the reference torch model on a
+tiny random-initialized config (the gate required by SURVEY.md §7 step 2).
+
+The reference implementation at /root/reference is imported read-only as a
+golden oracle; these tests skip when it is unavailable.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from lavida_mod_tpu.config import tiny_llada_config
+from lavida_mod_tpu.models import llada as jl
+from lavida_mod_tpu.models.llada_loader import convert_state_dict
+
+ATOL = 2e-4
+
+
+def _make_ref_model(reference_llada, block_type="llama", **kw):
+    from llada.configuration_llada import ModelConfig
+
+    cfg = dict(
+        d_model=64,
+        n_heads=4,
+        n_kv_heads=2,
+        n_layers=2,
+        mlp_hidden_size=128,
+        vocab_size=512,
+        embedding_size=512,
+        rope=True,
+        rope_theta=10000.0,
+        rope_full_precision=True,
+        block_type=block_type,
+        activation_type="silu" if block_type == "llama" else "swiglu",
+        layer_norm_type="rms",
+        rms_norm_eps=1e-5,
+        attention_layer_norm=False,
+        include_bias=False,
+        include_qkv_bias=False,
+        weight_tying=False,
+        max_sequence_length=512,
+        attention_dropout=0.0,
+        residual_dropout=0.0,
+        embedding_dropout=0.0,
+        init_device="cpu",
+        flash_attention=False,
+        alibi=False,
+    )
+    cfg.update(kw)
+    torch.manual_seed(0)
+    model = reference_llada.LLaDAModel(ModelConfig(**cfg), init_params=True)
+    model.eval()
+    return model, cfg
+
+
+def _to_jax(model, cfg_kw):
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    jcfg = tiny_llada_config(
+        block_type=cfg_kw["block_type"],
+        activation=cfg_kw["activation_type"],
+        n_kv_heads=cfg_kw["n_kv_heads"],
+        weight_tying=cfg_kw["weight_tying"],
+    )
+    params = convert_state_dict(state, jcfg, dtype=jnp.float32)
+    return params, jcfg
+
+
+@pytest.mark.parametrize("block_type", ["llama", "sequential"])
+def test_forward_logit_parity(reference_llada, block_type):
+    model, cfg_kw = _make_ref_model(reference_llada, block_type)
+    params, jcfg = _to_jax(model, cfg_kw)
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((2, 12, 64)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = model(
+            input_ids=None, input_embeddings=torch.from_numpy(emb)
+        ).logits.numpy()
+
+    ours, _ = jl.forward(params, jcfg, jnp.asarray(emb))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=ATOL, rtol=1e-4)
+
+
+def test_kv_cache_parity(reference_llada):
+    """Prefill+decode with our rotated-key cache must match the reference's
+    unrotated-cache + full-K re-rotation (modeling_llada.py:738-749)."""
+    model, cfg_kw = _make_ref_model(reference_llada, "llama")
+    params, jcfg = _to_jax(model, cfg_kw)
+
+    rng = np.random.default_rng(1)
+    P, T = 9, 5
+    emb = rng.standard_normal((1, P + T, 64)).astype(np.float32)
+    prefix, suffix = emb[:, :P], emb[:, P:]
+
+    with torch.no_grad():
+        out1 = model(None, input_embeddings=torch.from_numpy(prefix), use_cache=True)
+        ref = model(
+            None,
+            input_embeddings=torch.from_numpy(suffix),
+            past_key_values=out1.attn_key_values,
+        ).logits.numpy()
+
+    _, cache = jl.forward(params, jcfg, jnp.asarray(prefix), use_cache=True)
+    ours, _ = jl.forward(params, jcfg, jnp.asarray(suffix), kv_cache=cache)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=ATOL, rtol=1e-4)
+
+    # decode twice with the same cache (the denoising loop's access pattern)
+    ours2, _ = jl.forward(params, jcfg, jnp.asarray(suffix), kv_cache=cache)
+    np.testing.assert_allclose(np.asarray(ours2), np.asarray(ours))
+
+
+def test_gqa_repeat_semantics(reference_llada):
+    """n_kv_heads < n_heads exercises the grouped-query path on both sides."""
+    model, cfg_kw = _make_ref_model(reference_llada, "llama", n_kv_heads=1)
+    params, jcfg = _to_jax(model, cfg_kw)
+    jcfg = jcfg.replace(n_kv_heads=1)
+    rng = np.random.default_rng(2)
+    emb = rng.standard_normal((1, 8, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(None, input_embeddings=torch.from_numpy(emb)).logits.numpy()
+    ours, _ = jl.forward(params, jcfg, jnp.asarray(emb))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=ATOL, rtol=1e-4)
+
+
+def test_weight_tying(reference_llada):
+    model, cfg_kw = _make_ref_model(reference_llada, "llama", weight_tying=True)
+    params, jcfg = _to_jax(model, cfg_kw)
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((1, 6, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(None, input_embeddings=torch.from_numpy(emb)).logits.numpy()
+    ours, _ = jl.forward(params, jcfg, jnp.asarray(emb))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=ATOL, rtol=1e-4)
+
+
+def test_padding_mask_equals_unpadded():
+    """Right-padded batch with kv_valid/self_valid masks must reproduce the
+    unpadded logits on the valid region (the reference never pads at
+    inference; our padded buckets must prove equivalence — SURVEY §7)."""
+    jcfg = tiny_llada_config()
+    params = jl.init_params(jcfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    emb = rng.standard_normal((1, 10, 64)).astype(np.float32)
+
+    ref, _ = jl.forward(params, jcfg, jnp.asarray(emb))
+
+    padded = np.concatenate([emb, np.zeros((1, 6, 64), np.float32)], axis=1)
+    valid = jnp.asarray(np.arange(16)[None, :] < 10)
+    ours, _ = jl.forward(params, jcfg, jnp.asarray(padded), self_valid=valid)
+    np.testing.assert_allclose(
+        np.asarray(ours)[:, :10], np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_padded_prefill_cache_equals_unpadded():
+    """Cache built from a padded prefill + kv_valid mask at decode must match
+    the unpadded cache path (the padded-prefix hard part, SURVEY §7)."""
+    jcfg = tiny_llada_config()
+    params = jl.init_params(jcfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    P, Pb, T = 7, 12, 4
+    prefix = rng.standard_normal((1, P, 64)).astype(np.float32)
+    suffix = rng.standard_normal((1, T, 64)).astype(np.float32)
+
+    _, cache = jl.forward(params, jcfg, jnp.asarray(prefix), use_cache=True)
+    ref, _ = jl.forward(
+        params, jcfg, jnp.asarray(suffix), kv_cache=cache,
+        positions=jnp.arange(P, P + T),
+    )
+
+    prefix_pad = np.concatenate([prefix, np.zeros((1, Pb - P, 64), np.float32)], 1)
+    pvalid = jnp.asarray(np.arange(Pb)[None, :] < P)
+    _, cache_pad = jl.forward(
+        params, jcfg, jnp.asarray(prefix_pad), self_valid=pvalid, use_cache=True
+    )
+    # gen tokens sit at absolute positions P..P+T-1 regardless of bucket size
+    ours, _ = jl.forward(
+        params, jcfg, jnp.asarray(suffix), kv_cache=cache_pad,
+        kv_valid=pvalid, positions=jnp.arange(P, P + T),
+    )
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
