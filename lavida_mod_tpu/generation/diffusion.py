@@ -1,0 +1,305 @@
+"""Masked-diffusion generation: the TPU-native denoise loop.
+
+Re-designs the reference sampler (llava/model/language_model/llada/generate.py:
+117-346) around XLA's compilation model instead of translating it:
+
+  - The per-step transfer counts depend only on the *initial* mask layout of
+    each block (drafts included), so the whole `[total_steps]` control table —
+    per-step k, block end, active-block flag — is precomputed on the host
+    (ops/schedules.py) and fed to one jitted `lax.scan` over all
+    blocks × steps.  No host↔device sync anywhere in the loop; the reference
+    syncs every step for its python `torch.topk` loop and `continue` check.
+  - The prefix KV cache (generate.py:174-181) is built by one prefill forward
+    and carried in HBM as a `[L, B, P, Hkv, hd]` pytree with *rotated* keys
+    (see models/llada.py) — no per-step re-rotation of the prefix.
+  - The reference's early `continue` when a block is already filled
+    (generate.py:226-227) becomes k=0 no-op steps — identical state
+    trajectory, fixed shape.
+  - Remasking confidences / gumbel / top-k transfer are the fixed-shape ops
+    in ops/sampling.py (f32 instead of the reference's f64 — TPUs have no
+    fast f64; at temperature 0, every published benchmark config, the
+    sampling path is exact argmax either way).
+
+Two modes, matching generate.py:
+  prefix_lm=True  — prompt+image encoded once into the cache; x is the
+                    gen-length buffer only (generate.py:174-181).
+  prefix_lm=False — every step forwards [prefix_embeds, wte(x_gen)]
+                    concatenated (generate.py:258-272); logits sliced to the
+                    gen region.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GenerationConfig, LLaDAConfig
+from ..models import llada as llada_model
+from ..ops import sampling
+from ..ops.schedules import num_transfer_tokens_scheduled, resolve_steps
+
+
+def prefill(
+    params,
+    cfg: LLaDAConfig,
+    prefix_embeds: jax.Array,
+    prefix_valid: Optional[jax.Array] = None,
+    use_flash: bool = False,
+):
+    """Encode the multimodal prefix once, returning the rotated-key KV cache
+    (reference generate.py:176: `model(..., use_cache=True).attn_key_values`).
+    """
+    _, cache = llada_model.forward(
+        params, cfg, prefix_embeds,
+        self_valid=prefix_valid,
+        use_cache=True, return_logits=False, use_flash=use_flash,
+    )
+    return cache
+
+
+def build_control_table(
+    x0_host: np.ndarray,
+    prompt_len: int,
+    gen_length: int,
+    gen: GenerationConfig,
+    mask_id: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Precompute the per-step control arrays for the whole generation.
+
+    x0_host: [B, prompt_len + gen_length] (or [B, gen_length] when
+    prompt_len == 0) initial token buffer *after* draft injection.
+    Returns (k_table [total_steps, B] int32, block_end [total_steps] int32)
+    where block_end is absolute in x coordinates (prompt included).
+    """
+    x0_host = np.asarray(x0_host)
+    B = x0_host.shape[0]
+    num_blocks, steps = resolve_steps(
+        gen_length, gen.block_length, gen.steps, gen.step_per_block,
+        gen.step_ratio,
+    )
+    k_cols: list[np.ndarray] = []
+    end_cols: list[int] = []
+    for b in range(num_blocks):
+        lo = prompt_len + b * gen.block_length
+        hi = prompt_len + (b + 1) * gen.block_length
+        counts = (x0_host[:, lo:hi] == mask_id).sum(axis=1)
+        if counts.max() == 0:
+            continue  # fully drafted block: reference continues every step
+        table = num_transfer_tokens_scheduled(
+            counts, steps, gen.schedule, shift=gen.schedule_shift
+        )  # [B, steps']
+        if table.shape[1] < steps:  # pad with no-op steps (ref early-continue)
+            pad = np.zeros((B, steps - table.shape[1]), np.int64)
+            table = np.concatenate([table, pad], axis=1)
+        for i in range(steps):
+            k_cols.append(table[:, i])
+            end_cols.append(hi)
+    if not k_cols:  # everything drafted
+        return np.zeros((0, B), np.int32), np.zeros((0,), np.int32)
+    return (
+        np.stack(k_cols).astype(np.int32),
+        np.asarray(end_cols, np.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "temperature", "remasking", "use_flash"),
+)
+def _denoise_scan_cached(
+    params,
+    cfg: LLaDAConfig,
+    x: jax.Array,               # [B, G] token buffer (gen region only)
+    cache,                      # prefix KV cache
+    k_table: jax.Array,         # [S, B]
+    block_end: jax.Array,       # [S] absolute end (prompt coords; here ==gen)
+    positions: jax.Array,       # [G] absolute positions of gen tokens
+    prefix_valid: Optional[jax.Array],
+    key: jax.Array,
+    temperature: float,
+    remasking: str,
+    use_flash: bool,
+):
+    mask_id = cfg.mask_token_id
+
+    def step(carry, ctl):
+        x, key = carry
+        k_row, b_end = ctl
+        key, sk = jax.random.split(key)
+        embeds = llada_model.embed_tokens(params, x)
+        logits, _ = llada_model.forward(
+            params, cfg, embeds,
+            positions=positions, kv_cache=cache, kv_valid=prefix_valid,
+            use_flash=use_flash,
+        )
+        x = sampling.denoise_commit(
+            x, logits, x == mask_id, k_row, b_end,
+            temperature=temperature, remasking=remasking, key=sk,
+        )
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key), (k_table, block_end))
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "temperature", "remasking", "use_flash"),
+)
+def _denoise_scan_full(
+    params,
+    cfg: LLaDAConfig,
+    x: jax.Array,               # [B, G]
+    prefix_embeds: jax.Array,   # [B, P, D] (re-spliced every step, ref :268)
+    k_table: jax.Array,
+    block_end: jax.Array,       # [S] absolute end including prompt length
+    prefix_valid: Optional[jax.Array],
+    key: jax.Array,
+    temperature: float,
+    remasking: str,
+    use_flash: bool,
+):
+    mask_id = cfg.mask_token_id
+    B, G = x.shape
+    P = prefix_embeds.shape[1]
+
+    def step(carry, ctl):
+        x, key = carry
+        k_row, b_end = ctl
+        key, sk = jax.random.split(key)
+        gen_embeds = llada_model.embed_tokens(params, x)
+        embeds = jnp.concatenate([prefix_embeds, gen_embeds], axis=1)
+        sv = None
+        if prefix_valid is not None:
+            sv = jnp.concatenate(
+                [prefix_valid, jnp.ones((B, G), bool)], axis=1
+            )
+        logits, _ = llada_model.forward(
+            params, cfg, embeds, self_valid=sv, use_flash=use_flash,
+        )
+        logits = logits[:, P:]
+        x = sampling.denoise_commit(
+            x, logits, x == mask_id, k_row, b_end - P,
+            temperature=temperature, remasking=remasking, key=sk,
+        )
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key), (k_table, block_end))
+    return x
+
+
+def generate(
+    params,
+    cfg: LLaDAConfig,
+    prefix_embeds: jax.Array,
+    gen: GenerationConfig,
+    *,
+    draft_tokens: Optional[jax.Array] = None,
+    prefix_valid: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    use_flash: bool = False,
+    verbose: bool = False,
+):
+    """Generate `gen.max_new_tokens` tokens after the given prefix embeddings.
+
+    prefix_embeds: [B, P, D] — already-spliced multimodal prompt embeddings
+    (the analogue of generate.py's `inputs_embeds`).
+    draft_tokens: [B, Td] FIM skeleton written into the head of the gen
+    buffer (generate.py:189-191); `mask_id` holes get denoised.
+    Returns x: [B, gen_length] tokens (prompt never included, matching the
+    prefix_lm return shape; the non-cache path slices it off).
+    When verbose, returns (x, history list of [B, gen_length] snapshots).
+    """
+    B, P, _ = prefix_embeds.shape
+    G = gen.max_new_tokens
+    mask_id = cfg.mask_token_id
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    x = jnp.full((B, G), mask_id, jnp.int32)
+    if draft_tokens is not None:
+        Td = draft_tokens.shape[1]
+        assert Td <= G
+        x = x.at[:, :Td].set(draft_tokens.astype(jnp.int32))
+
+    if gen.prefix_lm:
+        prompt_len = 0  # x holds only the gen region (generate.py:178-181)
+        k_table, block_end = build_control_table(
+            np.asarray(x), prompt_len, G, gen, mask_id
+        )
+        if k_table.shape[0] == 0:
+            return (x, []) if verbose else x
+        cache = prefill(params, cfg, prefix_embeds, prefix_valid, use_flash)
+        positions = jnp.arange(P, P + G, dtype=jnp.int32)
+        args = (
+            params, cfg, x, cache,
+            jnp.asarray(k_table), jnp.asarray(block_end), positions,
+            prefix_valid, key,
+        )
+        if not verbose:
+            return _denoise_scan_cached(
+                *args, temperature=gen.temperature, remasking=gen.remasking,
+                use_flash=use_flash,
+            )
+        return _generate_verbose(
+            args, gen, cached=True, use_flash=use_flash
+        )
+    else:
+        prompt_len = P
+        # Control table is computed in absolute coordinates: a virtual
+        # [B, P+G] buffer whose prefix is never masked.
+        x_abs = np.concatenate(
+            [np.zeros((B, P), np.int32), np.asarray(x)], axis=1
+        )
+        k_table, block_end = build_control_table(
+            x_abs, prompt_len, G, gen, mask_id
+        )
+        if k_table.shape[0] == 0:
+            return (x, []) if verbose else x
+        args = (
+            params, cfg, x, prefix_embeds,
+            jnp.asarray(k_table), jnp.asarray(block_end),
+            prefix_valid, key,
+        )
+        if not verbose:
+            return _denoise_scan_full(
+                *args, temperature=gen.temperature, remasking=gen.remasking,
+                use_flash=use_flash,
+            )
+        return _generate_verbose(
+            args, gen, cached=False, use_flash=use_flash
+        )
+
+
+def _generate_verbose(args, gen: GenerationConfig, cached: bool, use_flash: bool):
+    """Non-scan debug path: python step loop capturing x after every step
+    (reference `verbose=True` history, generate.py:211-213, 334-341)."""
+    if cached:
+        (params, cfg, x, cache, k_table, block_end, positions,
+         prefix_valid, key) = args
+    else:
+        (params, cfg, x, prefix_embeds, k_table, block_end,
+         prefix_valid, key) = args
+    history = []
+    for i in range(k_table.shape[0]):
+        kt = k_table[i : i + 1]
+        be = block_end[i : i + 1]
+        if cached:
+            x = _denoise_scan_cached(
+                params, cfg, x, cache, kt, be, positions, prefix_valid, key,
+                temperature=gen.temperature, remasking=gen.remasking,
+                use_flash=use_flash,
+            )
+        else:
+            x = _denoise_scan_full(
+                params, cfg, x, prefix_embeds, kt, be, prefix_valid, key,
+                temperature=gen.temperature, remasking=gen.remasking,
+                use_flash=use_flash,
+            )
+        key, _ = jax.random.split(key)
+        history.append(np.asarray(x))
+    return x, history

@@ -1,0 +1,156 @@
+"""End-to-end sampler parity: our jitted denoise scan vs the reference
+torch sampler (llava/model/language_model/llada/generate.py) on identical
+tiny random weights, temperature 0.
+
+Covers: prefix-cache mode, full-context (KV off) mode, shift schedule,
+multi-block semi-AR decoding, and FIM draft injection.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from lavida_mod_tpu.config import GenerationConfig, tiny_llada_config
+from lavida_mod_tpu.generation import generate
+from lavida_mod_tpu.models import llada as jl
+from lavida_mod_tpu.models.llada_loader import convert_state_dict
+
+from test_llada_parity import _make_ref_model  # shared tiny fixture
+
+
+MASK_ID = 500
+
+
+@pytest.fixture(scope="module")
+def tiny_pair(reference_llada):
+    ref_model, _ = _make_ref_model(reference_llada)
+    state = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    cfg = tiny_llada_config()
+    params = convert_state_dict(state, cfg, dtype=jnp.float32)
+    return ref_model, cfg, params
+
+
+def _ref_generate(ref_model, prompt_ids, **kw):
+    import contextlib
+    import io
+
+    inputs_embeds = ref_model.transformer.wte(torch.asarray(prompt_ids))
+    with contextlib.redirect_stdout(io.StringIO()):
+        out = __import__("llada.generate", fromlist=["generate"]).generate(
+            ref_model,
+            inputs_embeds=inputs_embeds,
+            temperature=0.0,
+            mask_id=MASK_ID,
+            **kw,
+        )
+    return np.asarray(out)
+
+
+def _our_generate(cfg, params, prompt_ids, gen_cfg, **kw):
+    prefix_embeds = jl.embed_tokens(params, jnp.asarray(prompt_ids))
+    out = generate(params, cfg, prefix_embeds, gen_cfg, **kw)
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize("prefix_lm", [True, False])
+def test_basic_parity(tiny_pair, prefix_lm):
+    ref_model, cfg, params = tiny_pair
+    prompt = np.arange(7, 19)[None]
+    ref = _ref_generate(
+        ref_model, prompt, max_new_tokens=16, block_length=16,
+        prefix_lm=prefix_lm,
+    )
+    ref_gen = ref[:, -16:] if not prefix_lm else ref
+    ours = _our_generate(
+        cfg, params, prompt,
+        GenerationConfig(max_new_tokens=16, block_length=16,
+                         prefix_lm=prefix_lm),
+    )
+    np.testing.assert_array_equal(ours, ref_gen)
+
+
+def test_multiblock_shift_schedule(tiny_pair):
+    ref_model, cfg, params = tiny_pair
+    prompt = np.arange(3, 12)[None]
+    ref = _ref_generate(
+        ref_model, prompt, max_new_tokens=32, block_length=8,
+        prefix_lm=True, schedule="shift", schedule_kwargs={"shift": 0.33},
+        step_per_block=4,
+    )
+    ours = _our_generate(
+        cfg, params, prompt,
+        GenerationConfig(max_new_tokens=32, block_length=8, prefix_lm=True,
+                         schedule="shift", schedule_shift=0.33,
+                         step_per_block=4),
+    )
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_step_ratio(tiny_pair):
+    ref_model, cfg, params = tiny_pair
+    prompt = np.arange(5, 14)[None]
+    ref = _ref_generate(
+        ref_model, prompt, max_new_tokens=16, block_length=16,
+        prefix_lm=True, step_ratio=0.5, schedule="shift",
+        schedule_kwargs={"shift": 0.33},
+    )
+    ours = _our_generate(
+        cfg, params, prompt,
+        GenerationConfig(max_new_tokens=16, block_length=16, prefix_lm=True,
+                         step_ratio=0.5, schedule="shift",
+                         schedule_shift=0.33),
+    )
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_draft_tokens_fim(tiny_pair):
+    ref_model, cfg, params = tiny_pair
+    prompt = np.arange(2, 10)[None]
+    rng = np.random.default_rng(0)
+    draft = rng.integers(1, 400, size=(1, 12)).astype(np.int64)
+    draft[0, [2, 3, 7, 9]] = MASK_ID  # holes to infill
+    ref = _ref_generate(
+        ref_model, prompt, max_new_tokens=16, block_length=16,
+        prefix_lm=True, draft_tokens=torch.asarray(draft),
+    )
+    ours = _our_generate(
+        cfg, params, prompt,
+        GenerationConfig(max_new_tokens=16, block_length=16, prefix_lm=True),
+        draft_tokens=jnp.asarray(draft),
+    )
+    np.testing.assert_array_equal(ours, ref)
+    # drafted (non-hole) positions survive untouched
+    keep = draft[0] != MASK_ID
+    np.testing.assert_array_equal(ours[0, :12][keep], draft[0][keep])
+
+
+def test_remasking_modes_run(tiny_pair):
+    _, cfg, params = tiny_pair
+    prompt = np.arange(5, 14)[None]
+    for mode in ("low_confidence", "random", "entrophy", "margin"):
+        out = _our_generate(
+            cfg, params, prompt,
+            GenerationConfig(max_new_tokens=8, block_length=8,
+                             prefix_lm=True, remasking=mode),
+        )
+        assert (out != MASK_ID).all()
+
+
+def test_verbose_history(tiny_pair):
+    _, cfg, params = tiny_pair
+    prompt = np.arange(5, 14)[None]
+    prefix_embeds = jl.embed_tokens(params, jnp.asarray(prompt))
+    gen_cfg = GenerationConfig(max_new_tokens=8, block_length=8, prefix_lm=True)
+    x, history = generate(params, cfg, prefix_embeds, gen_cfg, verbose=True)
+    assert len(history) == 8
+    np.testing.assert_array_equal(history[-1], np.asarray(x))
+    # masks decrease monotonically
+    masks = [int((h == cfg.mask_token_id).sum()) for h in history]
+    assert masks == sorted(masks, reverse=True)
+    # scan path and verbose path agree
+    x2 = generate(params, cfg, prefix_embeds, gen_cfg)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
