@@ -1,0 +1,236 @@
+"""Multimodal composition: vision encode -> project -> pool -> anyres merge
+-> token splicing.  The TPU-native re-design of llava_arch.py's
+LlavaMetaModel/LlavaMetaForCausalLM (reference llava/model/llava_arch.py).
+
+Structure of a composed LaViDa parameter pytree:
+
+  {"llada": <models.llada params>,
+   "siglip": <models.siglip params>,
+   "projector": <models.projector params>,
+   "image_newline": [D_lm]}        (llava_arch.py:61)
+
+Pipeline parity notes:
+  - encode_images applies the projector BEFORE pooling (llava_arch.py:235-281
+    then :490-533): tower [V,729,1152] -> mm_projector [V,729,4096] ->
+    2x2 pool [V,196,4096].
+  - anyres merge (llava_arch.py:548-678 "spatial_unpad"): tiles reshaped to
+    (nh, nw, 14, 14, D) -> [D, nh*14, nw*14] -> unpad -> image_newline column
+    appended -> flatten; base view's 196 tokens prepended.
+  - token splicing (llava_arch.py:694-909): each IMAGE_TOKEN_INDEX (-200) in
+    input_ids is replaced by that image's feature block.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LaViDaConfig, VisionConfig
+from ..constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from ..data.anyres import anyres_grid_shape, unpad_slice
+from ..ops.pooling import pool_2d
+from . import llada as llada_model
+from . import projector as projector_model
+from . import siglip as siglip_model
+
+
+def init_params(cfg: LaViDaConfig, key: jax.Array, dtype=jnp.float32) -> dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "llada": llada_model.init_params(cfg.llada, k1, dtype),
+        "siglip": siglip_model.init_params(cfg.vision.siglip, k2, dtype),
+        "projector": projector_model.init_params(
+            cfg.vision.projector_type, cfg.vision.mm_hidden_size,
+            cfg.llada.d_model, k3, dtype,
+        ),
+        "image_newline": (
+            jax.random.normal(k4, (cfg.llada.d_model,)) /
+            jnp.sqrt(cfg.llada.d_model)
+        ).astype(dtype),
+    }
+
+
+def encode_views(params: dict, cfg: LaViDaConfig, pixel_values: jax.Array,
+                 remat: bool = False) -> jax.Array:
+    """[V, C, S, S] -> projected+pooled features [V, 196, D_lm].
+
+    The jit-compiled device hot path of the vision stack; view count V is a
+    static shape (1 for square, 1+tiles for anyres).
+    """
+    feats = siglip_model.forward(
+        params["siglip"], cfg.vision.siglip, pixel_values, remat=remat
+    )
+    feats = projector_model.forward(
+        params["projector"], cfg.vision.projector_type, feats
+    )
+    return pool_2d(
+        feats, cfg.vision.spatial_pool_mode, cfg.vision.spatial_pool_stride
+    )
+
+
+_encode_views_jit = jax.jit(
+    encode_views, static_argnames=("cfg", "remat")
+)
+
+
+def merge_anyres(
+    features: jax.Array,
+    image_size: tuple[int, int],
+    cfg: VisionConfig,
+    image_newline: jax.Array,
+) -> jax.Array:
+    """Anyres "spatial_unpad" merge of pooled per-view features.
+
+    features: [V, T, D] with V = 1 base + nh*nw tiles, T a square grid.
+    Returns [n_tokens, D]: base tokens ++ unpadded tile grid with a newline
+    column (llava_arch.py:548-678).
+    """
+    V, T, D = features.shape
+    g = int(round(float(np.sqrt(T))))
+    if V == 1:
+        # single view: append one newline token (llava_arch.py:681-690)
+        return jnp.concatenate([features[0], image_newline[None]], axis=0)
+    base = features[0]
+    tiles = features[1:]
+    nw, nh = anyres_grid_shape(
+        image_size, cfg.grid_pinpoints, cfg.siglip.image_size
+    )
+    assert nh * nw == V - 1, (nh, nw, V)
+    grid = tiles.reshape(nh, nw, g, g, D)
+    grid = grid.transpose(0, 2, 1, 3, 4).reshape(nh * g, nw * g, D)
+    rs, cs = unpad_slice(image_size, (nh * g, nw * g))
+    grid = grid[rs, cs]
+    H, W = grid.shape[:2]
+    nl = jnp.broadcast_to(image_newline, (H, 1, D)).astype(grid.dtype)
+    grid = jnp.concatenate([grid, nl], axis=1).reshape(H * (W + 1), D)
+    return jnp.concatenate([base, grid], axis=0)
+
+
+def encode_image(
+    params: dict,
+    cfg: LaViDaConfig,
+    views: jax.Array,
+    image_size: Optional[tuple[int, int]] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """One image's views [V, C, S, S] -> merged token block [n, D_lm]."""
+    feats = _encode_views_jit(params, cfg, views, remat)
+    if views.shape[0] == 1 and cfg.vision.image_aspect_ratio == "square":
+        return feats[0]  # square path: raw pooled tokens, no newline
+    assert image_size is not None or views.shape[0] == 1
+    return merge_anyres(
+        feats, image_size or (cfg.vision.siglip.image_size,) * 2,
+        cfg.vision, params["image_newline"],
+    )
+
+
+def splice_embeddings(
+    params: dict,
+    cfg: LaViDaConfig,
+    input_ids: np.ndarray,
+    image_features: Sequence[jax.Array],
+    labels: Optional[np.ndarray] = None,
+):
+    """Replace each IMAGE_TOKEN_INDEX in a single sample's ids with the next
+    image's feature block (llava_arch.py:716-819).
+
+    input_ids: [T] host ints; image_features: one [n_i, D] block per -200.
+    Returns (embeds [T', D], labels' [T'] or None) — unpadded; the caller
+    batches/pads (ragged sample lengths are inherently host-side).
+    """
+    input_ids = np.asarray(input_ids)
+    img_pos = np.where(input_ids == IMAGE_TOKEN_INDEX)[0]
+    assert len(img_pos) == len(image_features), (
+        f"{len(img_pos)} image tokens vs {len(image_features)} images"
+    )
+    segments = []
+    lab_segments = []
+    prev = 0
+    for i, pos in enumerate(img_pos):
+        text_ids = input_ids[prev:pos]
+        if len(text_ids):
+            segments.append(
+                llada_model.embed_tokens(params["llada"], jnp.asarray(text_ids))
+            )
+            if labels is not None:
+                lab_segments.append(labels[prev:pos])
+        feats = image_features[i]
+        segments.append(feats)
+        if labels is not None:
+            lab_segments.append(
+                np.full((feats.shape[0],), IGNORE_INDEX, np.int64)
+            )
+        prev = pos + 1
+    tail = input_ids[prev:]
+    if len(tail):
+        segments.append(
+            llada_model.embed_tokens(params["llada"], jnp.asarray(tail))
+        )
+        if labels is not None:
+            lab_segments.append(labels[prev:])
+    embeds = jnp.concatenate(segments, axis=0)
+    out_labels = (
+        np.concatenate(lab_segments, axis=0) if labels is not None else None
+    )
+    return embeds, out_labels
+
+
+def prepare_multimodal_batch(
+    params: dict,
+    cfg: LaViDaConfig,
+    batch_input_ids: Sequence[np.ndarray],
+    batch_images: Sequence[Sequence[jax.Array]],
+    batch_image_sizes: Sequence[Sequence[tuple[int, int]]],
+    batch_labels: Optional[Sequence[np.ndarray]] = None,
+    pad_to: Optional[int] = None,
+    pad_side: str = "right",
+):
+    """Full batch path: encode each image, splice, pad to a common length.
+
+    Returns (embeds [B, T, D], valid [B, T] bool, labels [B, T] or None,
+    lengths [B]).  Truncates to cfg.tokenizer_model_max_length
+    (llava_arch.py:827-829).
+    """
+    rows = []
+    labs = []
+    for b, ids in enumerate(batch_input_ids):
+        feats = [
+            encode_image(params, cfg, views, size)
+            for views, size in zip(batch_images[b], batch_image_sizes[b])
+        ]
+        e, l = splice_embeddings(
+            params, cfg, ids, feats,
+            batch_labels[b] if batch_labels is not None else None,
+        )
+        if cfg.tokenizer_model_max_length:
+            e = e[: cfg.tokenizer_model_max_length]
+            l = l[: cfg.tokenizer_model_max_length] if l is not None else None
+        rows.append(e)
+        labs.append(l)
+
+    lengths = np.array([r.shape[0] for r in rows])
+    T = int(pad_to or lengths.max())
+    D = rows[0].shape[-1]
+    B = len(rows)
+    embeds = jnp.zeros((B, T, D), rows[0].dtype)
+    valid = np.zeros((B, T), bool)
+    out_labels = (
+        np.full((B, T), IGNORE_INDEX, np.int64)
+        if batch_labels is not None else None
+    )
+    for b, r in enumerate(rows):
+        n = r.shape[0]
+        if pad_side == "right":
+            embeds = embeds.at[b, :n].set(r)
+            valid[b, :n] = True
+            if out_labels is not None:
+                out_labels[b, :n] = labs[b]
+        else:
+            embeds = embeds.at[b, T - n:].set(r)
+            valid[b, T - n:] = True
+            if out_labels is not None:
+                out_labels[b, T - n:] = labs[b]
+    return embeds, jnp.asarray(valid), out_labels, lengths

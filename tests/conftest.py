@@ -29,6 +29,33 @@ def has_reference() -> bool:
     return (REFERENCE / "llava").is_dir()
 
 
+def install_reference_stub():
+    """Register 'llava' / 'llava.model' as namespace-style packages pointing
+    at the read-only reference, WITHOUT executing their __init__.py (which
+    imports the whole torch model zoo and breaks on transformers drift).
+    Lets tests import leaf modules (llava.mm_utils, ...siglip_base) as golden
+    oracles."""
+    import types
+
+    if "llava" in sys.modules:
+        return
+    for name, path in [
+        ("llava", REFERENCE / "llava"),
+        ("llava.model", REFERENCE / "llava" / "model"),
+    ]:
+        pkg = types.ModuleType(name)
+        pkg.__path__ = [str(path)]
+        sys.modules[name] = pkg
+
+
+@pytest.fixture(scope="session")
+def reference_llava():
+    if not has_reference():
+        pytest.skip("reference repo not available")
+    install_reference_stub()
+    return REFERENCE
+
+
 @pytest.fixture(scope="session")
 def reference_llada():
     """Import the reference torch LLaDA implementation (read-only, used as a
