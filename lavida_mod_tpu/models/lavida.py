@@ -1,0 +1,151 @@
+"""LaViDa: the composed multimodal masked-diffusion model (public API).
+
+The thin stateful facade over the functional cores — the analogue of
+`LlavaLladaForMaskedDiffusion` (reference llava/model/language_model/
+llava_llada.py:76-341) minus the HF mixin soup: holds (config, params),
+exposes generate / log-likelihood / checkpoint loading.
+
+Checkpoint layout of the published HF weights (module naming from
+LLaDAModelLM.base_model_prefix="model", LlavaMetaModel attributes):
+  model.transformer.{wte,ln_f,ff_out,blocks.N.*}      -> llada params
+  model.vision_tower.vision_tower.vision_model.*      -> siglip params
+  model.mm_projector.{0,2}.{weight,bias}              -> projector params
+  model.image_newline                                 -> newline vector
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GenerationConfig, LaViDaConfig
+from ..generation import diffusion
+from . import llada as llada_model
+from . import multimodal
+from .llada_loader import convert_state_dict
+from .projector import convert_projector_state_dict
+from .siglip import convert_siglip_state_dict
+
+
+def load_state_shards(path: str) -> dict[str, np.ndarray]:
+    """Read all safetensors / torch-bin shards in a checkpoint dir."""
+    state: dict[str, np.ndarray] = {}
+    st_files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if st_files:
+        from safetensors.numpy import load_file
+
+        for f in st_files:
+            state.update(load_file(f))
+        return state
+    import torch
+
+    for f in sorted(glob.glob(os.path.join(path, "pytorch_model*.bin"))):
+        sd = torch.load(f, map_location="cpu", weights_only=True)
+        state.update({k: v.float().numpy() for k, v in sd.items()})
+    if not state:
+        raise FileNotFoundError(f"no checkpoint shards under {path}")
+    return state
+
+
+def convert_lavida_state_dict(
+    state: dict[str, np.ndarray], cfg: LaViDaConfig, dtype=jnp.bfloat16,
+) -> dict:
+    params = {
+        "llada": convert_state_dict(state, cfg.llada, dtype),
+        "siglip": convert_siglip_state_dict(
+            state, cfg.vision.siglip, dtype,
+            prefix="model.vision_tower.vision_tower.vision_model.",
+        ),
+        "projector": convert_projector_state_dict(
+            state, cfg.vision.projector_type, dtype,
+            prefix="model.mm_projector.",
+        ),
+    }
+    nl = state.get("model.image_newline")
+    params["image_newline"] = (
+        jnp.asarray(nl, dtype) if nl is not None
+        else jnp.zeros((cfg.llada.d_model,), dtype)
+    )
+    return params
+
+
+class LaViDa:
+    """config + params + the end-to-end inference paths."""
+
+    def __init__(self, cfg: LaViDaConfig, params: dict):
+        self.cfg = cfg
+        self.params = params
+
+    @classmethod
+    def load(cls, path: str, cfg: Optional[LaViDaConfig] = None,
+             dtype=jnp.bfloat16) -> "LaViDa":
+        cfg = cfg or LaViDaConfig()
+        state = load_state_shards(path)
+        return cls(cfg, convert_lavida_state_dict(state, cfg, dtype))
+
+    @classmethod
+    def random_init(cls, cfg: LaViDaConfig, seed: int = 0,
+                    dtype=jnp.bfloat16) -> "LaViDa":
+        params = multimodal.init_params(cfg, jax.random.PRNGKey(seed), dtype)
+        return cls(cfg, params)
+
+    # ------------------------------------------------------------------
+    # Inference
+    # ------------------------------------------------------------------
+
+    def encode_prompt(
+        self,
+        input_ids: np.ndarray,
+        images: Sequence[np.ndarray] = (),
+        image_sizes: Sequence[tuple[int, int]] = (),
+    ) -> jax.Array:
+        """One sample: ids with -200 markers + per-image view stacks ->
+        spliced prefix embeddings [1, P, D]."""
+        feats = [
+            multimodal.encode_image(
+                self.params, self.cfg, jnp.asarray(views), size
+            )
+            for views, size in zip(images, image_sizes)
+        ]
+        embeds, _ = multimodal.splice_embeddings(
+            self.params, self.cfg, input_ids, feats
+        )
+        if self.cfg.tokenizer_model_max_length:
+            embeds = embeds[: self.cfg.tokenizer_model_max_length]
+        return embeds[None]
+
+    def generate(
+        self,
+        input_ids: np.ndarray,
+        images: Sequence[np.ndarray] = (),
+        image_sizes: Sequence[tuple[int, int]] = (),
+        gen: Optional[GenerationConfig] = None,
+        draft_tokens: Optional[np.ndarray] = None,
+        key: Optional[jax.Array] = None,
+        use_flash: bool = False,
+    ) -> np.ndarray:
+        """predict.py-equivalent single-sample generation. Returns [G] ids."""
+        gen = gen or GenerationConfig()
+        prefix = self.encode_prompt(input_ids, images, image_sizes)
+        out = diffusion.generate(
+            self.params["llada"], self.cfg.llada, prefix, gen,
+            draft_tokens=(
+                jnp.asarray(draft_tokens)[None]
+                if draft_tokens is not None else None
+            ),
+            key=key, use_flash=use_flash,
+        )
+        return np.asarray(out)[0]
+
+    def decode_output(self, ids: np.ndarray, tokenizer) -> str:
+        """Cut at eos and decode (predict.py:85 batch_decode behavior)."""
+        ids = list(np.asarray(ids))
+        eos = self.cfg.llada.eos_token_id
+        if eos in ids:
+            ids = ids[: ids.index(eos)]
+        return tokenizer.decode(ids, skip_special_tokens=True).strip()

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Single-image prediction CLI — the analogue of reference predict.py.
+
+Usage:
+  python predict.py --model-path /path/to/lavida-llada-hf \\
+      --image images/demo.jpg --prompt "Describe the image." \\
+      [--max-new-tokens 32] [--steps 16] [--no-prefix-cache] \\
+      [--schedule shift --schedule-shift 0.33] [--step-ratio 0.5] \\
+      [--aspect anyres|square] [--warmup]
+
+Without --model-path, runs a random-initialized model (geometry from
+--tiny or the full 8B config) — useful for smoke/latency runs when no
+checkpoint is present.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-path", default=None)
+    ap.add_argument("--image", default=None)
+    ap.add_argument("--prompt", default="Describe the image in detail.")
+    ap.add_argument("--conv-template", default="llada")
+    ap.add_argument("--max-new-tokens", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--step-per-block", type=int, default=None)
+    ap.add_argument("--step-ratio", type=float, default=None)
+    ap.add_argument("--block-length", type=int, default=None)
+    ap.add_argument("--schedule", default=None)
+    ap.add_argument("--schedule-shift", type=float, default=3.0)
+    ap.add_argument("--remasking", default="low_confidence")
+    ap.add_argument("--no-prefix-cache", action="store_true")
+    ap.add_argument("--aspect", default="anyres")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--warmup", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from lavida_mod_tpu.config import (
+        GenerationConfig, LaViDaConfig, VisionConfig,
+        tiny_llada_config, tiny_siglip_config,
+    )
+    from lavida_mod_tpu.data import SigLIPImageProcessor, process_images
+    from lavida_mod_tpu.data.conversation import get_conv_template
+    from lavida_mod_tpu.data.prompts import tokenizer_image_token
+    from lavida_mod_tpu.models.lavida import LaViDa
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
+
+    if args.tiny:
+        cfg = LaViDaConfig(
+            llada=tiny_llada_config(),
+            vision=VisionConfig(
+                siglip=tiny_siglip_config(), mm_hidden_size=32,
+                grid_pinpoints=((56, 112), (112, 56), (112, 112)),
+                image_aspect_ratio=args.aspect,
+            ),
+        )
+    else:
+        cfg = LaViDaConfig(
+            vision=VisionConfig(image_aspect_ratio=args.aspect)
+        )
+
+    if args.model_path:
+        model = LaViDa.load(args.model_path, cfg, dtype)
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.model_path)
+    else:
+        print("[predict] no --model-path: random-init weights")
+        model = LaViDa.random_init(cfg, args.seed, dtype)
+        tokenizer = None
+
+    conv = get_conv_template(args.conv_template)
+    if tokenizer is not None:
+        conv.tokenizer = tokenizer
+
+    # image
+    images, image_sizes = [], []
+    if args.image:
+        from PIL import Image
+
+        img = Image.open(args.image)
+        size = cfg.vision.siglip.image_size
+        proc = SigLIPImageProcessor(size=size)
+        views = process_images([img], proc, cfg.vision)[0]
+        images, image_sizes = [views], [img.size]
+        user_msg = "<image>\n" + args.prompt
+    else:
+        user_msg = args.prompt
+
+    conv.append_message(conv.roles[0], user_msg)
+    prompt = conv.get_prompt()
+
+    if tokenizer is not None:
+        input_ids = tokenizer_image_token(prompt, tokenizer)
+    else:
+        # no tokenizer: synthetic ids with the image marker
+        rng = np.random.default_rng(args.seed)
+        vocab = model.cfg.llada.vocab_size
+        ids = rng.integers(3, min(vocab, 30000), size=24).tolist()
+        input_ids = np.asarray(
+            ids[:4] + ([-200] if args.image else []) + ids[4:], np.int64
+        )
+
+    gen = GenerationConfig(
+        max_new_tokens=args.max_new_tokens,
+        block_length=(
+            args.block_length
+            if args.block_length
+            else min(128, args.max_new_tokens)
+        ),
+        steps=args.steps,
+        step_per_block=args.step_per_block,
+        step_ratio=args.step_ratio,
+        schedule=args.schedule,
+        schedule_shift=args.schedule_shift,
+        remasking=args.remasking,
+        prefix_lm=not args.no_prefix_cache,
+    )
+
+    if args.warmup:
+        model.generate(input_ids, images, image_sizes, gen)
+
+    t0 = time.time()
+    out = model.generate(input_ids, images, image_sizes, gen)
+    dt = time.time() - t0
+
+    if tokenizer is not None:
+        print(model.decode_output(out, tokenizer))
+    else:
+        print("[predict] output ids:", out.tolist())
+    print(f"[predict] latency: {dt:.3f}s "
+          f"(len={args.max_new_tokens}, prefix_cache={gen.prefix_lm})")
+
+
+if __name__ == "__main__":
+    main()
