@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Driver benchmark: LaViDa-LLaDA s/image on one TPU chip.
+
+Reproduces the reference's headline latency protocol (README.md:62-68,
+BASELINE.md): single image, HD anyres prompt (5 SigLIP views -> ~1000-token
+prefix), generation length 32, 16 denoising steps, prefix KV cache on,
+bf16.  Wall-clock covers everything model.generate covers in the reference:
+vision encode + projection + pooling + prefill + the 16-step denoise loop
+(eval adapter llava_llada.py:646-649 measures the same span).
+
+Weights are random-initialized at the exact 8B/so400m geometry — latency is
+weight-value independent.  Prints ONE json line; vs_baseline is
+(reference 1.32 s) / (ours), so > 1.0 means faster than the A100 baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_S = 1.32  # A100 LaViDa-LLaDA s/image, len 32, 16 steps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lavida_mod_tpu.config import GenerationConfig, LaViDaConfig
+    from lavida_mod_tpu.generation import diffusion
+    from lavida_mod_tpu.models import llada as llada_model
+    from lavida_mod_tpu.models import multimodal
+
+    cfg = LaViDaConfig()
+    key = jax.random.PRNGKey(0)
+    params = multimodal.init_params(cfg, key, jnp.bfloat16)
+
+    # HD anyres input: base + 4 tiles (the square (768,768) pinpoint)
+    views = jax.random.normal(key, (5, 3, 384, 384), jnp.bfloat16)
+    image_size = (640, 640)
+    text_len = 48  # typical caption-prompt length
+    rng = np.random.default_rng(0)
+    text_ids = rng.integers(3, 30000, size=text_len)
+    ids = np.concatenate([text_ids[:8], [-200], text_ids[8:]])
+
+    gen = GenerationConfig(
+        max_new_tokens=32, block_length=32, steps=None, step_per_block=16,
+        prefix_lm=True, remasking="low_confidence",
+    )
+
+    def one_image():
+        feats = multimodal.encode_image(params, cfg, views, image_size)
+        prefix, _ = multimodal.splice_embeddings(params, cfg, ids, [feats])
+        out = diffusion.generate(
+            params["llada"], cfg.llada, prefix[None], gen,
+        )
+        jax.block_until_ready(out)
+        return out
+
+    # warmup / compile
+    one_image()
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        one_image()
+        times.append(time.perf_counter() - t0)
+    s_per_image = float(np.median(times))
+
+    print(json.dumps({
+        "metric": "s_per_image_len32_steps16_hd",
+        "value": round(s_per_image, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / s_per_image, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,9 @@ def init_params(cfg: LLaDAConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     keys = iter(jax.random.split(key, 16))
 
     def dense(k, shape, std=0.02):
-        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+        # sample directly in the target dtype — f32 temporaries for the
+        # stacked 8B tensors would transiently double HBM use
+        return jax.random.normal(k, shape, dtype) * jnp.asarray(std, dtype)
 
     def norm_p(shape):
         p = {"weight": jnp.ones(shape, dtype)}

@@ -39,7 +39,7 @@ def init_params(cfg: SigLIPConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     keys = iter(jax.random.split(key, 12))
 
     def dense(k, shape, std=0.02):
-        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+        return jax.random.normal(k, shape, dtype) * jnp.asarray(std, dtype)
 
     def lin(k, i, o, L=None):
         shape_w = (L, i, o) if L else (i, o)
@@ -76,11 +76,15 @@ def _interp_pos_embed(pos_embed: jax.Array, target_grid: int) -> jax.Array:
 
 
 def patchify(pixel_values: jax.Array, patch: int) -> jax.Array:
-    """[N, C, H, W] -> [N, (H/p)*(W/p), p*p*C] with (c, ph, pw) minor order,
-    matching the torch Conv2d weight layout [D, C, ph, pw]."""
+    """[N, C, H, W] -> [N, (H//p)*(W//p), p*p*C] with (c, ph, pw) minor
+    order, matching the torch Conv2d weight layout [D, C, ph, pw].  Like the
+    valid-padding conv, trailing pixels beyond a whole patch are dropped
+    (384 = 27*14 + 6: SigLIP uses 27x27 patches and ignores the last 6 rows
+    /cols)."""
     N, C, H, W = pixel_values.shape
     gh, gw = H // patch, W // patch
-    x = pixel_values.reshape(N, C, gh, patch, gw, patch)
+    x = pixel_values[:, :, : gh * patch, : gw * patch]
+    x = x.reshape(N, C, gh, patch, gw, patch)
     x = x.transpose(0, 2, 4, 1, 3, 5)  # [N, gh, gw, C, ph, pw]
     return x.reshape(N, gh * gw, C * patch * patch)
 

@@ -1,0 +1,134 @@
+"""Masked-diffusion training loss with complementary masking.
+
+Behavior parity with the reference training forward
+(llava/model/language_model/llava_llada.py:105-258 and the loss in
+llada/modeling_llada.py:1519-1549):
+
+  1. sample t per row (uniform / logit_normal / mode, llava_llada.py:42-54),
+     p_mask = (1-eps)·t + eps;
+  2. mask positions where rand <= max(p_mask, row-min rand) — the row-min
+     term guarantees >=1 masked position (llava_llada.py:57-71);
+  3. COMPLEMENTARY MASKING: the batch is doubled with the inverse mask
+     (llava_llada.py:173-189) so every target token is supervised exactly
+     once per sample;
+  4. masked positions' embeddings are replaced by wte([MASK]);
+  5. prefix-LM prompt_len = argmax(labels_mask) per row enables the
+     prefix block mask (llava_llada.py:154-156);
+  6. loss = mean CE over supervised (non -100) positions; FIM marker
+     labels are killed (llava_llada.py:185-187); NO 1/p_mask weighting
+     (matching the fork, not the LLaDA paper objective);
+  7. eos-padding trick happens in the collator (labels revert to eos at
+     padding so the model learns to emit eos after the answer,
+     llava_llada.py:129-133) — see data/collator.py.
+
+Everything here is fixed-shape and jit/pjit-safe; randomness comes from an
+explicit PRNG key.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LLaDAConfig
+from ..models import llada as llada_model
+
+
+def sample_t(
+    key: jax.Array, b: int, policy: str = "uniform",
+    policy_args: Optional[dict] = None,
+) -> jax.Array:
+    if policy == "uniform":
+        return jax.random.uniform(key, (b,))
+    if policy == "logit_normal":
+        a = policy_args or {"logit_mean": 0.0, "logit_std": 1.0}
+        u = a["logit_mean"] + a["logit_std"] * jax.random.normal(key, (b,))
+        return jax.nn.sigmoid(u)
+    if policy == "mode":
+        a = policy_args or {"mode_scale": 1.0}
+        u = jax.random.uniform(key, (b,))
+        return 1.0 - u - a["mode_scale"] * (
+            jnp.cos(jnp.pi * u / 2.0) ** 2 - 1.0 + u
+        )
+    raise NotImplementedError(policy)
+
+
+def forward_process(
+    key: jax.Array, b: int, l: int, eps: float = 1e-3,
+    policy: str = "uniform", policy_args: Optional[dict] = None,
+):
+    """Returns (masked_indices [b, l] bool, p_mask [b, 1] f32)."""
+    kt, km = jax.random.split(key)
+    t = sample_t(kt, b, policy, policy_args)
+    p_mask = ((1.0 - eps) * t + eps)[:, None]
+    r = jax.random.uniform(km, (b, l))
+    cutoff = jnp.maximum(p_mask, r.min(axis=-1, keepdims=True))
+    return r <= cutoff, p_mask
+
+
+def diffusion_loss(
+    params,
+    cfg: LLaDAConfig,
+    inputs_embeds: jax.Array,     # [B, L, D] spliced multimodal embeddings
+    labels: jax.Array,            # [B, L] int, -100 = not supervised
+    key: jax.Array,
+    *,
+    prefix_lm: bool = True,
+    policy: str = "uniform",
+    policy_args: Optional[dict] = None,
+    masked_indices: Optional[jax.Array] = None,   # test injection
+    fim_id: Optional[int] = None,
+    remat: bool = True,
+    use_flash: bool = False,
+):
+    """Returns (loss, metrics dict). Batch is doubled internally."""
+    B, L, D = inputs_embeds.shape
+    labels_mask = labels != -100
+    fim_pos = (labels == fim_id) if fim_id is not None else jnp.zeros_like(labels_mask)
+
+    if masked_indices is None:
+        masked_indices, _ = forward_process(key, B, L, policy=policy,
+                                            policy_args=policy_args)
+
+    final_masked = masked_indices & labels_mask & ~fim_pos
+    final_masked_inv = ~masked_indices & labels_mask & ~fim_pos
+
+    mask_embed = llada_model.embed_tokens(
+        params, jnp.array([cfg.mask_token_id])
+    ).reshape(1, 1, D).astype(inputs_embeds.dtype)
+
+    def apply_mask(sel):
+        return jnp.where(sel[..., None], mask_embed, inputs_embeds)
+
+    embeds2 = jnp.concatenate(
+        [apply_mask(final_masked), apply_mask(final_masked_inv)], axis=0
+    )
+    lab = jnp.where(final_masked, labels, -100)
+    lab_inv = jnp.where(final_masked_inv, labels, -100)
+    labels2 = jnp.concatenate([lab, lab_inv], axis=0)
+    if fim_id is not None:
+        labels2 = jnp.where(labels2 == fim_id, -100, labels2)
+
+    prefix_lengths = None
+    if prefix_lm:
+        pl = jnp.argmax(labels_mask.astype(jnp.int32), axis=1)
+        prefix_lengths = jnp.concatenate([pl, pl], axis=0)
+
+    logits, _ = llada_model.forward(
+        params, cfg, embeds2,
+        prefix_lengths=prefix_lengths,
+        remat=remat, use_flash=use_flash,
+    )
+
+    sup = labels2 != -100
+    tgt = jnp.where(sup, labels2, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(sup.sum(), 1)
+    loss = jnp.where(sup, nll, 0.0).sum() / denom
+
+    pred = jnp.argmax(logits, axis=-1)
+    acc = jnp.where(sup, (pred == tgt), False).sum() / denom
+    return loss, {"loss": loss, "acc_mask": acc, "num_supervised": sup.sum()}

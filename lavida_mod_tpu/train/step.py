@@ -1,0 +1,114 @@
+"""The pjit training step: complementary-masking diffusion loss + optax.
+
+Replaces HF Trainer + DeepSpeed ZeRO (reference llava/train/llava_trainer.py,
+scripts/zero*.json): optimizer state inherits the parameter shardings (that
+IS ZeRO under GSPMD), the step is one jitted function with donated
+params/opt-state, and per-module LR groups reproduce `create_optimizer`'s
+mm_projector_lr / mm_vision_tower_lr split (llava_trainer.py:362-439).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import LaViDaConfig
+from .loss import diffusion_loss
+
+
+def label_params(params) -> Any:
+    """Map each leaf to an LR-group label by top-level module
+    (llava_trainer.py:404-437 semantics)."""
+    def lab(path, _):
+        top = str(path[0].key) if hasattr(path[0], "key") else str(path[0])
+        if top == "projector":
+            return "projector"
+        if top == "siglip":
+            return "vision_tower"
+        return "base"
+
+    return jax.tree_util.tree_map_with_path(lab, params)
+
+
+def make_optimizer(
+    lr: float = 2e-5,
+    projector_lr: Optional[float] = None,
+    vision_tower_lr: Optional[float] = None,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    warmup_steps: int = 0,
+    total_steps: int = 10000,
+    min_lr_ratio: float = 0.0,
+    grad_clip: float = 1.0,
+    schedule: str = "cosine_with_min_lr",
+) -> optax.GradientTransformation:
+    def sched(base):
+        if schedule == "constant":
+            return base
+        return optax.warmup_cosine_decay_schedule(
+            0.0, base, max(warmup_steps, 1), max(total_steps, 2),
+            end_value=base * min_lr_ratio,
+        )
+
+    def adamw(base):
+        return optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adamw(sched(base), b1=b1, b2=b2,
+                        weight_decay=weight_decay),
+        )
+
+    transforms = {
+        "base": adamw(lr),
+        "projector": adamw(projector_lr or lr),
+        "vision_tower": adamw(vision_tower_lr or lr),
+    }
+    return optax.multi_transform(transforms, label_params)
+
+
+def make_train_step(
+    cfg: LaViDaConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    prefix_lm: bool = True,
+    policy: str = "uniform",
+    policy_args: Optional[dict] = None,
+    remat: bool = True,
+    use_flash: bool = False,
+):
+    """Returns train_step(params, opt_state, batch, key) -> (params,
+    opt_state, metrics).  `batch` = {"inputs_embeds": [B,L,D],
+    "labels": [B,L]}.  Jit/pjit-ready; donate params+opt_state at call site
+    via jax.jit(..., donate_argnums=(0,1)) or use `jit_train_step`.
+
+    Partial freezing (reference mm_tunable_parts, train.py:2059-2110) is the
+    optimizer's job: pass a freeze mask to make_optimizer-style
+    optax.multi_transform with `optax.set_to_zero()` for frozen groups.
+    """
+
+    def loss_fn(params, batch, key):
+        lm = params["llada"] if "llada" in params else params
+        return diffusion_loss(
+            lm, cfg.llada, batch["inputs_embeds"], batch["labels"], key,
+            prefix_lm=prefix_lm, policy=policy, policy_args=policy_args,
+            remat=remat, use_flash=use_flash,
+        )
+
+    def train_step(params, opt_state, batch, key):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def jit_train_step(train_step):
+    return jax.jit(train_step, donate_argnums=(0, 1))
