@@ -34,7 +34,22 @@ def main():
 
     cfg = LaViDaConfig()
     key = jax.random.PRNGKey(0)
-    params = multimodal.init_params(cfg, key, jnp.bfloat16)
+
+    # Serving layout: int8 weight-only LM (ops/quant.py — the 8B LM in bf16
+    # cannot co-reside with its KV cache in a v5e's 15.75G usable HBM, and
+    # the fused int8 weight read is faster than bf16 on the bandwidth-bound
+    # decode loop), unrolled layers (no scan layout copies).  Weights are
+    # zeros — TPU latency is weight-value independent, and materializing
+    # random 8B tensors transiently doubles HBM.
+    def build(k):
+        p = multimodal.init_params(cfg, k, jnp.bfloat16)
+        p["llada"] = llada_model.quantize_params(
+            llada_model.unstack_blocks(p["llada"])
+        )
+        return p
+
+    shapes = jax.eval_shape(build, key)
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     # HD anyres input: base + 4 tiles (the square (768,768) pinpoint)
     views = jax.random.normal(key, (5, 3, 384, 384), jnp.bfloat16)

@@ -110,7 +110,37 @@ def build_control_table(
     jax.jit,
     static_argnames=("cfg", "temperature", "remasking", "use_flash"),
 )
-def _denoise_scan_cached(
+def _generate_cached_fused(
+    params,
+    cfg: LLaDAConfig,
+    x: jax.Array,
+    prefix_embeds: jax.Array,
+    k_table: jax.Array,
+    block_end: jax.Array,
+    prefix_valid: Optional[jax.Array],
+    key: jax.Array,
+    temperature: float,
+    remasking: str,
+    use_flash: bool,
+):
+    """Prefill + full denoise loop as ONE executable: a single dispatch per
+    image, no intermediate host round-trips (the reference pays a python
+    step loop with per-step topk syncs; we pay one RPC)."""
+    _, cache = llada_model.forward(
+        params, cfg, prefix_embeds,
+        self_valid=prefix_valid,
+        use_cache=True, return_logits=False, use_flash=use_flash,
+    )
+    P = prefix_embeds.shape[1]
+    G = x.shape[1]
+    positions = jnp.arange(P, P + G, dtype=jnp.int32)
+    return _denoise_scan_cached_body(
+        params, cfg, x, cache, k_table, block_end, positions,
+        prefix_valid, key, temperature, remasking, use_flash,
+    )
+
+
+def _denoise_scan_cached_body(
     params,
     cfg: LLaDAConfig,
     x: jax.Array,               # [B, G] token buffer (gen region only)
@@ -144,6 +174,12 @@ def _denoise_scan_cached(
 
     (x, _), _ = jax.lax.scan(step, (x, key), (k_table, block_end))
     return x
+
+
+_denoise_scan_cached = jax.jit(
+    _denoise_scan_cached_body,
+    static_argnames=("cfg", "temperature", "remasking", "use_flash"),
+)
 
 
 @functools.partial(
@@ -233,6 +269,14 @@ def generate(
         )
         if k_table.shape[0] == 0:
             return (x, []) if verbose else x
+        if not verbose:
+            return _generate_cached_fused(
+                params, cfg, x, prefix_embeds,
+                jnp.asarray(k_table), jnp.asarray(block_end),
+                prefix_valid, key,
+                temperature=gen.temperature, remasking=gen.remasking,
+                use_flash=use_flash,
+            )
         cache = prefill(params, cfg, prefix_embeds, prefix_valid, use_flash)
         positions = jnp.arange(P, P + G, dtype=jnp.int32)
         args = (
@@ -240,11 +284,6 @@ def generate(
             jnp.asarray(k_table), jnp.asarray(block_end), positions,
             prefix_valid, key,
         )
-        if not verbose:
-            return _denoise_scan_cached(
-                *args, temperature=gen.temperature, remasking=gen.remasking,
-                use_flash=use_flash,
-            )
         return _generate_verbose(
             args, gen, cached=True, use_flash=use_flash
         )

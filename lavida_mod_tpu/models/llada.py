@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ..config import LLaDAConfig
 from ..ops.attention import dense_attention, flash_attention, make_bias
 from ..ops.norms import apply_norm
+from ..ops.quant import linear, quantize_linear
 from ..ops.rope import apply_rope, rope_tables
 
 Params = dict
@@ -136,17 +137,11 @@ def _block(
     h = apply_norm(x, p["attn_norm"], nt, rms_eps=cfg.rms_norm_eps,
                    ln_eps=cfg.layer_norm_eps)
     if cfg.block_type == "llama":
-        q = h @ p["q_proj"]["kernel"]
-        k = h @ p["k_proj"]["kernel"]
-        v = h @ p["v_proj"]["kernel"]
-        if cfg.include_qkv_bias or cfg.include_bias:
-            q = q + p["q_proj"]["bias"]
-            k = k + p["k_proj"]["bias"]
-            v = v + p["v_proj"]["bias"]
+        q = linear(h, p["q_proj"])
+        k = linear(h, p["k_proj"])
+        v = linear(h, p["v_proj"])
     else:
-        qkv = h @ p["att_proj"]["kernel"]
-        if cfg.include_qkv_bias or cfg.include_bias:
-            qkv = qkv + p["att_proj"]["bias"]
+        qkv = linear(h, p["att_proj"])
         q, k, v = jnp.split(qkv, [D, D + Hkv * hd], axis=-1)
 
     # optional q/k layernorm on the flattened projections (modeling_llada.py:726-728)
@@ -175,21 +170,15 @@ def _block(
     else:
         att = dense_attention(q, k, v, bias=bias)
     att = att.reshape(B, T, D)
-    att_out = att @ p["attn_out"]["kernel"]
-    if cfg.include_bias:
-        att_out = att_out + p["attn_out"]["bias"]
-    x = x + att_out
+    x = x + linear(att, p["attn_out"])
 
     h2 = apply_norm(x, p["ff_norm"], nt, rms_eps=cfg.rms_norm_eps,
                     ln_eps=cfg.layer_norm_eps)
     if cfg.block_type == "llama":
-        ff = _act(cfg, h2 @ p["ff_proj"]["kernel"]) * (h2 @ p["up_proj"]["kernel"])
+        ff = _act(cfg, linear(h2, p["ff_proj"])) * linear(h2, p["up_proj"])
     else:
-        ff = _act(cfg, h2 @ p["ff_proj"]["kernel"])
-    ff = ff @ p["ff_out"]["kernel"]
-    if cfg.include_bias:
-        ff = ff + p["ff_out"]["bias"]
-    x = x + ff
+        ff = _act(cfg, linear(h2, p["ff_proj"]))
+    x = x + linear(ff, p["ff_out"])
     return x, present
 
 
@@ -264,23 +253,46 @@ def forward(
 
     block_params = params["blocks"]
 
-    def layer_fn(carry, scanned):
-        h = carry
-        layer_p, layer_past = scanned
-        h, present = _block(
-            cfg, h, layer_p,
-            sin=sin, cos=cos, positions=positions, bias=bias,
-            layer_past=layer_past, use_flash=use_flash,
-            q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+    if isinstance(block_params, (list, tuple)):
+        # Unrolled per-layer path (inference/serving): avoids the 1GB+
+        # layout copies XLA makes to slice scanned stacked weights — at 8B
+        # those copies alone OOM a v5e (see bench notes / ops/quant.py).
+        presents_list = []
+        for li, layer_p in enumerate(block_params):
+            lp = None
+            if kv_cache is not None:
+                lp = (kv_cache["k"][li], kv_cache["v"][li])
+            x, present = _block(
+                cfg, x, layer_p,
+                sin=sin, cos=cos, positions=positions, bias=bias,
+                layer_past=lp, use_flash=use_flash,
+                q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+            )
+            if use_cache:
+                presents_list.append(present)
+        presents = (
+            (jnp.stack([p[0] for p in presents_list]),
+             jnp.stack([p[1] for p in presents_list]))
+            if use_cache else None
         )
-        return h, present if use_cache else None
+    else:
+        def layer_fn(carry, scanned):
+            h = carry
+            layer_p, layer_past = scanned
+            h, present = _block(
+                cfg, h, layer_p,
+                sin=sin, cos=cos, positions=positions, bias=bias,
+                layer_past=layer_past, use_flash=use_flash,
+                q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+            )
+            return h, present if use_cache else None
 
-    if remat:
-        layer_fn = jax.checkpoint(layer_fn, prevent_cse=False)
+        if remat:
+            layer_fn = jax.checkpoint(layer_fn, prevent_cse=False)
 
-    scanned = (block_params, None if kv_cache is None
-               else (kv_cache["k"], kv_cache["v"]))
-    x, presents = jax.lax.scan(layer_fn, x, scanned)
+        scanned = (block_params, None if kv_cache is None
+                   else (kv_cache["k"], kv_cache["v"]))
+        x, presents = jax.lax.scan(layer_fn, x, scanned)
 
     x = apply_norm(x, params["ln_f"], cfg.layer_norm_type,
                    rms_eps=cfg.rms_norm_eps, ln_eps=cfg.layer_norm_eps)
@@ -296,8 +308,7 @@ def forward(
         logits = jnp.einsum("btd,vd->btv", x, params["wte"],
                             preferred_element_type=jnp.float32)
     else:
-        logits = jnp.einsum("btd,dv->btv", x, params["ff_out"]["kernel"],
-                            preferred_element_type=jnp.float32)
+        logits = linear(x, params["ff_out"], preferred=jnp.float32)
     if cfg.scale_logits:
         logits = logits * (1.0 / math.sqrt(cfg.d_model))
     return logits, new_cache
@@ -306,3 +317,33 @@ def forward(
 def embed_tokens(params: Params, ids: jax.Array) -> jax.Array:
     """wte lookup (modeling_llada.py:1283)."""
     return params["wte"][ids]
+
+
+def unstack_blocks(params: Params) -> Params:
+    """Stacked [L, ...] blocks dict -> list of per-layer dicts (the
+    inference layout: python-unrolled layers, no scan layout copies)."""
+    blocks = params["blocks"]
+    if isinstance(blocks, (list, tuple)):
+        return params
+    L = jax.tree.leaves(blocks)[0].shape[0]
+    out = [jax.tree.map(lambda a: a[i], blocks) for i in range(L)]
+    return {**params, "blocks": out}
+
+
+def quantize_params(params: Params) -> Params:
+    """int8-quantize every linear kernel (ops/quant.py); norms, embeddings
+    and biases stay bf16.  Works on stacked or unstacked blocks."""
+    def quant_tree(d):
+        if isinstance(d, (list, tuple)):
+            return type(d)(quant_tree(x) for x in d)
+        if isinstance(d, dict):
+            if "kernel" in d:
+                return quantize_linear(d)
+            return {k: quant_tree(v) for k, v in d.items()}
+        return d
+
+    out = dict(params)
+    out["blocks"] = quant_tree(params["blocks"])
+    if "ff_out" in params:
+        out["ff_out"] = quantize_linear(params["ff_out"])
+    return out
