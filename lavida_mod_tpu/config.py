@@ -206,6 +206,27 @@ class LaViDaConfig:
 
 
 @dataclass(frozen=True)
+class DreamGenerationConfig:
+    """Dream sampler knobs (dream/generation_utils.py:99-147)."""
+
+    max_new_tokens: int = 128
+    steps: int = 512                    # clamped to max_new_tokens
+    eps: float = 1e-3
+    alg: str = "origin"                 # origin|maskgit_plus|topk_margin|entropy
+    alg_temp: Optional[float] = None
+    temperature: float = 0.0
+    top_p: Optional[float] = None
+    top_k: Optional[int] = None
+    schedule: Optional[str] = None
+    schedule_shift: float = 3.0
+    step_ratio: Optional[float] = None
+    prefix_lm: bool = True
+
+    def replace(self, **kw) -> "DreamGenerationConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
 class GenerationConfig:
     """Masked-diffusion sampling knobs (generate.py:117-128)."""
 

@@ -1,0 +1,227 @@
+"""Dream diffusion sampler, TPU-native.
+
+Behavior parity with reference dream/generation_utils.py:298-527 (`_sample`)
+re-designed as one fused jitted executable:
+
+  - prefill over the prefix embeddings builds the KV cache AND supplies the
+    first generated token from the last prefill logit's argmax
+    (generation_utils.py:424-428);
+  - every step's logits are shifted one position right
+    `cat([logits[:,:1], logits[:,:-1]])` (:470-473) — Dream keeps the
+    AR-style head where position i-1 predicts token i;
+  - confidence algs: origin (per-token Bernoulli transfer), maskgit_plus
+    (sampled-prob confidence), topk_margin (top1-top2), entropy
+    (negative entropy) (:478-505 + sample_tokens :58-93);
+  - transfer counts: scheduled via the shared llada schedule table (:457),
+    or the vanilla `int(m_i * (1 - s/t))` cascade — which is deterministic
+    given the initial mask count, so it's precomputed host-side;
+  - optional alg_temp: transfer set sampled from softmax(conf/alg_temp)
+    without replacement (:508-511) — implemented as Gumbel top-k;
+  - the reference flattens masked positions (batch-1 only, :476); the
+    fixed-shape equivalent scores all positions and clamps unmasked ones to
+    -inf, which is identical for every batch size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DreamGenerationConfig, LLaDAConfig
+from ..models import llada as llada_model
+from ..ops.sampling import NEG_INF, topk_transfer_mask
+from ..ops.schedules import num_transfer_tokens_scheduled
+
+
+def _filter_logits(logits, top_p, top_k):
+    """top-p / top-k logit filtering (generation_utils.py:31-56)."""
+    if top_k is not None:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    if top_p is not None and top_p < 1:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the first token above threshold (shifted mask)
+        remove_sorted = cum - probs > top_p
+        kth_keep = jnp.sum(~remove_sorted, axis=-1, keepdims=True)  # count kept
+        thresh = jnp.take_along_axis(
+            sorted_logits, jnp.maximum(kth_keep - 1, 0), axis=-1
+        )
+        logits = jnp.where(logits < thresh, NEG_INF, logits)
+    return logits
+
+
+def sample_tokens(
+    logits: jax.Array,
+    key: Optional[jax.Array],
+    temperature: float = 0.0,
+    top_p: Optional[float] = None,
+    top_k: Optional[int] = None,
+    margin_confidence: bool = False,
+    neg_entropy: bool = False,
+):
+    """Returns (confidence, x0) over the full [..., V] logits
+    (generation_utils.py:58-93)."""
+    logits = logits.astype(jnp.float32)
+    if temperature > 0:
+        logits = logits / temperature
+    logits = _filter_logits(logits, top_p, top_k)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if temperature > 0:
+        assert key is not None
+        x0 = jax.random.categorical(key, logits, axis=-1)
+        confidence = jnp.take_along_axis(probs, x0[..., None], axis=-1)[..., 0]
+    else:
+        x0 = jnp.argmax(logits, axis=-1)
+        confidence = jnp.max(probs, axis=-1)
+    if margin_confidence:
+        top2 = jax.lax.top_k(probs, 2)[0]
+        confidence = top2[..., 0] - top2[..., 1]
+    if neg_entropy:
+        confidence = jnp.sum(probs * jnp.log(probs + 1e-10), axis=-1)
+    return confidence, x0
+
+
+def build_dream_schedule(
+    gen: DreamGenerationConfig, gen_length: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side control tables: (timesteps [S0+1], k_counts [S] (or zeros
+    for 'origin'), steps).  Mask count starts at gen_length-1 (the first
+    token comes from prefill)."""
+    steps0 = min(gen.steps, gen.max_new_tokens)
+    timesteps = np.linspace(1.0, gen.eps, steps0 + 1)
+    steps = (
+        int(gen.max_new_tokens * gen.step_ratio)
+        if gen.step_ratio is not None else steps0
+    )
+    m0 = gen_length - 1 if gen.prefix_lm else gen_length
+    if gen.alg == "origin":
+        return timesteps, np.zeros((steps,), np.int64), steps
+    if gen.schedule is not None:
+        sch = num_transfer_tokens_scheduled(
+            np.array([m0]), steps, gen.schedule, shift=gen.schedule_shift
+        )[0]
+        if sch.shape[0] < steps:
+            sch = np.concatenate(
+                [sch, np.zeros((steps - sch.shape[0],), np.int64)]
+            )
+        return timesteps, sch, steps
+    # vanilla cascade (generation_utils.py:500-503), deterministic
+    ks = []
+    m = m0
+    for i in range(steps):
+        t, s = timesteps[i], timesteps[i + 1]
+        n = int(m * (1 - s / t)) if i < steps - 1 else m
+        ks.append(n)
+        m -= n
+    return timesteps, np.asarray(ks, np.int64), steps
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "gen_length", "alg", "alg_temp", "temperature",
+                     "top_p", "top_k", "use_flash"),
+)
+def _dream_fused(
+    params,
+    cfg: LLaDAConfig,
+    prefix_embeds: jax.Array,      # [B, P, D]
+    k_table: jax.Array,            # [S]
+    p_transfer: jax.Array,         # [S] f32 (origin alg; else unused zeros)
+    key: jax.Array,
+    gen_length: int,
+    alg: str,
+    alg_temp: Optional[float],
+    temperature: float,
+    top_p: Optional[float],
+    top_k: Optional[int],
+    use_flash: bool,
+):
+    B, P, D = prefix_embeds.shape
+    G = gen_length
+    mask_id = cfg.mask_token_id
+
+    logits_last, cache = llada_model.forward(
+        params, cfg, prefix_embeds, use_cache=True,
+        last_logits_only=True, use_flash=use_flash,
+    )
+    first = jnp.argmax(logits_last[:, -1], axis=-1).astype(jnp.int32)  # [B]
+    x = jnp.full((B, G), mask_id, jnp.int32)
+    x = x.at[:, 0].set(first)
+    positions = jnp.arange(P, P + G, dtype=jnp.int32)
+
+    def step(carry, ctl):
+        x, key = carry
+        k_i, p_i = ctl
+        key, ks, kt = jax.random.split(key, 3)
+        mask_index = x == mask_id
+        embeds = llada_model.embed_tokens(params, x)
+        logits, _ = llada_model.forward(
+            params, cfg, embeds, positions=positions, kv_cache=cache,
+            use_flash=use_flash,
+        )
+        # AR shift (generation_utils.py:470-473)
+        logits = jnp.concatenate([logits[:, :1], logits[:, :-1]], axis=1)
+
+        if alg == "origin":
+            conf, x0 = sample_tokens(logits, ks, temperature, top_p, top_k)
+            u = jax.random.uniform(kt, x.shape)
+            transfer = mask_index & (u < p_i)
+            x = jnp.where(transfer, x0.astype(jnp.int32), x)
+        else:
+            conf, x0 = sample_tokens(
+                logits, ks, temperature, top_p, top_k,
+                margin_confidence=(alg == "topk_margin"),
+                neg_entropy=(alg == "entropy"),
+            )
+            conf = jnp.where(mask_index, conf, NEG_INF)
+            if alg_temp is not None and alg_temp > 0:
+                # multinomial without replacement == Gumbel top-k
+                logp = jax.nn.log_softmax(
+                    jnp.where(mask_index, conf / alg_temp, NEG_INF), axis=-1
+                )
+                g = -jnp.log(-jnp.log(
+                    jax.random.uniform(kt, conf.shape, minval=1e-20)
+                ))
+                conf = jnp.where(mask_index, logp + g, NEG_INF)
+            k_row = jnp.full((B,), k_i, jnp.int32)
+            transfer = topk_transfer_mask(conf, k_row) & mask_index
+            x = jnp.where(transfer, x0.astype(jnp.int32), x)
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key), (k_table, p_transfer))
+    return x
+
+
+def dream_generate(
+    params,
+    cfg: LLaDAConfig,
+    prefix_embeds: jax.Array,
+    gen: DreamGenerationConfig,
+    *,
+    key: Optional[jax.Array] = None,
+    use_flash: bool = False,
+):
+    """Generate via the Dream sampler. Returns [B, max_new_tokens] ids."""
+    assert gen.prefix_lm, "Dream non-cached path: use prefix_lm=True (the "\
+        "reference eval configs always do; run_dream.sh:13)"
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    G = gen.max_new_tokens
+    timesteps, ks, steps = build_dream_schedule(gen, G)
+    t = timesteps[:steps]
+    s = timesteps[1 : steps + 1]
+    p_transfer = (1.0 - s / t).astype(np.float32)
+    if steps > 0:
+        p_transfer[-1] = 1.0  # final step commits everything (origin)
+    return _dream_fused(
+        params, cfg, prefix_embeds,
+        jnp.asarray(ks, jnp.int32), jnp.asarray(p_transfer), key, G,
+        alg=gen.alg, alg_temp=gen.alg_temp, temperature=gen.temperature,
+        top_p=gen.top_p, top_k=gen.top_k, use_flash=use_flash,
+    )

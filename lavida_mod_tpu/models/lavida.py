@@ -23,10 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import GenerationConfig, LaViDaConfig
+from ..config import DreamGenerationConfig, GenerationConfig, LaViDaConfig
 from ..generation import diffusion
+from ..generation.dream_sampler import dream_generate
 from . import llada as llada_model
 from . import multimodal
+from .dream import convert_dream_state_dict
 from .llada_loader import convert_state_dict
 from .projector import convert_projector_state_dict
 from .siglip import convert_siglip_state_dict
@@ -54,9 +56,17 @@ def load_state_shards(path: str) -> dict[str, np.ndarray]:
 
 def convert_lavida_state_dict(
     state: dict[str, np.ndarray], cfg: LaViDaConfig, dtype=jnp.bfloat16,
+    lm_family: str = "llada",
 ) -> dict:
+    """Convert a composed LaViDa checkpoint.  lm_family selects the LM
+    converter: "llada" (OLMo-style names) or "dream" (Qwen2-style names,
+    llava_dream.py wrapper layout)."""
+    if lm_family == "dream":
+        lm = convert_dream_state_dict(state, cfg.llada, dtype, prefix="model.")
+    else:
+        lm = convert_state_dict(state, cfg.llada, dtype)
     params = {
-        "llada": convert_state_dict(state, cfg.llada, dtype),
+        "llada": lm,
         "siglip": convert_siglip_state_dict(
             state, cfg.vision.siglip, dtype,
             prefix="model.vision_tower.vision_tower.vision_model.",
@@ -75,18 +85,27 @@ def convert_lavida_state_dict(
 
 
 class LaViDa:
-    """config + params + the end-to-end inference paths."""
+    """config + params + the end-to-end inference paths.
 
-    def __init__(self, cfg: LaViDaConfig, params: dict):
+    lm_family: "llada" (default) or "dream" — selects checkpoint naming and
+    the sampler used by generate() when given a DreamGenerationConfig.
+    """
+
+    def __init__(self, cfg: LaViDaConfig, params: dict,
+                 lm_family: str = "llada"):
         self.cfg = cfg
         self.params = params
+        self.lm_family = lm_family
 
     @classmethod
     def load(cls, path: str, cfg: Optional[LaViDaConfig] = None,
-             dtype=jnp.bfloat16) -> "LaViDa":
+             dtype=jnp.bfloat16, lm_family: str = "llada") -> "LaViDa":
         cfg = cfg or LaViDaConfig()
         state = load_state_shards(path)
-        return cls(cfg, convert_lavida_state_dict(state, cfg, dtype))
+        return cls(
+            cfg, convert_lavida_state_dict(state, cfg, dtype, lm_family),
+            lm_family,
+        )
 
     @classmethod
     def random_init(cls, cfg: LaViDaConfig, seed: int = 0,
@@ -132,6 +151,12 @@ class LaViDa:
         """predict.py-equivalent single-sample generation. Returns [G] ids."""
         gen = gen or GenerationConfig()
         prefix = self.encode_prompt(input_ids, images, image_sizes)
+        if isinstance(gen, DreamGenerationConfig):
+            out = dream_generate(
+                self.params["llada"], self.cfg.llada, prefix, gen,
+                key=key, use_flash=use_flash,
+            )
+            return np.asarray(out)[0]
         out = diffusion.generate(
             self.params["llada"], self.cfg.llada, prefix, gen,
             draft_tokens=(

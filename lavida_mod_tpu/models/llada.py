@@ -194,6 +194,7 @@ def forward(
     prefix_lengths: Optional[jax.Array] = None,
     use_cache: bool = False,
     return_logits: bool = True,
+    last_logits_only: bool = False,
     use_flash: bool = False,
     remat: bool = False,
 ):
@@ -303,6 +304,9 @@ def forward(
 
     if not return_logits:
         return x, new_cache
+
+    if last_logits_only:
+        x = x[:, -1:]  # modeling_llada.py:1426 last_logits_only
 
     if cfg.weight_tying:
         logits = jnp.einsum("btd,vd->btv", x, params["wte"],
