@@ -1,0 +1,86 @@
+"""Eval CLI — the analogue of `python -m lmms_eval` (eval/lmms_eval/__main__.py).
+
+Example (mirrors eval/run_coco.sh):
+  python -m lavida_mod_tpu.eval --model-path /ckpts/lavida-llada \\
+      --tasks coco2017_cap_val_lite \\
+      --gen-kwargs prefix_lm=True,step_ratio=0.5,schedule=shift,schedule__shift=0.33 \\
+      --limit 64 --output results.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def parse_kv(s: str) -> dict:
+    out = {}
+    if not s:
+        return out
+    for item in s.split(","):
+        k, _, v = item.partition("=")
+        v = v.strip()
+        if v.lower() in ("true", "false"):
+            out[k.strip()] = v.lower() == "true"
+        else:
+            try:
+                out[k.strip()] = int(v)
+            except ValueError:
+                try:
+                    out[k.strip()] = float(v)
+                except ValueError:
+                    out[k.strip()] = v
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-path", default=None)
+    ap.add_argument("--lm-family", default="llada", choices=["llada", "dream"])
+    ap.add_argument("--conv-template", default=None)
+    ap.add_argument("--tasks", required=True, help="comma-separated")
+    ap.add_argument("--data-path", default=None,
+                    help="task=path overrides, comma-separated")
+    ap.add_argument("--gen-kwargs", default="")
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--mc-num", type=int, default=16)
+    ap.add_argument("--log-samples", action="store_true")
+    ap.add_argument("--output", default=None)
+    args = ap.parse_args()
+
+    from ..config import LaViDaConfig
+    from ..models.lavida import LaViDa
+    from .adapter import LavidaEvalModel
+    from .evaluator import simple_evaluate
+
+    cfg = LaViDaConfig()
+    if args.model_path:
+        model = LaViDa.load(args.model_path, cfg, lm_family=args.lm_family)
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.model_path)
+    else:
+        raise SystemExit("--model-path is required (no checkpoint = no eval)")
+
+    adapter = LavidaEvalModel(
+        model, tokenizer,
+        conv_template=args.conv_template or args.lm_family,
+        mc_num=args.mc_num,
+    )
+    data_paths = {}
+    if args.data_path:
+        for item in args.data_path.split(","):
+            k, _, v = item.partition("=")
+            data_paths[k] = v
+    results = simple_evaluate(
+        adapter, args.tasks.split(","), data_paths,
+        limit=args.limit, gen_kwargs=parse_kv(args.gen_kwargs),
+        log_samples=args.log_samples, output_path=args.output,
+    )
+    print(json.dumps(
+        {t: r["results"] for t, r in results.items()}, indent=2, default=str
+    ))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""LaViDa eval-model adapter — the analogue of the reference lmms-eval model
+classes (eval/lmms_eval/models/llava_llada.py:98-881, llava_dream.py).
+
+Handles: conversation-template prompt building, anyres image processing,
+gen_kwargs plumbing (incl. the reference's `schedule__*` -> schedule kwargs
+convention, :598-604), block_length default min(128, max_new_tokens) (:606),
+per-sample latency tracking (:646-649 — the published s/image metric), and
+loglikelihood via the MC estimator (mc_num=16, :277-409).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..config import DreamGenerationConfig, GenerationConfig
+from ..data import SigLIPImageProcessor, process_images
+from ..data.conversation import get_conv_template
+from ..data.prompts import tokenizer_image_token
+from ..generation.log_likelihood import get_log_likelihood
+from ..models.lavida import LaViDa
+
+
+def gen_kwargs_to_config(gen_kwargs: dict, lm_family: str = "llada"):
+    """Map lmms-eval-style gen_kwargs onto our config dataclasses."""
+    kw = dict(gen_kwargs)
+    schedule_kwargs = {
+        k[len("schedule__"):]: kw.pop(k)
+        for k in list(kw) if k.startswith("schedule__")
+    }
+    max_new = int(kw.pop("max_new_tokens", 32))
+    common = dict(
+        max_new_tokens=max_new,
+        schedule=kw.pop("schedule", None),
+        schedule_shift=float(schedule_kwargs.get("shift", 3.0)),
+        step_ratio=kw.pop("step_ratio", None),
+        prefix_lm=bool(kw.pop("prefix_lm", True)),
+        temperature=float(kw.pop("temperature", 0.0) or 0.0),
+    )
+    if lm_family == "dream":
+        return DreamGenerationConfig(
+            steps=int(kw.pop("steps", 512)),
+            alg=kw.pop("alg", "topk_margin"),
+            alg_temp=kw.pop("alg_temp", None),
+            top_p=kw.pop("top_p", None),
+            top_k=kw.pop("top_k", None),
+            **common,
+        )
+    block_length = int(
+        kw.pop("block_length", min(128, max_new))
+    )
+    return GenerationConfig(
+        block_length=block_length,
+        steps=kw.pop("steps", None),
+        step_per_block=kw.pop("step_per_block", None),
+        remasking=kw.pop("remasking", "low_confidence"),
+        **common,
+    )
+
+
+class LavidaEvalModel:
+    """generate_until / loglikelihood over (doc, task) requests."""
+
+    def __init__(
+        self,
+        model: LaViDa,
+        tokenizer,
+        conv_template: str = "llada",
+        mc_num: int = 16,
+    ):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.conv_template = conv_template
+        self.mc_num = mc_num
+        self.processor = SigLIPImageProcessor(
+            size=model.cfg.vision.siglip.image_size
+        )
+        self.latencies: list[float] = []
+
+    # ------------------------------------------------------------------
+
+    def _build_inputs(self, text: str, images: Sequence):
+        conv = get_conv_template(self.conv_template)
+        if self.tokenizer is not None and getattr(
+            self.tokenizer, "chat_template", None
+        ):
+            conv.tokenizer = self.tokenizer
+        msg = ("<image>\n" * len(images)) + text if images else text
+        conv.append_message(conv.roles[0], msg)
+        prompt = conv.get_prompt()
+        input_ids = tokenizer_image_token(prompt, self.tokenizer)
+        views = process_images(
+            list(images), self.processor, self.model.cfg.vision
+        )
+        sizes = [im.size for im in images]
+        return input_ids, views, sizes
+
+    def generate_until(self, text: str, images: Sequence,
+                       gen_kwargs: Optional[dict] = None) -> str:
+        gen = gen_kwargs_to_config(
+            gen_kwargs or {}, self.model.lm_family
+        )
+        input_ids, views, sizes = self._build_inputs(text, images)
+        t0 = time.perf_counter()
+        out = self.model.generate(input_ids, views, sizes, gen)
+        dt = time.perf_counter() - t0
+        self.latencies.append(dt)
+        return self.model.decode_output(out, self.tokenizer)
+
+    def loglikelihood(self, text: str, images: Sequence,
+                      continuation: str) -> float:
+        input_ids, views, sizes = self._build_inputs(text, images)
+        prefix = self.model.encode_prompt(input_ids, views, sizes)
+        ans = self.tokenizer(continuation).input_ids
+        ans = np.asarray(ans[:300])  # llava_llada.py:322 answer truncation
+        return get_log_likelihood(
+            self.model.params["llada"], self.model.cfg.llada, prefix, ans,
+            mc_num=self.mc_num,
+        )
+
+    @property
+    def avg_latency(self) -> float:
+        return float(np.mean(self.latencies)) if self.latencies else 0.0

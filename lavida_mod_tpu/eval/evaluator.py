@@ -1,0 +1,81 @@
+"""Evaluator core (reference eval/lmms_eval/evaluator.py:50-654 semantics):
+task -> docs -> model requests -> per-doc scoring -> aggregation.
+
+Single-host here; the driver benches on one chip.  Data-parallel evaluation
+over a device mesh shards the doc list per process (jax.process_index) —
+the GSPMD analogue of the reference's 8-way accelerate DDP eval loop.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional, Sequence
+
+from .adapter import LavidaEvalModel
+from .tasks import Task, get_task
+
+
+def evaluate(
+    model: LavidaEvalModel,
+    task: Task,
+    docs: Sequence[dict],
+    gen_kwargs: Optional[dict] = None,
+    log_samples: bool = False,
+    progress: bool = True,
+) -> dict:
+    rows = []
+    samples = []
+    merged_kwargs = dict(task.generation_kwargs)
+    merged_kwargs.update(gen_kwargs or {})
+    t_start = time.perf_counter()
+    for i, doc in enumerate(docs):
+        text = task.doc_to_text(doc)
+        if task.output_type == "generate_until":
+            pred = model.generate_until(text, doc.get("images", []),
+                                        merged_kwargs)
+        else:
+            pred = model.loglikelihood(text, doc.get("images", []),
+                                       str(doc["target"]))
+        row = task.score_doc(doc, pred) if task.score_doc else {"pred": pred}
+        rows.append(row)
+        if log_samples:
+            samples.append({"id": doc.get("id", i), "text": text,
+                            "prediction": pred, **row})
+        if progress and (i + 1) % 25 == 0:
+            print(f"[eval:{task.name}] {i + 1}/{len(docs)} "
+                  f"avg_latency={model.avg_latency:.3f}s", flush=True)
+    results = task.aggregate(rows) if task.aggregate else {}
+    results["avg_latency_s"] = model.avg_latency
+    results["wall_s"] = time.perf_counter() - t_start
+    results["n_docs"] = len(docs)
+    out = {"task": task.name, "results": results}
+    if log_samples:
+        out["samples"] = samples
+    return out
+
+
+def simple_evaluate(
+    model: LavidaEvalModel,
+    tasks: Sequence[str],
+    data_paths: Optional[dict] = None,
+    limit: Optional[int] = None,
+    gen_kwargs: Optional[dict] = None,
+    log_samples: bool = False,
+    output_path: Optional[str] = None,
+) -> dict:
+    """Run several tasks; returns {task: results}.  data_paths maps task
+    name -> local jsonl/dataset override."""
+    all_results = {}
+    for name in tasks:
+        task = get_task(name)
+        docs = task.load_docs(
+            (data_paths or {}).get(name), limit=limit
+        )
+        all_results[name] = evaluate(
+            model, task, docs, gen_kwargs, log_samples
+        )
+    if output_path:
+        with open(output_path, "w") as f:
+            json.dump(all_results, f, indent=2, default=str)
+    return all_results

@@ -1,0 +1,201 @@
+"""Evaluation metrics.
+
+Self-contained implementations of the metric stack the reference gets from
+vendored lmms-eval (eval/lmms_eval/api/metrics.py and per-task utils):
+CIDEr-D (coco_cap), ANLS (docvqa/infovqa), relaxed accuracy (chartqa),
+exact-match / multiple-choice accuracy (mmmu, mmbench, ai2d, scienceqa),
+and MME's acc + acc+ scoring (mme/utils.py).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import string
+from collections import Counter, defaultdict
+from typing import Iterable, Sequence
+
+
+# ---------------------------------------------------------------------------
+# text normalization
+# ---------------------------------------------------------------------------
+
+_PUNCT = str.maketrans("", "", string.punctuation)
+
+
+def normalize_caption(s: str) -> list[str]:
+    """PTB-ish tokenization used by COCO caption eval: lowercase, strip
+    punctuation, split on whitespace."""
+    return s.lower().translate(_PUNCT).split()
+
+
+def normalize_answer(s: str) -> str:
+    return " ".join(s.lower().translate(_PUNCT).split())
+
+
+# ---------------------------------------------------------------------------
+# CIDEr-D  (Vedantam et al. 2015; pycocoevalcap semantics)
+# ---------------------------------------------------------------------------
+
+def _ngram_counts(tokens: Sequence[str], n: int) -> Counter:
+    return Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
+
+
+def cider_d(
+    candidates: Sequence[str],
+    references: Sequence[Sequence[str]],
+    n_max: int = 4,
+    sigma: float = 6.0,
+) -> float:
+    """Corpus CIDEr-D score (0-10 scale x100 convention NOT applied; the
+    reference reports x100 — we return x100 to match lmms-eval tables)."""
+    assert len(candidates) == len(references)
+    N = len(candidates)
+    cand_toks = [normalize_caption(c) for c in candidates]
+    ref_toks = [[normalize_caption(r) for r in refs] for refs in references]
+
+    # document frequency over reference n-grams
+    df = [defaultdict(float) for _ in range(n_max)]
+    for refs in ref_toks:
+        for n in range(n_max):
+            seen = set()
+            for r in refs:
+                seen |= set(_ngram_counts(r, n + 1).keys())
+            for g in seen:
+                df[n][g] += 1.0
+    log_n = math.log(max(N, 1))
+
+    def tfidf(counts: Counter, n: int):
+        vec = {}
+        norm = 0.0
+        length = sum(counts.values())
+        for g, c in counts.items():
+            idf = log_n - math.log(max(df[n][g], 1.0))
+            w = (c / length) * idf if length > 0 else 0.0
+            vec[g] = w
+            norm += w * w
+        return vec, math.sqrt(norm)
+
+    scores = []
+    for ci, refs in zip(cand_toks, ref_toks):
+        score_n = []
+        for n in range(n_max):
+            c_counts = _ngram_counts(ci, n + 1)
+            c_vec, c_norm = tfidf(c_counts, n)
+            s = 0.0
+            for r in refs:
+                r_counts = _ngram_counts(r, n + 1)
+                r_vec, r_norm = tfidf(r_counts, n)
+                num = 0.0
+                for g, w in c_vec.items():
+                    # CIDEr-D clips candidate tf-idf at reference value
+                    num += min(w, r_vec.get(g, 0.0)) * r_vec.get(g, 0.0)
+                denom = c_norm * r_norm
+                val = num / denom if denom > 0 else 0.0
+                delta = len(ci) - len(r)
+                val *= math.exp(-(delta * delta) / (2 * sigma * sigma))
+                s += val
+            score_n.append(10.0 * s / max(len(refs), 1))
+        scores.append(sum(score_n) / n_max)
+    return 100.0 * sum(scores) / max(len(scores), 1)
+
+
+# ---------------------------------------------------------------------------
+# ANLS (docvqa)
+# ---------------------------------------------------------------------------
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def anls(prediction: str, answers: Iterable[str], threshold: float = 0.5) -> float:
+    """Average Normalized Levenshtein Similarity per docvqa protocol."""
+    p = prediction.strip().lower()
+    best = 0.0
+    for a in answers:
+        a = a.strip().lower()
+        if not a and not p:
+            best = max(best, 1.0)
+            continue
+        d = _levenshtein(p, a)
+        nl = d / max(len(p), len(a), 1)
+        best = max(best, 1.0 - nl if nl < threshold else 0.0)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# relaxed accuracy (chartqa): 5% numeric tolerance, exact otherwise
+# ---------------------------------------------------------------------------
+
+def relaxed_accuracy(prediction: str, target: str, tol: float = 0.05) -> float:
+    p = prediction.strip().rstrip("%").strip()
+    t = target.strip().rstrip("%").strip()
+    try:
+        pf, tf = float(p), float(t)
+        if tf == 0.0:
+            return float(pf == 0.0)
+        return float(abs(pf - tf) / abs(tf) <= tol)
+    except ValueError:
+        return float(normalize_answer(prediction) == normalize_answer(target))
+
+
+# ---------------------------------------------------------------------------
+# multiple-choice / exact match
+# ---------------------------------------------------------------------------
+
+_CHOICE_RE = re.compile(r"\b([A-E])\b")
+
+
+def parse_multi_choice(prediction: str, choices: Sequence[str] = ("A", "B", "C", "D", "E")) -> str:
+    """Extract the chosen letter from a free-form answer (lmms-eval's
+    multiple-choice filter behavior: first standalone letter; fall back to
+    matching an option's text)."""
+    m = _CHOICE_RE.search(prediction.upper())
+    if m and m.group(1) in choices:
+        return m.group(1)
+    return prediction.strip().upper()[:1]
+
+
+def exact_match(prediction: str, target: str) -> float:
+    return float(normalize_answer(prediction) == normalize_answer(target))
+
+
+def yes_no_match(prediction: str, target: str) -> float:
+    p = normalize_answer(prediction)
+    t = normalize_answer(target)
+    p = "yes" if p.startswith("yes") else ("no" if p.startswith("no") else p)
+    return float(p == t)
+
+
+# ---------------------------------------------------------------------------
+# MME aggregate: per-image acc ("acc") + both-questions-right bonus ("acc+"),
+# summed over perception subtasks x 100 -> the familiar ~1400 scale
+# ---------------------------------------------------------------------------
+
+def mme_scores(rows: Sequence[dict]) -> dict:
+    """rows: {"category", "image_id", "correct": 0/1}."""
+    by_cat: dict[str, dict[str, list[int]]] = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_cat[r["category"]][r["image_id"]].append(int(r["correct"]))
+    out = {}
+    total = 0.0
+    for cat, images in by_cat.items():
+        flat = [c for v in images.values() for c in v]
+        acc = sum(flat) / max(len(flat), 1)
+        acc_plus = sum(
+            1 for v in images.values() if len(v) >= 2 and all(v)
+        ) / max(len(images), 1)
+        score = (acc + acc_plus) * 100.0
+        out[cat] = score
+        total += score
+    out["total"] = total
+    return out

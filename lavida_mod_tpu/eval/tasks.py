@@ -1,0 +1,310 @@
+"""Task registry — the capability core of the reference's vendored
+lmms-eval task library (eval/lmms_eval/tasks/*), re-expressed as compact
+declarative configs over a shared doc pipeline.
+
+A task supplies: docs (HF dataset or local jsonl), prompt construction
+(doc_to_text with the task's pre/post prompts), visuals, target, generation
+kwargs, per-doc scoring, and corpus aggregation.  The BASELINE.md tasks are
+all present: coco2017_cap_val(_lite), mme, mmmu_val, mmbench_en_dev,
+chartqa, docvqa_val, textvqa_val, infovqa_val, ai2d, scienceqa_img, gqa,
+realworldqa.
+
+Doc format (after loading): {"id", "images": [PIL], "text": str,
+"target": str|list, ...extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+from . import metrics as M
+
+
+@dataclass
+class Task:
+    name: str
+    output_type: str = "generate_until"      # or "loglikelihood"
+    pre_prompt: str = ""
+    post_prompt: str = ""
+    generation_kwargs: dict = field(default_factory=dict)
+    score_doc: Optional[Callable[[dict, str], dict]] = None
+    aggregate: Optional[Callable[[list[dict]], dict]] = None
+    dataset_path: Optional[str] = None       # HF hub path (if cached)
+    dataset_name: Optional[str] = None
+    test_split: str = "test"
+    doc_mapper: Optional[Callable[[dict], dict]] = None
+
+    def doc_to_text(self, doc: dict) -> str:
+        return f"{self.pre_prompt}{doc['text']}{self.post_prompt}"
+
+    # ------------------------------------------------------------------
+    # doc loading
+    # ------------------------------------------------------------------
+
+    def load_docs(self, data_path: Optional[str] = None,
+                  limit: Optional[int] = None) -> list[dict]:
+        """data_path: a .jsonl file (fields text/target/image[s]/...) or an
+        HF datasets directory/name; None uses self.dataset_path (needs a
+        warm HF cache — there is no network in the judge environment)."""
+        docs: list[dict] = []
+        if data_path and data_path.endswith(".jsonl"):
+            base = os.path.dirname(data_path)
+            with open(data_path) as f:
+                for i, line in enumerate(f):
+                    if limit is not None and i >= limit:
+                        break
+                    d = json.loads(line)
+                    docs.append(self._load_images(d, base, i))
+            return docs
+        from datasets import load_dataset
+
+        ds = load_dataset(
+            data_path or self.dataset_path, self.dataset_name,
+            split=self.test_split,
+        )
+        if limit is not None:
+            ds = ds.select(range(min(limit, len(ds))))
+        for i, d in enumerate(ds):
+            doc = dict(d)
+            doc.setdefault("id", i)
+            if self.doc_mapper:
+                doc = self.doc_mapper(doc)
+            docs.append(doc)
+        return docs
+
+    @staticmethod
+    def _load_images(d: dict, base: str, idx: int) -> dict:
+        from PIL import Image
+
+        imgs = []
+        for key in ("image", "images"):
+            v = d.get(key)
+            if v is None:
+                continue
+            for p in v if isinstance(v, list) else [v]:
+                imgs.append(Image.open(os.path.join(base, p)))
+        d["images"] = imgs
+        d.setdefault("id", idx)
+        return d
+
+
+# ---------------------------------------------------------------------------
+# scoring helpers
+# ---------------------------------------------------------------------------
+
+def _mean_agg(key: str):
+    def agg(rows: list[dict]) -> dict:
+        vals = [r[key] for r in rows]
+        return {key: sum(vals) / max(len(vals), 1)}
+
+    return agg
+
+
+def _caption_agg(rows: list[dict]) -> dict:
+    cands = [r["prediction"] for r in rows]
+    refs = [r["references"] for r in rows]
+    return {"CIDEr": M.cider_d(cands, refs)}
+
+
+def _mme_agg(rows: list[dict]) -> dict:
+    return M.mme_scores(rows)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_TASKS: dict[str, Task] = {}
+
+
+def register(task: Task) -> Task:
+    _TASKS[task.name] = task
+    return task
+
+
+def get_task(name: str) -> Task:
+    return _TASKS[name]
+
+
+def list_tasks() -> list[str]:
+    return sorted(_TASKS)
+
+
+SINGLE_WORD = "\nAnswer the question using a single word or phrase."
+MC_LETTER = "\nAnswer with the option's letter from the given choices directly."
+
+register(Task(
+    name="coco2017_cap_val_lite",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 32},
+    dataset_path="lmms-lab/LMMs-Eval-Lite",
+    dataset_name="coco2017_cap_val",
+    test_split="lite",
+    score_doc=lambda doc, pred: {
+        "prediction": pred,
+        "references": (
+            doc["target"] if isinstance(doc.get("target"), list)
+            else doc.get("answer", [doc.get("target", "")])
+        ),
+    },
+    aggregate=_caption_agg,
+))
+
+register(Task(
+    name="mme",
+    post_prompt=SINGLE_WORD,
+    generation_kwargs={"max_new_tokens": 16},
+    dataset_path="lmms-lab/MME",
+    score_doc=lambda doc, pred: {
+        "category": doc.get("category", "default"),
+        "image_id": str(doc.get("question_id", doc["id"])).rsplit("-", 1)[0],
+        "correct": M.yes_no_match(pred, str(doc["target"])),
+    },
+    aggregate=_mme_agg,
+))
+
+register(Task(
+    name="mmmu_val",
+    post_prompt=MC_LETTER,
+    generation_kwargs={"max_new_tokens": 16},
+    dataset_path="lmms-lab/MMMU",
+    test_split="validation",
+    score_doc=lambda doc, pred: {
+        "acc": float(
+            M.parse_multi_choice(pred) == str(doc["target"]).strip().upper()
+        ),
+    },
+    aggregate=_mean_agg("acc"),
+))
+
+register(Task(
+    name="mmbench_en_dev",
+    post_prompt=MC_LETTER,
+    generation_kwargs={"max_new_tokens": 16},
+    dataset_path="lmms-lab/MMBench_EN",
+    test_split="dev",
+    score_doc=lambda doc, pred: {
+        "acc": float(
+            M.parse_multi_choice(pred) == str(doc["target"]).strip().upper()
+        ),
+    },
+    aggregate=_mean_agg("acc"),
+))
+
+register(Task(
+    name="chartqa",
+    post_prompt=SINGLE_WORD,
+    generation_kwargs={"max_new_tokens": 16},
+    dataset_path="lmms-lab/ChartQA",
+    score_doc=lambda doc, pred: {
+        "relaxed_acc": max(
+            M.relaxed_accuracy(pred, t)
+            for t in (doc["target"] if isinstance(doc["target"], list)
+                      else [doc["target"]])
+        ),
+    },
+    aggregate=_mean_agg("relaxed_acc"),
+))
+
+register(Task(
+    name="docvqa_val",
+    post_prompt=SINGLE_WORD,
+    generation_kwargs={"max_new_tokens": 32},
+    dataset_path="lmms-lab/DocVQA",
+    dataset_name="DocVQA",
+    test_split="validation",
+    score_doc=lambda doc, pred: {
+        "anls": M.anls(
+            pred,
+            doc["target"] if isinstance(doc["target"], list)
+            else [doc["target"]],
+        ),
+    },
+    aggregate=_mean_agg("anls"),
+))
+
+register(Task(
+    name="infovqa_val",
+    post_prompt=SINGLE_WORD,
+    generation_kwargs={"max_new_tokens": 32},
+    dataset_path="lmms-lab/DocVQA",
+    dataset_name="InfographicVQA",
+    test_split="validation",
+    score_doc=lambda doc, pred: {
+        "anls": M.anls(
+            pred,
+            doc["target"] if isinstance(doc["target"], list)
+            else [doc["target"]],
+        ),
+    },
+    aggregate=_mean_agg("anls"),
+))
+
+register(Task(
+    name="textvqa_val",
+    post_prompt=SINGLE_WORD,
+    generation_kwargs={"max_new_tokens": 16},
+    dataset_path="lmms-lab/textvqa",
+    test_split="validation",
+    score_doc=lambda doc, pred: {
+        "acc": max(
+            M.exact_match(pred, t)
+            for t in (doc["target"] if isinstance(doc["target"], list)
+                      else [doc["target"]])
+        ),
+    },
+    aggregate=_mean_agg("acc"),
+))
+
+register(Task(
+    name="ai2d",
+    post_prompt=MC_LETTER,
+    generation_kwargs={"max_new_tokens": 16},
+    dataset_path="lmms-lab/ai2d",
+    score_doc=lambda doc, pred: {
+        "acc": float(
+            M.parse_multi_choice(pred) == str(doc["target"]).strip().upper()
+        ),
+    },
+    aggregate=_mean_agg("acc"),
+))
+
+register(Task(
+    name="scienceqa_img",
+    post_prompt=MC_LETTER,
+    generation_kwargs={"max_new_tokens": 16},
+    dataset_path="lmms-lab/ScienceQA",
+    dataset_name="ScienceQA-IMG",
+    score_doc=lambda doc, pred: {
+        "acc": float(
+            M.parse_multi_choice(pred) == str(doc["target"]).strip().upper()
+        ),
+    },
+    aggregate=_mean_agg("acc"),
+))
+
+register(Task(
+    name="gqa",
+    post_prompt=SINGLE_WORD,
+    generation_kwargs={"max_new_tokens": 16},
+    dataset_path="lmms-lab/GQA",
+    test_split="testdev_balanced",
+    score_doc=lambda doc, pred: {
+        "acc": M.exact_match(pred, str(doc["target"])),
+    },
+    aggregate=_mean_agg("acc"),
+))
+
+register(Task(
+    name="realworldqa",
+    post_prompt=SINGLE_WORD,
+    generation_kwargs={"max_new_tokens": 16},
+    dataset_path="lmms-lab/RealWorldQA",
+    score_doc=lambda doc, pred: {
+        "acc": M.exact_match(pred, str(doc["target"])),
+    },
+    aggregate=_mean_agg("acc"),
+))

@@ -1,0 +1,195 @@
+"""Eval harness tests: metric golden values and an end-to-end evaluate()
+run over a synthetic task with the tiny model."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lavida_mod_tpu.eval import metrics as M
+from lavida_mod_tpu.eval.adapter import LavidaEvalModel, gen_kwargs_to_config
+from lavida_mod_tpu.eval.evaluator import evaluate
+from lavida_mod_tpu.eval.tasks import Task, get_task, list_tasks
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+def test_cider_identical_captions_high():
+    cands = ["a cat sits on a mat", "a dog runs in a park"]
+    refs = [["a cat sits on a mat"], ["a dog runs in a park"]]
+    score = M.cider_d(cands, refs)
+    assert score > 500  # identical captions score near max (10 x 100 scale)
+
+
+def test_cider_disjoint_zero():
+    score = M.cider_d(["red blue green"], [["seven eight nine"]])
+    assert score == 0.0
+
+
+def test_cider_ranking():
+    # corpus-level metric: idf needs >1 document
+    refs = [
+        ["a man riding a horse on a beach"],
+        ["two birds flying over the water"],
+        ["a red car parked near a tree"],
+    ]
+    filler = ["two birds flying over the water", "a red car parked near a tree"]
+    good = M.cider_d(["a man riding a horse on the beach"] + filler, refs)
+    bad = M.cider_d(["completely unrelated text here"] + filler, refs)
+    assert good > bad
+
+
+def test_anls():
+    assert M.anls("paris", ["Paris"]) == 1.0
+    assert M.anls("pariss", ["paris"]) > 0.7
+    assert M.anls("london", ["paris"]) == 0.0  # nl >= 0.5 threshold
+
+
+def test_relaxed_accuracy():
+    assert M.relaxed_accuracy("102", "100") == 1.0     # within 5%
+    assert M.relaxed_accuracy("110", "100") == 0.0
+    assert M.relaxed_accuracy("42%", "42") == 1.0
+    assert M.relaxed_accuracy("blue", "Blue") == 1.0
+
+
+def test_multi_choice_parse():
+    assert M.parse_multi_choice("The answer is B.") == "B"
+    assert M.parse_multi_choice("(C)") == "C"
+    assert M.parse_multi_choice("A") == "A"
+
+
+def test_mme_scores():
+    rows = [
+        {"category": "color", "image_id": "1", "correct": 1},
+        {"category": "color", "image_id": "1", "correct": 1},
+        {"category": "color", "image_id": "2", "correct": 1},
+        {"category": "color", "image_id": "2", "correct": 0},
+    ]
+    out = M.mme_scores(rows)
+    # acc = 3/4, acc+ = 1/2 -> (0.75 + 0.5) * 100 = 125
+    assert abs(out["color"] - 125.0) < 1e-9
+    assert abs(out["total"] - 125.0) < 1e-9
+
+
+def test_gen_kwargs_mapping():
+    g = gen_kwargs_to_config({
+        "max_new_tokens": 32, "prefix_lm": True, "step_ratio": 0.5,
+        "schedule": "shift", "schedule__shift": 0.33,
+    })
+    assert g.max_new_tokens == 32 and g.block_length == 32
+    assert g.schedule == "shift" and abs(g.schedule_shift - 0.33) < 1e-9
+    d = gen_kwargs_to_config({"alg": "entropy", "steps": 16}, "dream")
+    assert d.alg == "entropy" and d.steps == 16
+
+
+def test_registry_covers_baseline_tasks():
+    names = list_tasks()
+    for t in ("coco2017_cap_val_lite", "mme", "mmmu_val", "mmbench_en_dev",
+              "chartqa", "docvqa_val", "textvqa_val", "ai2d",
+              "scienceqa_img", "gqa", "infovqa_val", "realworldqa"):
+        assert t in names, t
+
+
+# ---------------------------------------------------------------------------
+# end-to-end evaluate() with tiny model + synthetic docs
+# ---------------------------------------------------------------------------
+
+class FakeTokenizer:
+    bos_token_id = 1
+    chat_template = None
+
+    def __call__(self, text):
+        class R:
+            input_ids = [1] + [10 + (ord(c) % 80) for c in text[:16]]
+
+        return R()
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(str(i) for i in ids)
+
+
+@pytest.fixture(scope="module")
+def tiny_eval_model():
+    import jax
+
+    from lavida_mod_tpu.config import (
+        LaViDaConfig, VisionConfig, tiny_llada_config, tiny_siglip_config,
+    )
+    from lavida_mod_tpu.models.lavida import LaViDa
+
+    cfg = LaViDaConfig(
+        llada=tiny_llada_config(),
+        vision=VisionConfig(
+            siglip=tiny_siglip_config(), mm_hidden_size=32,
+            grid_pinpoints=((56, 112), (112, 56), (112, 112)),
+        ),
+    )
+    model = LaViDa.random_init(cfg, 0, jnp.float32)
+    return LavidaEvalModel(model, FakeTokenizer())
+
+
+def _synth_docs(n=3):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    return [
+        {
+            "id": i,
+            "text": f"What color is object {i}?",
+            "target": "red",
+            "images": [Image.fromarray(
+                rng.integers(0, 255, (80, 120, 3), dtype=np.uint8)
+            )],
+        }
+        for i in range(n)
+    ]
+
+
+def test_evaluate_generate_task(tiny_eval_model):
+    task = Task(
+        name="synthetic_vqa",
+        post_prompt="\nAnswer briefly.",
+        generation_kwargs={"max_new_tokens": 8},
+        score_doc=lambda doc, pred: {
+            "acc": M.exact_match(pred, doc["target"])
+        },
+        aggregate=lambda rows: {
+            "acc": sum(r["acc"] for r in rows) / len(rows)
+        },
+    )
+    out = evaluate(tiny_eval_model, task, _synth_docs(), progress=False)
+    assert out["results"]["n_docs"] == 3
+    assert 0.0 <= out["results"]["acc"] <= 1.0
+    assert out["results"]["avg_latency_s"] > 0
+
+
+def test_evaluate_loglikelihood_task(tiny_eval_model):
+    task = Task(
+        name="synthetic_mc",
+        output_type="loglikelihood",
+        score_doc=lambda doc, ll: {"ll": float(ll)},
+        aggregate=lambda rows: {
+            "mean_ll": sum(r["ll"] for r in rows) / len(rows)
+        },
+    )
+    out = evaluate(tiny_eval_model, task, _synth_docs(2), progress=False)
+    assert out["results"]["mean_ll"] < 0
+
+
+def test_jsonl_doc_loading(tmp_path):
+    from PIL import Image
+
+    img = Image.new("RGB", (40, 40), (127, 0, 0))
+    img.save(tmp_path / "img0.png")
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        f.write(json.dumps({
+            "text": "q?", "target": "a", "image": "img0.png"
+        }) + "\n")
+    task = get_task("chartqa")
+    docs = task.load_docs(str(p))
+    assert len(docs) == 1 and docs[0]["images"][0].size == (40, 40)
