@@ -178,6 +178,158 @@ def splice_embeddings(
     return embeds, out_labels
 
 
+def merge_anyres_indices(
+    image_size: tuple[int, int],
+    cfg: VisionConfig,
+    n_views: int,
+    pooled_grid: int,
+    view_offset: int,
+    newline_index: int,
+) -> np.ndarray:
+    """Index-space version of merge_anyres: the merged block expressed as
+    indices into a flat table [sum_views * T_pooled vision tokens ...;
+    newline at `newline_index`].  Enables splicing as ONE gather inside jit
+    (see build_gather_plan) so training gradients flow through the whole
+    vision stack without dynamic shapes.
+    """
+    g = pooled_grid
+    T = g * g
+    base = view_offset * T + np.arange(T, dtype=np.int64)
+    if n_views == 1:
+        return np.concatenate([base, [newline_index]])
+    nw, nh = anyres_grid_shape(
+        image_size, cfg.grid_pinpoints, cfg.siglip.image_size
+    )
+    assert nh * nw == n_views - 1, (nh, nw, n_views)
+    rs, cs = unpad_slice(image_size, (nh * g, nw * g))
+    rows = []
+    for h in range(rs.start, rs.stop):
+        row = []
+        for w in range(cs.start, cs.stop):
+            view = 1 + (h // g) * nw + (w // g)
+            tok = (h % g) * g + (w % g)
+            row.append((view_offset + view) * T + tok)
+        row.append(newline_index)
+        rows.append(row)
+    grid = np.asarray(rows, np.int64).reshape(-1)
+    return np.concatenate([base, grid])
+
+
+def build_gather_plan(
+    cfg: LaViDaConfig,
+    batch_input_ids: Sequence[np.ndarray],
+    batch_n_views: Sequence[Sequence[int]],
+    batch_image_sizes: Sequence[Sequence[tuple[int, int]]],
+    batch_labels: Optional[Sequence[np.ndarray]] = None,
+    pad_to: Optional[int] = None,
+):
+    """Host-side splice planning for the jitted multimodal path.
+
+    The flat embedding table inside jit is
+        [ all vision tokens (N_total_views * T_pooled) ;
+          image_newline (1) ;
+          text-token embeds (B * T_text) ;
+          zero pad (1) ]
+    This returns (gather_idx [B, T], text_ids [B, T_text], valid [B, T],
+    labels [B, T] or None) where gather_idx indexes that table.
+    """
+    g = -(-cfg.vision.siglip.num_patches_per_side // cfg.vision.spatial_pool_stride)
+    T_pooled = g * g
+    n_total_views = sum(v for row in batch_n_views for v in row)
+    newline_index = n_total_views * T_pooled
+    text_base = newline_index + 1
+
+    B = len(batch_input_ids)
+    T_text = max(len(ids) for ids in batch_input_ids)
+    text_ids = np.zeros((B, T_text), np.int64)
+
+    rows = []
+    row_labels = []
+    view_offset = 0
+    for b, ids in enumerate(batch_input_ids):
+        ids = np.asarray(ids)
+        labels = (
+            np.asarray(batch_labels[b]) if batch_labels is not None else None
+        )
+        img_pos = np.where(ids == IMAGE_TOKEN_INDEX)[0]
+        assert len(img_pos) == len(batch_n_views[b])
+        idx_row: list[int] = []
+        lab_row: list[int] = []
+        prev = 0
+        # text ids (image markers replaced by 0) go into the text table
+        clean = np.where(ids == IMAGE_TOKEN_INDEX, 0, ids)
+        text_ids[b, : len(ids)] = clean
+        for k, pos in enumerate(img_pos):
+            for t in range(prev, pos):
+                idx_row.append(text_base + b * T_text + t)
+                if labels is not None:
+                    lab_row.append(labels[t])
+            block = merge_anyres_indices(
+                batch_image_sizes[b][k], cfg.vision, batch_n_views[b][k],
+                g, view_offset, newline_index,
+            )
+            idx_row.extend(block.tolist())
+            if labels is not None:
+                lab_row.extend([IGNORE_INDEX] * len(block))
+            view_offset += batch_n_views[b][k]
+            prev = pos + 1
+        for t in range(prev, len(ids)):
+            idx_row.append(text_base + b * T_text + t)
+            if labels is not None:
+                lab_row.append(labels[t])
+        if cfg.tokenizer_model_max_length:
+            idx_row = idx_row[: cfg.tokenizer_model_max_length]
+            lab_row = lab_row[: cfg.tokenizer_model_max_length]
+        rows.append(idx_row)
+        row_labels.append(lab_row)
+
+    T = int(pad_to or max(len(r) for r in rows))
+    pad_index = text_base + B * T_text
+    gather_idx = np.full((B, T), pad_index, np.int64)
+    valid = np.zeros((B, T), bool)
+    out_labels = (
+        np.full((B, T), IGNORE_INDEX, np.int64)
+        if batch_labels is not None else None
+    )
+    for b, r in enumerate(rows):
+        n = min(len(r), T)
+        gather_idx[b, :n] = r[:n]
+        valid[b, :n] = True
+        if out_labels is not None:
+            out_labels[b, :n] = row_labels[b][:n]
+    return gather_idx, text_ids, valid, out_labels
+
+
+def multimodal_embeds(
+    params: dict,
+    cfg: LaViDaConfig,
+    pixel_values: jax.Array,     # [N_total_views, C, S, S]
+    text_ids: jax.Array,         # [B, T_text]
+    gather_idx: jax.Array,       # [B, T]
+    remat: bool = False,
+) -> jax.Array:
+    """The jitted splice: encode all views, build the flat table, gather.
+    Differentiable end-to-end (tower -> projector -> newline -> wte)."""
+    B = text_ids.shape[0]
+    D = params["image_newline"].shape[-1]
+    if pixel_values.shape[0] > 0:
+        feats = encode_views(params, cfg, pixel_values, remat)  # [N, Tp, D]
+        flat = feats.reshape(-1, D)
+    else:  # text-only batch (static shape decision)
+        flat = jnp.zeros((0, D), params["image_newline"].dtype)
+    text_emb = llada_model.embed_tokens(params["llada"], text_ids)
+    table = jnp.concatenate(
+        [
+            flat,
+            params["image_newline"][None].astype(flat.dtype),
+            text_emb.reshape(-1, D).astype(flat.dtype),
+            jnp.zeros((1, D), flat.dtype),
+        ],
+        axis=0,
+    )
+    return table[gather_idx]
+
+
 def prepare_multimodal_batch(
     params: dict,
     cfg: LaViDaConfig,

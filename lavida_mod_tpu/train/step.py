@@ -34,10 +34,7 @@ def label_params(params) -> Any:
     return jax.tree_util.tree_map_with_path(lab, params)
 
 
-def make_optimizer(
-    lr: float = 2e-5,
-    projector_lr: Optional[float] = None,
-    vision_tower_lr: Optional[float] = None,
+def _adamw_builder(
     weight_decay: float = 0.0,
     b1: float = 0.9,
     b2: float = 0.999,
@@ -46,12 +43,16 @@ def make_optimizer(
     min_lr_ratio: float = 0.0,
     grad_clip: float = 1.0,
     schedule: str = "cosine_with_min_lr",
-) -> optax.GradientTransformation:
+):
     def sched(base):
         if schedule == "constant":
             return base
+        if warmup_steps <= 0:
+            return optax.cosine_decay_schedule(
+                base, max(total_steps, 1), alpha=min_lr_ratio
+            )
         return optax.warmup_cosine_decay_schedule(
-            0.0, base, max(warmup_steps, 1), max(total_steps, 2),
+            0.0, base, warmup_steps, max(total_steps, 2),
             end_value=base * min_lr_ratio,
         )
 
@@ -62,6 +63,16 @@ def make_optimizer(
                         weight_decay=weight_decay),
         )
 
+    return adamw
+
+
+def make_optimizer(
+    lr: float = 2e-5,
+    projector_lr: Optional[float] = None,
+    vision_tower_lr: Optional[float] = None,
+    **kw,
+) -> optax.GradientTransformation:
+    adamw = _adamw_builder(**kw)
     transforms = {
         "base": adamw(lr),
         "projector": adamw(projector_lr or lr),
@@ -112,3 +123,84 @@ def make_train_step(
 
 def jit_train_step(train_step):
     return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+def make_multimodal_train_step(
+    cfg: LaViDaConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    prefix_lm: bool = True,
+    policy: str = "uniform",
+    policy_args: Optional[dict] = None,
+    fim_id: Optional[int] = None,
+    remat: bool = True,
+    use_flash: bool = False,
+):
+    """End-to-end train step: pixels -> SigLIP -> projector -> pool ->
+    gather-splice -> diffusion loss.  Gradients reach every module, so the
+    reference's stage-1 (projector-only) and stage-2 (full model incl.
+    vision tower at its own LR) both work — freezing is expressed in the
+    optimizer (per-module labels + optax.set_to_zero).
+
+    `batch` = {"pixel_values" [N,C,S,S], "text_ids" [B,T_text],
+    "gather_idx" [B,T], "labels" [B,T]} from
+    multimodal.build_gather_plan + the collator.
+    """
+    from ..models.multimodal import multimodal_embeds
+
+    def loss_fn(params, batch, key):
+        embeds = multimodal_embeds(
+            params, cfg, batch["pixel_values"], batch["text_ids"],
+            batch["gather_idx"], remat=remat,
+        )
+        return diffusion_loss(
+            params["llada"], cfg.llada, embeds, batch["labels"], key,
+            prefix_lm=prefix_lm, policy=policy, policy_args=policy_args,
+            fim_id=fim_id, remat=remat, use_flash=use_flash,
+        )
+
+    def train_step(params, opt_state, batch, key):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def make_freeze_optimizer(
+    tunable_parts: str,
+    lr: float = 2e-5,
+    projector_lr: Optional[float] = None,
+    vision_tower_lr: Optional[float] = None,
+    **kw,
+) -> optax.GradientTransformation:
+    """mm_tunable_parts semantics (reference train.py:2059-2110):
+    comma-list over {mm_mlp_adapter, mm_vision_tower, mm_language_model}.
+    Frozen groups get optax.set_to_zero()."""
+    parts = set(tunable_parts.split(","))
+    adamw = _adamw_builder(**kw)
+    transforms = {
+        "frozen": optax.set_to_zero(),
+        "base": adamw(lr),
+        "projector": adamw(projector_lr or lr),
+        "vision_tower": adamw(vision_tower_lr or lr),
+    }
+
+    def label(params):
+        def lab(path, _):
+            top = str(path[0].key) if hasattr(path[0], "key") else str(path[0])
+            if top in ("projector", "image_newline"):
+                return "projector" if "mm_mlp_adapter" in parts else "frozen"
+            if top == "siglip":
+                return (
+                    "vision_tower" if "mm_vision_tower" in parts else "frozen"
+                )
+            return "base" if "mm_language_model" in parts else "frozen"
+
+        return jax.tree_util.tree_map_with_path(lab, params)
+
+    return optax.multi_transform(transforms, label)
