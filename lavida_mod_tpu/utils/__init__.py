@@ -1,0 +1,7 @@
+from .checkpoint import (  # noqa: F401
+    latest_checkpoint,
+    restore_checkpoint,
+    save_adapter_only,
+    save_checkpoint,
+)
+from .logging import MetricsLogger, rank0_print  # noqa: F401

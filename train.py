@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""Training CLI — the analogue of reference llava/train/train.py + trainer.
+
+Example (stage-2-style finetune on a yaml mixture, 8-chip dp x fsdp mesh):
+  python train.py --data-path mix.yaml --image-folder /data/images \\
+      --output-dir runs/s2 --tunable mm_mlp_adapter,mm_vision_tower,mm_language_model \\
+      --lr 2e-5 --vision-tower-lr 2e-6 --batch-size 4 --steps 1000 \\
+      --dp 1 --fsdp 8 --tp 1
+
+Shapes are bucketed (seq to 128s, view count to 8s) so XLA compiles a small
+number of executables instead of one per batch shape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def pad_to_bucket(n: int, bucket: int) -> int:
+    return max(((n + bucket - 1) // bucket) * bucket, bucket)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-path", required=True)
+    ap.add_argument("--image-folder", default="")
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--model-path", default=None,
+                    help="initial checkpoint (HF layout) or orbax dir")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--style", default="llada", choices=["llada", "dream"])
+    ap.add_argument("--tunable",
+                    default="mm_mlp_adapter,mm_vision_tower,mm_language_model")
+    ap.add_argument("--lr", type=float, default=2e-5)
+    ap.add_argument("--projector-lr", type=float, default=None)
+    ap.add_argument("--vision-tower-lr", type=float, default=None)
+    ap.add_argument("--warmup-ratio", type=float, default=0.03)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--seq-bucket", type=int, default=128)
+    ap.add_argument("--view-bucket", type=int, default=8)
+    ap.add_argument("--t-policy", default="uniform",
+                    choices=["uniform", "logit_normal", "mode"])
+    ap.add_argument("--no-prefix-lm", action="store_true")
+    ap.add_argument("--fim", action="store_true",
+                    help="stage-3 FIM corruption of assistant turns")
+    ap.add_argument("--dp", type=int, default=1)
+    ap.add_argument("--fsdp", type=int, default=None)
+    ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--adapter-only-save", action="store_true")
+    ap.add_argument("--wandb", action="store_true")
+    ap.add_argument("--tokenizer-path", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor an
+    # explicit cpu request via the config knob (virtual-mesh testing)
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    import jax.numpy as jnp
+
+    from lavida_mod_tpu.config import (
+        LaViDaConfig, VisionConfig, tiny_llada_config, tiny_siglip_config,
+    )
+    from lavida_mod_tpu.constants import LLADA_EOS_ID, LLADA_FIM_ID
+    from lavida_mod_tpu.data.dataset import SupervisedDataset, collate_batch
+    from lavida_mod_tpu.models import multimodal as mm
+    from lavida_mod_tpu.models.lavida import LaViDa
+    from lavida_mod_tpu.parallel import make_mesh, shard_params
+    from lavida_mod_tpu.train.step import (
+        jit_train_step, make_freeze_optimizer, make_multimodal_train_step,
+    )
+    from lavida_mod_tpu.utils import (
+        MetricsLogger, latest_checkpoint, rank0_print, restore_checkpoint,
+        save_adapter_only, save_checkpoint,
+    )
+
+    if args.tiny:
+        cfg = LaViDaConfig(
+            llada=tiny_llada_config(),
+            vision=VisionConfig(
+                siglip=tiny_siglip_config(), mm_hidden_size=32,
+                grid_pinpoints=((56, 112), (112, 56), (112, 112)),
+            ),
+        )
+    else:
+        cfg = LaViDaConfig()
+
+    if args.tokenizer_path:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer_path)
+    else:
+        class ByteTokenizer:
+            bos_token_id = 1
+
+            def __call__(self, text):
+                class R:
+                    input_ids = [2 + (b % 250) for b in text.encode()]
+
+                return R()
+
+        tokenizer = ByteTokenizer()
+        rank0_print("[train] no tokenizer path: byte-level fallback")
+
+    ds = SupervisedDataset(
+        args.data_path, tokenizer, cfg.vision,
+        image_folder=args.image_folder, style=args.style,
+        is_infill_model=args.fim, seed=args.seed,
+    )
+    rank0_print(f"[train] dataset: {len(ds)} samples")
+
+    mesh = make_mesh(dp=args.dp, fsdp=args.fsdp, tp=args.tp)
+    rank0_print(f"[train] mesh: {mesh.shape}")
+
+    if args.model_path and os.path.isdir(args.model_path) and any(
+        f.endswith((".safetensors", ".bin"))
+        for f in os.listdir(args.model_path)
+    ):
+        model = LaViDa.load(args.model_path, cfg, jnp.bfloat16)
+        params = model.params
+    else:
+        params = mm.init_params(cfg, jax.random.PRNGKey(args.seed))
+    params = shard_params(params, mesh)
+
+    opt = make_freeze_optimizer(
+        args.tunable, lr=args.lr, projector_lr=args.projector_lr,
+        vision_tower_lr=args.vision_tower_lr,
+        warmup_steps=int(args.warmup_ratio * args.steps),
+        total_steps=args.steps,
+    )
+    opt_state = opt.init(params)
+
+    start_step = 0
+    resume = latest_checkpoint(args.output_dir)
+    if resume and not resume.endswith("mm_projector"):
+        rank0_print(f"[train] resuming from {resume}")
+        payload = restore_checkpoint(
+            resume, {"params": params, "opt_state": opt_state, "step": 0}
+        )
+        params, opt_state = payload["params"], payload["opt_state"]
+        start_step = int(payload["step"])
+
+    step_fn = jit_train_step(make_multimodal_train_step(
+        cfg, opt, prefix_lm=not args.no_prefix_lm, policy=args.t_policy,
+        fim_id=LLADA_FIM_ID if args.fim else None, remat=True,
+    ))
+
+    logger = MetricsLogger(args.output_dir, use_wandb=args.wandb)
+    rng = np.random.default_rng(args.seed)
+    eos_id = cfg.llada.eos_token_id
+
+    def make_batch():
+        idx = rng.choice(len(ds), size=args.batch_size, replace=False)
+        items = [ds[int(i)] for i in idx]
+        b = collate_batch(
+            items, pad_token_id=cfg.llada.pad_token_id, eos_token_id=eos_id,
+            model_max_length=cfg.tokenizer_model_max_length, rng=rng,
+        )
+        n_views = [[v.shape[0] for v in item["images"]] for item in items]
+        pix = [v for item in items for v in item["images"]]
+        ids_list = [row[m] for row, m in
+                    zip(b["input_ids"], b["attention_mask"])]
+        labs_list = [row[m] for row, m in
+                     zip(b["labels"], b["attention_mask"])]
+        gather_idx, text_ids, valid, labels = mm.build_gather_plan(
+            cfg, ids_list, n_views, b["image_sizes"], labs_list,
+        )
+        T = pad_to_bucket(gather_idx.shape[1], args.seq_bucket)
+        if T > gather_idx.shape[1]:
+            gather_idx, text_ids, valid, labels = mm.build_gather_plan(
+                cfg, ids_list, n_views, b["image_sizes"], labs_list, pad_to=T,
+            )
+        if pix:
+            pixel_values = np.concatenate(pix, axis=0)
+        else:
+            S = cfg.vision.siglip.image_size
+            pixel_values = np.zeros((0, 3, S, S), np.float32)
+        NV = pad_to_bucket(pixel_values.shape[0], args.view_bucket)
+        if NV > pixel_values.shape[0]:
+            padv = np.zeros(
+                (NV - pixel_values.shape[0],) + pixel_values.shape[1:],
+                pixel_values.dtype,
+            )
+            pixel_values = np.concatenate([pixel_values, padv], axis=0)
+        return {
+            "pixel_values": jnp.asarray(pixel_values, jnp.bfloat16),
+            "text_ids": jnp.asarray(text_ids),
+            "gather_idx": jnp.asarray(gather_idx),
+            "labels": jnp.asarray(labels),
+        }
+
+    rank0_print(f"[train] starting at step {start_step}/{args.steps}")
+    t0 = time.time()
+    for step in range(start_step, args.steps):
+        batch = make_batch()
+        params, opt_state, metrics = step_fn(
+            params, opt_state, batch, jax.random.PRNGKey(args.seed * 131 + step)
+        )
+        if (step + 1) % args.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["steps_per_s"] = args.log_every / (time.time() - t0)
+            t0 = time.time()
+            logger.log(step + 1, m)
+            rank0_print(f"[train] step {step + 1}: loss={m['loss']:.4f} "
+                        f"acc_mask={m['acc_mask']:.3f} "
+                        f"({m['steps_per_s']:.2f} it/s)")
+        if (step + 1) % args.save_every == 0 or step + 1 == args.steps:
+            if args.adapter_only_save:
+                p = save_adapter_only(args.output_dir, step + 1, params)
+            else:
+                p = save_checkpoint(
+                    args.output_dir, step + 1, params, opt_state
+                )
+            rank0_print(f"[train] saved {p}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
