@@ -43,6 +43,15 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
+    import os as _os
+
+    import jax as _jax
+    if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            _jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     import jax.numpy as jnp
 
     from lavida_mod_tpu.config import (
