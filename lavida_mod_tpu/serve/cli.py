@@ -1,0 +1,93 @@
+"""Terminal chat CLI (reference llava/serve/cli.py analogue): interactive
+multi-turn conversation with one image, local model, no server needed."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-path", default=None)
+    ap.add_argument("--image", default=None)
+    ap.add_argument("--conv-template", default="llada")
+    ap.add_argument("--max-new-tokens", type=int, default=64)
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ..config import (
+        GenerationConfig, LaViDaConfig, VisionConfig,
+        tiny_llada_config, tiny_siglip_config,
+    )
+    from ..data import SigLIPImageProcessor, process_images
+    from ..data.conversation import get_conv_template
+    from ..data.prompts import tokenizer_image_token
+    from ..models.lavida import LaViDa
+
+    if args.tiny or not args.model_path:
+        cfg = LaViDaConfig(
+            llada=tiny_llada_config(),
+            vision=VisionConfig(
+                siglip=tiny_siglip_config(), mm_hidden_size=32,
+                grid_pinpoints=((56, 112), (112, 56), (112, 112)),
+            ),
+        )
+        model = LaViDa.random_init(cfg, 0, jnp.float32)
+        tokenizer = None
+        print("[cli] tiny random model (no checkpoint)")
+    else:
+        cfg = LaViDaConfig()
+        model = LaViDa.load(args.model_path, cfg)
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.model_path)
+
+    images, sizes = [], []
+    if args.image:
+        from PIL import Image
+
+        img = Image.open(args.image)
+        proc = SigLIPImageProcessor(size=cfg.vision.siglip.image_size)
+        images = [process_images([img], proc, cfg.vision)[0]]
+        sizes = [img.size]
+
+    conv = get_conv_template(args.conv_template)
+    if tokenizer is not None:
+        conv.tokenizer = tokenizer
+    first = True
+    gen = GenerationConfig(
+        max_new_tokens=args.max_new_tokens,
+        block_length=min(128, args.max_new_tokens),
+    )
+    while True:
+        try:
+            user = input("USER: ").strip()
+        except EOFError:
+            break
+        if not user or user in ("exit", "quit"):
+            break
+        msg = ("<image>\n" + user) if (first and images) else user
+        first = False
+        conv.append_message(conv.roles[0], msg)
+        prompt = conv.get_prompt()
+        if tokenizer is not None:
+            ids = tokenizer_image_token(prompt, tokenizer)
+        else:
+            rng = np.random.default_rng(len(prompt))
+            ids = np.concatenate([
+                rng.integers(3, 400, size=6),
+                [-200] if images else [],
+                rng.integers(3, 400, size=6),
+            ]).astype(np.int64)
+        out = model.generate(ids, images, sizes, gen)
+        reply = (model.decode_output(out, tokenizer) if tokenizer is not None
+                 else " ".join(map(str, out[:16])))
+        conv.append_message(conv.roles[1], reply)
+        print("ASSISTANT:", reply)
+
+
+if __name__ == "__main__":
+    main()
