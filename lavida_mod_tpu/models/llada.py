@@ -128,6 +128,7 @@ def _block(
     use_flash: bool,
     q_segment_ids: Optional[jax.Array],
     kv_segment_ids: Optional[jax.Array],
+    kv_write_index: Optional[jax.Array] = None,
 ):
     """One transformer block. x: [B, T, D]. Returns (x, (k_rot, v))."""
     B, T, D = x.shape
@@ -162,8 +163,18 @@ def _block(
     present = (k, v)
     if layer_past is not None:
         pk, pv = layer_past
-        k = jnp.concatenate([pk, k], axis=1)
-        v = jnp.concatenate([pv, v], axis=1)
+        if kv_write_index is not None:
+            # fixed-size cache buffers: write in place (AR decode path)
+            k = jax.lax.dynamic_update_slice(
+                pk, k.astype(pk.dtype), (0, kv_write_index, 0, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                pv, v.astype(pv.dtype), (0, kv_write_index, 0, 0)
+            )
+            present = (k, v)
+        else:
+            k = jnp.concatenate([pk, k], axis=1)
+            v = jnp.concatenate([pv, v], axis=1)
 
     if use_flash:
         att = flash_attention(q, k, v, q_segment_ids, kv_segment_ids)
@@ -195,6 +206,8 @@ def forward(
     use_cache: bool = False,
     return_logits: bool = True,
     last_logits_only: bool = False,
+    causal: bool = False,
+    kv_write_index: Optional[jax.Array] = None,
     use_flash: bool = False,
     remat: bool = False,
 ):
@@ -209,15 +222,25 @@ def forward(
     prefix_lengths: [B] enables the prefix-LM block mask for training
       (modeling_llada.py:1351-1368).
     use_cache: return this call's (k, v) per layer (stacked) as a new cache.
+    causal: standard causal masking — the legacy AR-LLaVA baseline path
+      (llava_llama/llava_qwen, SURVEY.md §2.1); LaViDa itself is non-causal.
+    kv_write_index: AR decode — kv_cache holds FIXED-size buffers
+      [L, B, Smax, Hkv, hd]; this call's k/v are written at
+      [write, write+T) in place and attention masks positions >= write+T.
 
     Returns (logits [B,T,V] or hidden [B,T,D], new_cache or None).
     """
     B, T, D = embeds.shape
     past_len = 0 if kv_cache is None else kv_cache["k"].shape[2]
-    S = past_len + T
-
-    if positions is None:
-        positions = jnp.arange(past_len, past_len + T, dtype=jnp.int32)
+    if kv_write_index is not None:
+        assert kv_cache is not None
+        S = past_len            # buffer size; this call writes inside it
+        if positions is None:
+            positions = kv_write_index + jnp.arange(T, dtype=jnp.int32)
+    else:
+        S = past_len + T
+        if positions is None:
+            positions = jnp.arange(past_len, past_len + T, dtype=jnp.int32)
     sin, cos = rope_tables(
         cfg.head_dim, max(cfg.max_sequence_length, S), cfg.rope_theta
     )
@@ -226,10 +249,15 @@ def forward(
     if cfg.input_emb_norm:
         x = x * math.sqrt(cfg.d_model)
 
-    # additive bias from padding + prefix-LM mask
+    # additive bias from padding + prefix-LM / causal masks
     kv_pos = jnp.arange(S, dtype=jnp.int32)
     valid = None
-    if kv_valid is not None or self_valid is not None:
+    if kv_write_index is not None:
+        filled = (kv_pos < kv_write_index + T)[None]
+        valid = jnp.broadcast_to(filled, (B, S))
+        if kv_valid is not None:
+            valid = valid & kv_valid
+    elif kv_valid is not None or self_valid is not None:
         pv = kv_valid if kv_valid is not None else jnp.ones((B, past_len), bool)
         sv = self_valid if self_valid is not None else jnp.ones((B, T), bool)
         valid = jnp.concatenate([pv, sv], axis=1) if past_len else sv
@@ -239,6 +267,10 @@ def forward(
         q_positions=positions if prefix_lengths is not None else None,
         kv_positions=kv_pos if prefix_lengths is not None else None,
     )
+    if causal:
+        cmask = positions.reshape(1, 1, -1, 1) >= kv_pos.reshape(1, 1, 1, -1)
+        cbias = jnp.where(cmask, 0.0, -1e30)
+        bias = cbias if bias is None else jnp.maximum(bias + cbias, -1e30)
 
     q_seg = kv_seg = None
     if use_flash:
@@ -268,6 +300,7 @@ def forward(
                 sin=sin, cos=cos, positions=positions, bias=bias,
                 layer_past=lp, use_flash=use_flash,
                 q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+                kv_write_index=kv_write_index,
             )
             if use_cache:
                 presents_list.append(present)
@@ -285,6 +318,7 @@ def forward(
                 sin=sin, cos=cos, positions=positions, bias=bias,
                 layer_past=layer_past, use_flash=use_flash,
                 q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+                kv_write_index=kv_write_index,
             )
             return h, present if use_cache else None
 
