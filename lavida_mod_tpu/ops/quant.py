@@ -35,13 +35,17 @@ def quantize_linear(p: dict, dtype=jnp.bfloat16) -> dict:
 
 def linear(x: jax.Array, p: dict, preferred=None) -> jax.Array:
     """x @ W (+ bias), W either plain or int8-quantized.  `preferred` sets
-    the accumulation/output dtype (e.g. f32 for the logit head)."""
+    the accumulation/output dtype (e.g. f32 for the logit head).  When LoRA
+    factors are attached (train/lora.py), adds (x @ A @ B) * (alpha/r)."""
     if "kernel_q" in p:
         w = p["kernel_q"].astype(x.dtype)
         y = jnp.matmul(x, w, preferred_element_type=preferred)
         y = y * p["scale"].astype(y.dtype)
     else:
         y = jnp.matmul(x, p["kernel"], preferred_element_type=preferred)
+    if "lora_a" in p:
+        delta = (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
+        y = y + delta.astype(y.dtype) * p["lora_scale"].astype(y.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
     return y
