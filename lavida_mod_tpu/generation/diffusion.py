@@ -106,11 +106,7 @@ def build_control_table(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "temperature", "remasking", "use_flash"),
-)
-def _generate_cached_fused(
+def _generate_cached_fused_body(
     params,
     cfg: LLaDAConfig,
     x: jax.Array,
@@ -138,6 +134,12 @@ def _generate_cached_fused(
         params, cfg, x, cache, k_table, block_end, positions,
         prefix_valid, key, temperature, remasking, use_flash,
     )
+
+
+_generate_cached_fused = jax.jit(
+    _generate_cached_fused_body,
+    static_argnames=("cfg", "temperature", "remasking", "use_flash"),
+)
 
 
 def _denoise_scan_cached_body(

@@ -84,6 +84,39 @@ def convert_lavida_state_dict(
     return params
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "gen_length", "temperature", "remasking"),
+)
+def _fused_predict(
+    params,
+    cfg: LaViDaConfig,
+    pixel_values: jax.Array,
+    text_ids: jax.Array,
+    gather_idx: jax.Array,
+    k_table: jax.Array,
+    block_end: jax.Array,
+    key: jax.Array,
+    gen_length: int,
+    temperature: float,
+    remasking: str,
+):
+    from ..generation.diffusion import _generate_cached_fused_body
+    from . import multimodal as mm
+
+    prefix = mm.multimodal_embeds(
+        params, cfg, pixel_values, text_ids, gather_idx
+    )
+    x = jnp.full((1, gen_length), cfg.llada.mask_token_id, jnp.int32)
+    return _generate_cached_fused_body(
+        params["llada"], cfg.llada, x, prefix, k_table, block_end,
+        None, key, temperature, remasking, False,
+    )
+
+
 class LaViDa:
     """config + params + the end-to-end inference paths.
 
@@ -164,6 +197,51 @@ class LaViDa:
                 if draft_tokens is not None else None
             ),
             key=key, use_flash=use_flash,
+        )
+        return np.asarray(out)[0]
+
+    def generate_fused(
+        self,
+        input_ids: np.ndarray,
+        images: Sequence[np.ndarray] = (),
+        image_sizes: Sequence[tuple[int, int]] = (),
+        gen: Optional[GenerationConfig] = None,
+        key: Optional[jax.Array] = None,
+    ) -> np.ndarray:
+        """Single-executable inference: vision encode + gather-splice +
+        prefill + denoise scan all in one dispatch (the serving hot path —
+        eliminates per-executable transport/dispatch overhead)."""
+        import jax.numpy as jnp
+
+        from ..generation.diffusion import build_control_table
+        from . import multimodal as mm
+
+        gen = gen or GenerationConfig()
+        assert gen.prefix_lm, "fused path implements the prefix-cache mode"
+        n_views = [[v.shape[0] for v in images]] if images else [[]]
+        gather_idx, text_ids, valid, _ = mm.build_gather_plan(
+            self.cfg, [np.asarray(input_ids)], n_views,
+            [list(image_sizes)],
+        )
+        G = gen.max_new_tokens
+        x0 = np.full((1, G), self.cfg.llada.mask_token_id, np.int64)
+        k_table, block_end = build_control_table(
+            x0, 0, G, gen, self.cfg.llada.mask_token_id
+        )
+        pix = (
+            jnp.concatenate([jnp.asarray(v) for v in images], axis=0)
+            if images else jnp.zeros(
+                (0, 3, self.cfg.vision.siglip.image_size,
+                 self.cfg.vision.siglip.image_size), jnp.bfloat16,
+            )
+        )
+        out = _fused_predict(
+            self.params, self.cfg, pix, jnp.asarray(text_ids),
+            jnp.asarray(gather_idx), jnp.asarray(k_table),
+            jnp.asarray(block_end),
+            key if key is not None else jax.random.PRNGKey(0),
+            gen_length=G, temperature=gen.temperature,
+            remasking=gen.remasking,
         )
         return np.asarray(out)[0]
 
