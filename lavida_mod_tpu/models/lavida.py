@@ -155,10 +155,12 @@ class LaViDa:
         input_ids: np.ndarray,
         images: Sequence[np.ndarray] = (),
         image_sizes: Sequence[tuple[int, int]] = (),
+        image_features: Optional[Sequence[jax.Array]] = None,
     ) -> jax.Array:
         """One sample: ids with -200 markers + per-image view stacks ->
-        spliced prefix embeddings [1, P, D]."""
-        feats = [
+        spliced prefix embeddings [1, P, D].  `image_features` supplies
+        precomputed blocks (e.g. SHIRG's 980-token selection) instead."""
+        feats = image_features if image_features is not None else [
             multimodal.encode_image(
                 self.params, self.cfg, jnp.asarray(views), size
             )
@@ -179,11 +181,14 @@ class LaViDa:
         gen: Optional[GenerationConfig] = None,
         draft_tokens: Optional[np.ndarray] = None,
         key: Optional[jax.Array] = None,
+        image_features: Optional[Sequence[jax.Array]] = None,
         use_flash: bool = False,
     ) -> np.ndarray:
         """predict.py-equivalent single-sample generation. Returns [G] ids."""
         gen = gen or GenerationConfig()
-        prefix = self.encode_prompt(input_ids, images, image_sizes)
+        prefix = self.encode_prompt(
+            input_ids, images, image_sizes, image_features
+        )
         if isinstance(gen, DreamGenerationConfig):
             out = dream_generate(
                 self.params["llada"], self.cfg.llada, prefix, gen,

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--remasking", default="low_confidence")
     ap.add_argument("--no-prefix-cache", action="store_true")
     ap.add_argument("--aspect", default="anyres")
+    ap.add_argument("--shirg", action="store_true",
+                    help="SHIRG-Fovea 2-view token selection instead of anyres")
+    ap.add_argument("--shirg-method", default="base")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--warmup", action="store_true")
@@ -95,14 +98,28 @@ def main():
 
     # image
     images, image_sizes = [], []
+    shirg_blocks = None
     if args.image:
         from PIL import Image
 
         img = Image.open(args.image)
         size = cfg.vision.siglip.image_size
         proc = SigLIPImageProcessor(size=size)
-        views = process_images([img], proc, cfg.vision)[0]
-        images, image_sizes = [views], [img.size]
+        if args.shirg:
+            import jax.numpy as _jnp
+
+            from lavida_mod_tpu.models.shirg import (
+                process_shirg_2view, shirg_encode,
+            )
+
+            views = process_shirg_2view(img, proc)
+            shirg_blocks = [shirg_encode(
+                model.params, cfg, _jnp.asarray(views),
+                method=args.shirg_method,
+            )]
+        else:
+            views = process_images([img], proc, cfg.vision)[0]
+            images, image_sizes = [views], [img.size]
         user_msg = "<image>\n" + args.prompt
     else:
         user_msg = args.prompt
@@ -137,11 +154,12 @@ def main():
         prefix_lm=not args.no_prefix_cache,
     )
 
+    gen_kw = dict(image_features=shirg_blocks) if shirg_blocks else {}
     if args.warmup:
-        model.generate(input_ids, images, image_sizes, gen)
+        model.generate(input_ids, images, image_sizes, gen, **gen_kw)
 
     t0 = time.time()
-    out = model.generate(input_ids, images, image_sizes, gen)
+    out = model.generate(input_ids, images, image_sizes, gen, **gen_kw)
     dt = time.time() - t0
 
     if tokenizer is not None:
