@@ -127,6 +127,21 @@ def encode_image(
     )
 
 
+def encode_video(
+    params: dict,
+    cfg: LaViDaConfig,
+    frame_views: jax.Array,      # [F, C, S, S]
+) -> jax.Array:
+    """Video path: per-frame encode+pool, flatten frames, append ONE newline
+    token (llava_arch.py:600-610, mm_newline_position="one_token")."""
+    feats = _encode_views_jit(params, cfg, frame_views, False)  # [F, T, D]
+    F, T, D = feats.shape
+    flat = feats.reshape(F * T, D)
+    return jnp.concatenate(
+        [flat, params["image_newline"][None].astype(flat.dtype)], axis=0
+    )
+
+
 def splice_embeddings(
     params: dict,
     cfg: LaViDaConfig,

@@ -130,6 +130,17 @@ class ModelWorker:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def do_GET(self):
+                # browser chat UI (gradio_web_server analogue)
+                from .web import PAGE
+
+                body = PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def log_message(self, *a):
                 pass
 
