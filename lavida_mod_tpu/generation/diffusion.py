@@ -118,6 +118,7 @@ def _generate_cached_fused_body(
     temperature: float,
     remasking: str,
     use_flash: bool,
+    act_int8_prefill: bool = False,
 ):
     """Prefill + full denoise loop as ONE executable: a single dispatch per
     image, no intermediate host round-trips (the reference pays a python
@@ -126,6 +127,7 @@ def _generate_cached_fused_body(
         params, cfg, prefix_embeds,
         self_valid=prefix_valid,
         use_cache=True, return_logits=False, use_flash=use_flash,
+        act_int8=act_int8_prefill,
     )
     P = prefix_embeds.shape[1]
     G = x.shape[1]
@@ -138,7 +140,8 @@ def _generate_cached_fused_body(
 
 _generate_cached_fused = jax.jit(
     _generate_cached_fused_body,
-    static_argnames=("cfg", "temperature", "remasking", "use_flash"),
+    static_argnames=("cfg", "temperature", "remasking", "use_flash",
+                     "act_int8_prefill"),
 )
 
 
@@ -240,6 +243,7 @@ def generate(
     prefix_valid: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
     use_flash: bool = False,
+    act_int8_prefill: bool = False,
     verbose: bool = False,
 ):
     """Generate `gen.max_new_tokens` tokens after the given prefix embeddings.
@@ -277,7 +281,7 @@ def generate(
                 jnp.asarray(k_table), jnp.asarray(block_end),
                 prefix_valid, key,
                 temperature=gen.temperature, remasking=gen.remasking,
-                use_flash=use_flash,
+                use_flash=use_flash, act_int8_prefill=act_int8_prefill,
             )
         cache = prefill(params, cfg, prefix_embeds, prefix_valid, use_flash)
         positions = jnp.arange(P, P + G, dtype=jnp.int32)

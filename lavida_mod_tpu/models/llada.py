@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..config import LLaDAConfig
 from ..ops.attention import dense_attention, flash_attention, make_bias
 from ..ops.norms import apply_norm
-from ..ops.quant import linear, quantize_linear
+from ..ops.quant import linear, linear_act_int8, quantize_linear
 from ..ops.rope import apply_rope, rope_tables
 
 Params = dict
@@ -129,20 +129,22 @@ def _block(
     q_segment_ids: Optional[jax.Array],
     kv_segment_ids: Optional[jax.Array],
     kv_write_index: Optional[jax.Array] = None,
+    act_int8: bool = False,
 ):
     """One transformer block. x: [B, T, D]. Returns (x, (k_rot, v))."""
     B, T, D = x.shape
     Hq, Hkv, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
     nt = cfg.layer_norm_type
+    lin = linear_act_int8 if act_int8 else linear
 
     h = apply_norm(x, p["attn_norm"], nt, rms_eps=cfg.rms_norm_eps,
                    ln_eps=cfg.layer_norm_eps)
     if cfg.block_type == "llama":
-        q = linear(h, p["q_proj"])
-        k = linear(h, p["k_proj"])
-        v = linear(h, p["v_proj"])
+        q = lin(h, p["q_proj"])
+        k = lin(h, p["k_proj"])
+        v = lin(h, p["v_proj"])
     else:
-        qkv = linear(h, p["att_proj"])
+        qkv = lin(h, p["att_proj"])
         q, k, v = jnp.split(qkv, [D, D + Hkv * hd], axis=-1)
 
     # optional q/k layernorm on the flattened projections (modeling_llada.py:726-728)
@@ -181,15 +183,15 @@ def _block(
     else:
         att = dense_attention(q, k, v, bias=bias)
     att = att.reshape(B, T, D)
-    x = x + linear(att, p["attn_out"])
+    x = x + lin(att, p["attn_out"])
 
     h2 = apply_norm(x, p["ff_norm"], nt, rms_eps=cfg.rms_norm_eps,
                     ln_eps=cfg.layer_norm_eps)
     if cfg.block_type == "llama":
-        ff = _act(cfg, linear(h2, p["ff_proj"])) * linear(h2, p["up_proj"])
+        ff = _act(cfg, lin(h2, p["ff_proj"])) * lin(h2, p["up_proj"])
     else:
-        ff = _act(cfg, linear(h2, p["ff_proj"]))
-    x = x + linear(ff, p["ff_out"])
+        ff = _act(cfg, lin(h2, p["ff_proj"]))
+    x = x + lin(ff, p["ff_out"])
     return x, present
 
 
@@ -208,6 +210,7 @@ def forward(
     last_logits_only: bool = False,
     causal: bool = False,
     kv_write_index: Optional[jax.Array] = None,
+    act_int8: bool = False,
     use_flash: bool = False,
     remat: bool = False,
 ):
@@ -300,7 +303,7 @@ def forward(
                 sin=sin, cos=cos, positions=positions, bias=bias,
                 layer_past=lp, use_flash=use_flash,
                 q_segment_ids=q_seg, kv_segment_ids=kv_seg,
-                kv_write_index=kv_write_index,
+                kv_write_index=kv_write_index, act_int8=act_int8,
             )
             if use_cache:
                 presents_list.append(present)
@@ -318,7 +321,7 @@ def forward(
                 sin=sin, cos=cos, positions=positions, bias=bias,
                 layer_past=layer_past, use_flash=use_flash,
                 q_segment_ids=q_seg, kv_segment_ids=kv_seg,
-                kv_write_index=kv_write_index,
+                kv_write_index=kv_write_index, act_int8=act_int8,
             )
             return h, present if use_cache else None
 

@@ -54,3 +54,29 @@ def linear(x: jax.Array, p: dict, preferred=None) -> jax.Array:
 def linear_out_dim(p: dict) -> int:
     k = p.get("kernel_q", p.get("kernel"))
     return k.shape[-1]
+
+
+def linear_act_int8(x: jax.Array, p: dict, preferred=None) -> jax.Array:
+    """Dynamic per-token int8 activation quant + int8 weights -> s8xs8
+    MXU matmul (2x bf16 rate on v5e).  Opt-in prefill path: the compute-
+    bound prefill doubles throughput; expect ~0.2-0.5% logit error from the
+    activation quantization (weight-only stays the default).
+    Falls back to `linear` when the weight isn't quantized."""
+    if "kernel_q" not in p:
+        return linear(x, p, preferred)
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, p["kernel_q"],
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx * p["scale"]
+    if "lora_a" in p:
+        delta = (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
+        y = y + delta.astype(y.dtype) * p["lora_scale"].astype(y.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y if preferred is not None else y.astype(x.dtype)

@@ -185,3 +185,29 @@ def test_padded_prefill_cache_equals_unpadded():
     )
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5,
                                rtol=1e-5)
+
+
+def test_act_int8_path_close_to_weight_only():
+    """The opt-in int8-activation prefill path stays within quantization
+    tolerance of the weight-only path (tiny random model, f32 weights
+    quantized)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lavida_mod_tpu.config import tiny_llada_config
+    from lavida_mod_tpu.models import llada as jl
+
+    cfg = tiny_llada_config()
+    params = jl.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = jl.quantize_params(jl.unstack_blocks(params))
+    ids = jnp.asarray(np.arange(5, 21)[None])
+    emb = jl.embed_tokens(qparams, ids)
+    base, _ = jl.forward(qparams, cfg, emb)
+    act8, _ = jl.forward(qparams, cfg, emb, act_int8=True)
+    base = np.asarray(base)
+    act8 = np.asarray(act8)
+    # same argmax almost everywhere; logits within a few percent rel
+    agree = (base.argmax(-1) == act8.argmax(-1)).mean()
+    assert agree > 0.9, agree
+    rel = np.abs(act8 - base).max() / (np.abs(base).max() + 1e-9)
+    assert rel < 0.1, rel
