@@ -69,11 +69,15 @@ class LavidaEvalModel:
         tokenizer,
         conv_template: str = "llada",
         mc_num: int = 16,
+        prefix_bucket: Optional[int] = 128,
     ):
         self.model = model
         self.tokenizer = tokenizer
         self.conv_template = conv_template
         self.mc_num = mc_num
+        # pad prompt lengths to buckets so a task sweep compiles O(1)
+        # executables instead of one per prompt length
+        self.prefix_bucket = prefix_bucket
         self.processor = SigLIPImageProcessor(
             size=model.cfg.vision.siglip.image_size
         )
@@ -104,7 +108,13 @@ class LavidaEvalModel:
         )
         input_ids, views, sizes = self._build_inputs(text, images)
         t0 = time.perf_counter()
-        out = self.model.generate(input_ids, views, sizes, gen)
+        out = self.model.generate(
+            input_ids, views, sizes, gen,
+            prefix_bucket=(
+                self.prefix_bucket
+                if not isinstance(gen, DreamGenerationConfig) else None
+            ),
+        )
         dt = time.perf_counter() - t0
         self.latencies.append(dt)
         return self.model.decode_output(out, self.tokenizer)

@@ -182,14 +182,40 @@ class LaViDa:
         draft_tokens: Optional[np.ndarray] = None,
         key: Optional[jax.Array] = None,
         image_features: Optional[Sequence[jax.Array]] = None,
+        prefix_bucket: Optional[int] = None,
         use_flash: bool = False,
     ) -> np.ndarray:
-        """predict.py-equivalent single-sample generation. Returns [G] ids."""
+        """predict.py-equivalent single-sample generation. Returns [G] ids.
+
+        prefix_bucket: pad the prefix length up to a multiple of this value
+        (masked via prefix_valid) so eval sweeps with varying prompt
+        lengths reuse a handful of compiled executables instead of
+        recompiling per length.  The reference never needs this because
+        torch is eager; under jit it is what makes large eval runs cheap.
+        """
         gen = gen or GenerationConfig()
         prefix = self.encode_prompt(
             input_ids, images, image_sizes, image_features
         )
+        prefix_valid = None
+        if prefix_bucket:
+            P = prefix.shape[1]
+            Pb = -(-P // prefix_bucket) * prefix_bucket
+            if Pb > P:
+                # pad at the FRONT so gen positions stay contiguous with
+                # the real prefix tail (RoPE positions shift uniformly,
+                # which the bidirectional model is invariant to only via
+                # masking — hence pad positions are masked out entirely)
+                pad = jnp.zeros((1, Pb - P, prefix.shape[-1]), prefix.dtype)
+                prefix = jnp.concatenate([pad, prefix], axis=1)
+                prefix_valid = jnp.concatenate(
+                    [jnp.zeros((1, Pb - P), bool), jnp.ones((1, P), bool)],
+                    axis=1,
+                )
         if isinstance(gen, DreamGenerationConfig):
+            assert prefix_valid is None, (
+                "prefix bucketing for the Dream sampler is not wired yet"
+            )
             out = dream_generate(
                 self.params["llada"], self.cfg.llada, prefix, gen,
                 key=key, use_flash=use_flash,
@@ -201,6 +227,7 @@ class LaViDa:
                 jnp.asarray(draft_tokens)[None]
                 if draft_tokens is not None else None
             ),
+            prefix_valid=prefix_valid,
             key=key, use_flash=use_flash,
         )
         return np.asarray(out)[0]
