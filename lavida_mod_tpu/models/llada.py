@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import LLaDAConfig
-from ..ops.attention import dense_attention, flash_attention, make_bias
+from ..ops.attention import (blockwise_attention, dense_attention,
+                             flash_attention, make_bias)
 from ..ops.norms import apply_norm
 from ..ops.quant import linear, linear_act_int8, quantize_linear
 from ..ops.rope import apply_rope, rope_tables
@@ -130,6 +131,7 @@ def _block(
     kv_segment_ids: Optional[jax.Array],
     kv_write_index: Optional[jax.Array] = None,
     act_int8: bool = False,
+    blockwise_args: Optional[dict] = None,
 ):
     """One transformer block. x: [B, T, D]. Returns (x, (k_rot, v))."""
     B, T, D = x.shape
@@ -178,7 +180,9 @@ def _block(
             k = jnp.concatenate([pk, k], axis=1)
             v = jnp.concatenate([pv, v], axis=1)
 
-    if use_flash:
+    if blockwise_args is not None:
+        att = blockwise_attention(q, k, v, **blockwise_args)
+    elif use_flash:
         att = flash_attention(q, k, v, q_segment_ids, kv_segment_ids)
     else:
         att = dense_attention(q, k, v, bias=bias)
@@ -212,6 +216,8 @@ def forward(
     kv_write_index: Optional[jax.Array] = None,
     act_int8: bool = False,
     use_flash: bool = False,
+    attention_impl: str = "dense",
+    kv_block: int = 1024,
     remat: bool = False,
 ):
     """Run the transformer on input embeddings.
@@ -264,12 +270,21 @@ def forward(
         pv = kv_valid if kv_valid is not None else jnp.ones((B, past_len), bool)
         sv = self_valid if self_valid is not None else jnp.ones((B, T), bool)
         valid = jnp.concatenate([pv, sv], axis=1) if past_len else sv
-    bias = make_bias(
-        kv_valid=valid,
-        prefix_lengths=prefix_lengths,
-        q_positions=positions if prefix_lengths is not None else None,
-        kv_positions=kv_pos if prefix_lengths is not None else None,
-    )
+    blockwise_args = None
+    if attention_impl == "blockwise":
+        assert not causal and not use_flash
+        blockwise_args = dict(
+            kv_valid=valid, prefix_lengths=prefix_lengths,
+            q_positions=positions, kv_block=kv_block,
+        )
+        bias = None
+    else:
+        bias = make_bias(
+            kv_valid=valid,
+            prefix_lengths=prefix_lengths,
+            q_positions=positions if prefix_lengths is not None else None,
+            kv_positions=kv_pos if prefix_lengths is not None else None,
+        )
     if causal:
         cmask = positions.reshape(1, 1, -1, 1) >= kv_pos.reshape(1, 1, 1, -1)
         cbias = jnp.where(cmask, 0.0, -1e30)
@@ -304,6 +319,7 @@ def forward(
                 layer_past=lp, use_flash=use_flash,
                 q_segment_ids=q_seg, kv_segment_ids=kv_seg,
                 kv_write_index=kv_write_index, act_int8=act_int8,
+                blockwise_args=blockwise_args,
             )
             if use_cache:
                 presents_list.append(present)
@@ -322,6 +338,7 @@ def forward(
                 layer_past=layer_past, use_flash=use_flash,
                 q_segment_ids=q_seg, kv_segment_ids=kv_seg,
                 kv_write_index=kv_write_index, act_int8=act_int8,
+                blockwise_args=blockwise_args,
             )
             return h, present if use_cache else None
 

@@ -107,6 +107,89 @@ def flash_attention(
     return out.transpose(0, 2, 1, 3)
 
 
+def blockwise_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    kv_valid: jax.Array | None = None,        # [B, S] bool
+    prefix_lengths: jax.Array | None = None,  # [B]
+    q_positions: jax.Array | None = None,     # [T] absolute
+    scale: float | None = None,
+    kv_block: int = 1024,
+) -> jax.Array:
+    """Memory-bounded attention: online-softmax accumulation over KV blocks
+    (flash-attention's algorithm in pure XLA, scan over key blocks).
+
+    Exists for LONG-sequence training: the reference trains at up to 30720
+    tokens (llava_llada.py:195-203) where dense scores ([H, T, T] f32) are
+    3.8GB/layer; this keeps peak at O(T x kv_block).  The prefix-LM block
+    mask and key-padding mask are computed per KV block inside the scan —
+    nothing O(T x S) is ever materialized.  Differentiable; remat-friendly.
+
+    Shapes as dense_attention: q [B,T,Hq,hd]; k,v [B,S,Hkv,hd].
+    """
+    B, T, Hq, hd = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    G = Hq // Hkv
+    if scale is None:
+        scale = 1.0 / (hd**0.5)
+    if q_positions is None:
+        q_positions = jnp.arange(T, dtype=jnp.int32)
+    nb = -(-S // kv_block)
+    Sp = nb * kv_block
+    pad = Sp - S
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    valid = jnp.ones((B, Sp), bool) if kv_valid is None else jnp.pad(
+        kv_valid, ((0, 0), (0, pad))
+    )
+    if pad:
+        valid = valid & (jnp.arange(Sp) < S)[None]
+
+    qg = q.reshape(B, T, Hkv, G, hd)
+    kb = k.reshape(B, nb, kv_block, Hkv, hd).transpose(1, 0, 2, 3, 4)
+    vb = v.reshape(B, nb, kv_block, Hkv, hd).transpose(1, 0, 2, 3, 4)
+    validb = valid.reshape(B, nb, kv_block).transpose(1, 0, 2)
+    starts = jnp.arange(nb, dtype=jnp.int32) * kv_block
+
+    def step(carry, xs):
+        m, l, acc = carry
+        kblk, vblk, vld, start = xs
+        s = jnp.einsum("bthgd,bshd->bhgts", qg, kblk,
+                       preferred_element_type=jnp.float32) * scale
+        # per-block mask: padding + prefix-LM (allowed = kv in prefix
+        # OR q in suffix) — O(T x kv_block) only
+        allowed = vld[:, None, :]                       # [B, 1, blk]
+        if prefix_lengths is not None:
+            kv_pos = start + jnp.arange(kv_block, dtype=jnp.int32)
+            pl = prefix_lengths[:, None, None].astype(jnp.int32)
+            a2 = (kv_pos[None, None, :] < pl) | (
+                q_positions[None, :, None] >= pl
+            )                                           # [B, T, blk]
+            allowed = allowed & a2
+        else:
+            allowed = jnp.broadcast_to(allowed, (B, T, kv_block))
+        s = jnp.where(allowed[:, None, None], s, NEG_INF)
+        m_new = jnp.maximum(m, s.max(axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[..., None])
+        l = l * alpha + p.sum(axis=-1)
+        pv = jnp.einsum("bhgts,bshd->bthgd", p.astype(vblk.dtype), vblk,
+                        preferred_element_type=jnp.float32)
+        acc = acc * alpha.transpose(0, 3, 1, 2)[..., None] + pv
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((B, Hkv, G, T), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, Hkv, G, T), jnp.float32)
+    a0 = jnp.zeros((B, T, Hkv, G, hd), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(step, (m0, l0, a0),
+                                  (kb, vb, validb, starts))
+    out = acc / jnp.maximum(l, 1e-30).transpose(0, 3, 1, 2)[..., None]
+    return out.reshape(B, T, Hq, hd).astype(q.dtype)
+
+
 def make_bias(
     kv_valid: jax.Array | None = None,
     prefix_lengths: jax.Array | None = None,
