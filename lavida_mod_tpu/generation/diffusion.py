@@ -119,6 +119,7 @@ def _generate_cached_fused_body(
     remasking: str,
     use_flash: bool,
     act_int8_prefill: bool = False,
+    use_flash_prefill: bool = False,
 ):
     """Prefill + full denoise loop as ONE executable: a single dispatch per
     image, no intermediate host round-trips (the reference pays a python
@@ -126,7 +127,8 @@ def _generate_cached_fused_body(
     _, cache = llada_model.forward(
         params, cfg, prefix_embeds,
         self_valid=prefix_valid,
-        use_cache=True, return_logits=False, use_flash=use_flash,
+        use_cache=True, return_logits=False,
+        use_flash=use_flash or use_flash_prefill,
         act_int8=act_int8_prefill,
     )
     P = prefix_embeds.shape[1]
@@ -141,7 +143,7 @@ def _generate_cached_fused_body(
 _generate_cached_fused = jax.jit(
     _generate_cached_fused_body,
     static_argnames=("cfg", "temperature", "remasking", "use_flash",
-                     "act_int8_prefill"),
+                     "act_int8_prefill", "use_flash_prefill"),
 )
 
 
@@ -244,6 +246,7 @@ def generate(
     key: Optional[jax.Array] = None,
     use_flash: bool = False,
     act_int8_prefill: bool = False,
+    use_flash_prefill: bool = False,
     verbose: bool = False,
 ):
     """Generate `gen.max_new_tokens` tokens after the given prefix embeddings.
@@ -282,6 +285,7 @@ def generate(
                 prefix_valid, key,
                 temperature=gen.temperature, remasking=gen.remasking,
                 use_flash=use_flash, act_int8_prefill=act_int8_prefill,
+                use_flash_prefill=use_flash_prefill,
             )
         cache = prefill(params, cfg, prefix_embeds, prefix_valid, use_flash)
         positions = jnp.arange(P, P + G, dtype=jnp.int32)

@@ -342,7 +342,12 @@ def multimodal_embeds(
         ],
         axis=0,
     )
-    return table[gather_idx]
+    from ..ops.pallas_gather import gather_rows_auto
+
+    B2, T2 = gather_idx.shape
+    return gather_rows_auto(
+        table, gather_idx.reshape(-1)
+    ).reshape(B2, T2, D)
 
 
 def prepare_multimodal_batch(
