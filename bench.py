@@ -32,24 +32,12 @@ def main():
     from lavida_mod_tpu.models import llada as llada_model
     from lavida_mod_tpu.models import multimodal
 
+    from lavida_mod_tpu.models.lavida import LaViDa
+
     cfg = LaViDaConfig()
-    key = jax.random.PRNGKey(0)
-
-    # Serving layout: int8 weight-only LM (ops/quant.py — the 8B LM in bf16
-    # cannot co-reside with its KV cache in a v5e's 15.75G usable HBM, and
-    # the fused int8 weight read is faster than bf16 on the bandwidth-bound
-    # decode loop), unrolled layers (no scan layout copies).  Weights are
-    # zeros — TPU latency is weight-value independent, and materializing
-    # random 8B tensors transiently doubles HBM.
-    def build(k):
-        p = multimodal.init_params(cfg, k, jnp.bfloat16)
-        p["llada"] = llada_model.quantize_params(
-            llada_model.unstack_blocks(p["llada"])
-        )
-        return p
-
-    shapes = jax.eval_shape(build, key)
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    # Serving layout: int8 weight-only LM, unrolled layers, zero weights
+    # (latency is weight-value independent; see LaViDa.zero_init docstring)
+    params = LaViDa.zero_init(cfg, jnp.bfloat16, quantized=True).params
 
     # HD anyres input: base + 4 tiles (the square (768,768) pinpoint);
     # inputs vary per run so transport-level memoization can't flatter us

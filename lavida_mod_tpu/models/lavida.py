@@ -146,6 +146,25 @@ class LaViDa:
         params = multimodal.init_params(cfg, jax.random.PRNGKey(seed), dtype)
         return cls(cfg, params)
 
+    @classmethod
+    def zero_init(cls, cfg: LaViDaConfig, dtype=jnp.bfloat16,
+                  quantized: bool = True) -> "LaViDa":
+        """Weight-free instantiation for latency smoke runs: allocates the
+        exact serving layout (optionally int8) without materializing any
+        transient full-precision tensors — 8B random init doesn't fit a
+        v5e next to its quantized copy."""
+        def build(k):
+            p = multimodal.init_params(cfg, k, dtype)
+            if quantized:
+                p["llada"] = llada_model.quantize_params(
+                    llada_model.unstack_blocks(p["llada"])
+                )
+            return p
+
+        shapes = jax.eval_shape(build, jax.random.PRNGKey(0))
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        return cls(cfg, params)
+
     # ------------------------------------------------------------------
     # Inference
     # ------------------------------------------------------------------

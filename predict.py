@@ -41,6 +41,8 @@ def main():
                     help="SHIRG-Fovea 2-view token selection instead of anyres")
     ap.add_argument("--shirg-method", default="base")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--no-quant", action="store_true",
+                    help="keep bf16 LM weights (full 8B won't fit one v5e)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--warmup", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
@@ -88,9 +90,23 @@ def main():
 
         tokenizer = AutoTokenizer.from_pretrained(args.model_path)
     else:
-        print("[predict] no --model-path: random-init weights")
-        model = LaViDa.random_init(cfg, args.seed, dtype)
         tokenizer = None
+        if args.tiny:
+            print("[predict] no --model-path: random-init tiny weights")
+            model = LaViDa.random_init(cfg, args.seed, dtype)
+        else:
+            print("[predict] no --model-path: zero weights (latency smoke)")
+            model = LaViDa.zero_init(cfg, dtype,
+                                     quantized=not args.no_quant)
+
+    if args.model_path and not args.tiny and not args.no_quant:
+        # serving layout: int8 LM + unrolled layers — the 8B bf16 weights
+        # cannot co-reside with the KV cache in a v5e's HBM (README)
+        from lavida_mod_tpu.models import llada as llada_model
+
+        model.params["llada"] = llada_model.quantize_params(
+            llada_model.unstack_blocks(model.params["llada"])
+        )
 
     conv = get_conv_template(args.conv_template)
     if tokenizer is not None:

@@ -54,6 +54,14 @@ def main():
     ap.add_argument("--save-every", type=int, default=500)
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--adapter-only-save", action="store_true")
+    ap.add_argument("--eval-tasks", default=None,
+                    help="comma-separated lite tasks run every --eval-every "
+                         "steps against live params (LLaVAEvalTrainer "
+                         "analogue); needs --tokenizer-path + task data")
+    ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--eval-limit", type=int, default=32)
+    ap.add_argument("--eval-data-path", default=None,
+                    help="task=path jsonl overrides, comma-separated")
     ap.add_argument("--wandb", action="store_true")
     ap.add_argument("--tokenizer-path", default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -217,6 +225,21 @@ def main():
             rank0_print(f"[train] step {step + 1}: loss={m['loss']:.4f} "
                         f"acc_mask={m['acc_mask']:.3f} "
                         f"({m['steps_per_s']:.2f} it/s)")
+        if args.eval_tasks and (step + 1) % args.eval_every == 0:
+            from lavida_mod_tpu.train.eval_hook import run_in_training_eval
+
+            data_paths = {}
+            if args.eval_data_path:
+                for item in args.eval_data_path.split(","):
+                    k, _, v = item.partition("=")
+                    data_paths[k] = v
+            scores = run_in_training_eval(
+                cfg, params, tokenizer, args.eval_tasks.split(","),
+                data_paths or None, limit=args.eval_limit,
+                conv_template=args.style, lm_family=args.style,
+            )
+            logger.log(step + 1, scores)
+            rank0_print(f"[train] eval @ {step + 1}: {scores}")
         if (step + 1) % args.save_every == 0 or step + 1 == args.steps:
             if args.adapter_only_save:
                 p = save_adapter_only(args.output_dir, step + 1, params)
