@@ -12,6 +12,8 @@ import json
 import time
 from typing import Optional, Sequence
 
+import numpy as np
+
 from .adapter import LavidaEvalModel
 from .tasks import Task, get_task
 
@@ -34,6 +36,14 @@ def evaluate(
         if task.output_type == "generate_until":
             pred = model.generate_until(text, doc.get("images", []),
                                         merged_kwargs)
+        elif "choices" in doc:
+            # multiple-choice loglikelihood protocol: score every choice,
+            # predict the argmax (lmms-eval loglikelihood requests)
+            lls = [
+                model.loglikelihood(text, doc.get("images", []), str(c))
+                for c in doc["choices"]
+            ]
+            pred = str(doc["choices"][int(np.argmax(lls))])
         else:
             pred = model.loglikelihood(text, doc.get("images", []),
                                        str(doc["target"]))

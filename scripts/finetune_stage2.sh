@@ -1,0 +1,15 @@
+#!/usr/bin/env bash
+# Stage 2 — full-model HD finetune
+# (reference llada-hd-llada-s2.sh: anyres pinpoints, lr 2e-5 with vision
+#  tower at 2e-6, ZeRO-3 -> fsdp mesh, cosine_with_min_lr, in-training
+#  lite evals)
+python train.py \
+  --data-path "${DATA:-scripts/stage2.yaml}" \
+  --model-path runs/stage1/checkpoint-2200 \
+  --tokenizer-path "${BASE:-ckpts/llada-8b-instruct}" \
+  --output-dir runs/stage2 \
+  --tunable mm_mlp_adapter,mm_vision_tower,mm_language_model \
+  --lr 2e-5 --vision-tower-lr 2e-6 --warmup-ratio 0.03 \
+  --batch-size 4 --steps 10000 \
+  --dp 1 --fsdp 8 --tp 1 \
+  --eval-tasks chartqa --eval-every 1000 --eval-limit 64

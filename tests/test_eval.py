@@ -193,3 +193,25 @@ def test_jsonl_doc_loading(tmp_path):
     task = get_task("chartqa")
     docs = task.load_docs(str(p))
     assert len(docs) == 1 and docs[0]["images"][0].size == (40, 40)
+
+
+def test_evaluate_multiple_choice_loglikelihood(tiny_eval_model):
+    """MC loglikelihood protocol: all choices scored, argmax predicted."""
+    from lavida_mod_tpu.eval.evaluator import evaluate
+
+    docs = _synth_docs(2)
+    for d in docs:
+        d["choices"] = ["red", "blue"]
+        d["target"] = "red"
+    task = Task(
+        name="synthetic_mc_choices",
+        output_type="loglikelihood",
+        score_doc=lambda doc, pred: {
+            "acc": float(pred == doc["target"])
+        },
+        aggregate=lambda rows: {
+            "acc": sum(r["acc"] for r in rows) / len(rows)
+        },
+    )
+    out = evaluate(tiny_eval_model, task, docs, progress=False)
+    assert 0.0 <= out["results"]["acc"] <= 1.0
