@@ -54,11 +54,13 @@ def init_params(cfg: LaViDaConfig, key: jax.Array, dtype=jnp.float32) -> dict:
 
 
 def encode_views(params: dict, cfg: LaViDaConfig, pixel_values: jax.Array,
-                 remat: bool = False) -> jax.Array:
-    """[V, C, S, S] -> projected+pooled features [V, 196, D_lm].
+                 remat: bool = False, pool: bool = True) -> jax.Array:
+    """[V, C, S, S] -> projected(+pooled) features [V, T', D_lm].
 
     The jit-compiled device hot path of the vision stack; view count V is a
-    static shape (1 for square, 1+tiles for anyres).
+    static shape (1 for square, 1+tiles for anyres).  `pool=False` is the
+    reference's square/pad 4D-tensor path (llava_arch.py:700-702:
+    encode_images only — 729 unpooled tokens, no newline).
     """
     feats = siglip_model.forward(
         params["siglip"], cfg.vision.siglip, pixel_values, remat=remat
@@ -66,13 +68,15 @@ def encode_views(params: dict, cfg: LaViDaConfig, pixel_values: jax.Array,
     feats = projector_model.forward(
         params["projector"], cfg.vision.projector_type, feats
     )
+    if not pool:
+        return feats
     return pool_2d(
         feats, cfg.vision.spatial_pool_mode, cfg.vision.spatial_pool_stride
     )
 
 
 _encode_views_jit = jax.jit(
-    encode_views, static_argnames=("cfg", "remat")
+    encode_views, static_argnames=("cfg", "remat", "pool")
 )
 
 
@@ -117,9 +121,13 @@ def encode_image(
     remat: bool = False,
 ) -> jax.Array:
     """One image's views [V, C, S, S] -> merged token block [n, D_lm]."""
+    if views.shape[0] == 1 and cfg.vision.image_aspect_ratio in (
+        "square", "pad"
+    ):
+        # reference square/pad path: tower+projector only — UNPOOLED
+        # tokens, no newline (llava_arch.py:700-702)
+        return _encode_views_jit(params, cfg, views, remat, False)[0]
     feats = _encode_views_jit(params, cfg, views, remat)
-    if views.shape[0] == 1 and cfg.vision.image_aspect_ratio == "square":
-        return feats[0]  # square path: raw pooled tokens, no newline
     assert image_size is not None or views.shape[0] == 1
     return merge_anyres(
         feats, image_size or (cfg.vision.siglip.image_size,) * 2,

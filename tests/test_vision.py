@@ -217,3 +217,28 @@ def test_encode_and_splice_shapes():
     )
     assert e.shape[0] == 2 and bool(valid[1, 3:].any()) is False
     assert lens.tolist() == [5 + block.shape[0], 3]
+
+
+def test_square_pad_path_unpooled():
+    """The square/pad aspect path must return unpooled tokens with no
+    newline (llava_arch.py:700-702: encode_images only)."""
+    from lavida_mod_tpu.config import tiny_llada_config
+    from lavida_mod_tpu.models import multimodal as mm
+
+    cfg = LaViDaConfig(
+        llada=tiny_llada_config(),
+        vision=VisionConfig(
+            siglip=tiny_siglip_config(), mm_hidden_size=32,
+            image_aspect_ratio="pad",
+        ),
+    )
+    params = mm.init_params(cfg, jax.random.PRNGKey(0))
+    views = jnp.zeros((1, 3, 56, 56), jnp.float32)
+    block = mm.encode_image(params, cfg, views, (56, 56))
+    # 4x4 grid unpooled = 16 tokens, no newline token appended
+    assert block.shape == (16, cfg.llada.d_model)
+
+    # anyres config still pools + newlines
+    cfg2 = cfg.replace(vision=cfg.vision.replace(image_aspect_ratio="anyres"))
+    block2 = mm.encode_image(params, cfg2, views, (56, 56))
+    assert block2.shape == (4 + 1, cfg.llada.d_model)  # pooled 2x2 + newline
