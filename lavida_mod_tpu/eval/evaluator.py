@@ -25,12 +25,43 @@ def evaluate(
     gen_kwargs: Optional[dict] = None,
     log_samples: bool = False,
     progress: bool = True,
+    batch_size: int = 1,
 ) -> dict:
     rows = []
     samples = []
     merged_kwargs = dict(task.generation_kwargs)
     merged_kwargs.update(gen_kwargs or {})
     t_start = time.perf_counter()
+
+    if task.output_type == "generate_until" and batch_size > 1:
+        preds: list[str] = []
+        for lo in range(0, len(docs), batch_size):
+            chunk = docs[lo : lo + batch_size]
+            preds.extend(model.generate_until_batch(
+                [task.doc_to_text(d) for d in chunk],
+                [d.get("images", []) for d in chunk],
+                merged_kwargs,
+            ))
+            if progress:
+                print(f"[eval:{task.name}] {min(lo + batch_size, len(docs))}"
+                      f"/{len(docs)}", flush=True)
+        for doc, pred in zip(docs, preds):
+            row = (task.score_doc(doc, pred) if task.score_doc
+                   else {"pred": pred})
+            rows.append(row)
+            if log_samples:
+                samples.append({"id": doc.get("id"), "prediction": pred,
+                                **row})
+        results = task.aggregate(rows) if task.aggregate else {}
+        results.update(
+            avg_latency_s=model.avg_latency,
+            wall_s=time.perf_counter() - t_start, n_docs=len(docs),
+        )
+        out = {"task": task.name, "results": results}
+        if log_samples:
+            out["samples"] = samples
+        return out
+
     for i, doc in enumerate(docs):
         text = task.doc_to_text(doc)
         if task.output_type == "generate_until":

@@ -215,3 +215,18 @@ def test_evaluate_multiple_choice_loglikelihood(tiny_eval_model):
     )
     out = evaluate(tiny_eval_model, task, docs, progress=False)
     assert 0.0 <= out["results"]["acc"] <= 1.0
+
+
+def test_evaluate_batched_generation(tiny_eval_model):
+    """Batched path scores the same docs; predictions are per-doc."""
+    from lavida_mod_tpu.eval.evaluator import evaluate
+
+    task = Task(
+        name="synthetic_batched",
+        generation_kwargs={"max_new_tokens": 8},
+        score_doc=lambda doc, pred: {"len": len(pred)},
+        aggregate=lambda rows: {"n": len(rows)},
+    )
+    docs = _synth_docs(5)
+    out = evaluate(tiny_eval_model, task, docs, progress=False, batch_size=2)
+    assert out["results"]["n"] == 5
