@@ -168,6 +168,33 @@ class SupervisedDataset:
         raise err
 
 
+def length_grouped_indices(
+    lengths: Sequence[int],
+    batch_size: int,
+    rng: Optional[np.random.Generator] = None,
+    mega_factor: int = 50,
+) -> list[int]:
+    """Length-grouped shuffling (reference llava_trainer.py:54-241
+    LengthGroupedSampler): shuffle, take megabatches of
+    mega_factor*batch_size, sort each by length descending — random order
+    globally, similar lengths within a batch (less padding waste).
+    Negative lengths (text-only samples, modality_lengths convention) are
+    grouped among themselves first, like the modality-grouped variant."""
+    rng = rng or np.random.default_rng()
+    lengths = np.asarray(lengths)
+    order = rng.permutation(len(lengths))
+    mm = [i for i in order if lengths[i] >= 0]
+    txt = [i for i in order if lengths[i] < 0]
+    out: list[int] = []
+    for group in (mm, txt):
+        mega = mega_factor * batch_size
+        for lo in range(0, len(group), mega):
+            chunk = group[lo : lo + mega]
+            chunk = sorted(chunk, key=lambda i: -abs(int(lengths[i])))
+            out.extend(chunk)
+    return out
+
+
 def collate_batch(
     instances: Sequence[dict],
     pad_token_id: int,

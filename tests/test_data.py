@@ -169,3 +169,37 @@ def test_collator_negative_extra_pad():
     ]
     batch = collate_batch(items, pad_token_id=0, extra_pad=-5)
     assert batch["input_ids"].shape[1] == 5  # negative pad = no extension
+
+
+def test_length_grouped_indices():
+    from lavida_mod_tpu.data.dataset import length_grouped_indices
+
+    rng = np.random.default_rng(0)
+    lengths = [10, 200, 30, 150, -40, 5, -300, 80, 120, 60, 90, 45]
+    out = length_grouped_indices(lengths, batch_size=2, rng=rng,
+                                 mega_factor=3)
+    assert sorted(out) == list(range(len(lengths)))
+    # multimodal (>=0) indices come before text-only (<0) ones
+    mm_count = sum(1 for l in lengths if l >= 0)
+    assert all(lengths[i] >= 0 for i in out[:mm_count])
+    assert all(lengths[i] < 0 for i in out[mm_count:])
+    # within a megabatch, sorted by |length| descending
+    mega = out[:6]
+    vals = [abs(lengths[i]) for i in mega]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_debug_finite_utils():
+    import jax.numpy as jnp
+
+    from lavida_mod_tpu.utils.debug import (
+        assert_all_finite, count_nonfinite, ensure_finite,
+    )
+
+    x = jnp.array([1.0, np.nan, -np.inf, np.inf])
+    y = np.asarray(ensure_finite(x))
+    assert np.isfinite(y).all()
+    assert int(count_nonfinite({"a": x, "b": jnp.ones(3)})) == 3
+    assert_all_finite({"a": jnp.ones(2)})
+    with pytest.raises(AssertionError):
+        assert_all_finite({"a": x})
