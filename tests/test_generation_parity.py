@@ -154,3 +154,20 @@ def test_verbose_history(tiny_pair):
     # scan path and verbose path agree
     x2 = generate(params, cfg, prefix_embeds, gen_cfg)
     np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
+
+
+def test_batched_parity(tiny_pair):
+    """B=2 with different prompts: our per-row fixed-shape top-k must match
+    the reference's python per-row topk loop (generate.py:304-311)."""
+    ref_model, cfg, params = tiny_pair
+    prompts = np.stack([np.arange(7, 19), np.arange(100, 112)])
+    ref = _ref_generate(
+        ref_model, prompts, max_new_tokens=16, block_length=8,
+        prefix_lm=True, schedule="shift", schedule_kwargs={"shift": 0.33},
+    )
+    ours = _our_generate(
+        cfg, params, prompts,
+        GenerationConfig(max_new_tokens=16, block_length=8, prefix_lm=True,
+                         schedule="shift", schedule_shift=0.33),
+    )
+    np.testing.assert_array_equal(ours, ref)
