@@ -29,9 +29,7 @@ def main():
 
     from lavida_mod_tpu.config import GenerationConfig, LaViDaConfig
     from lavida_mod_tpu.generation import diffusion
-    from lavida_mod_tpu.models import llada as llada_model
     from lavida_mod_tpu.models import multimodal
-
     from lavida_mod_tpu.models.lavida import LaViDa
 
     cfg = LaViDaConfig()

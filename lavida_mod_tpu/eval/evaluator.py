@@ -96,6 +96,19 @@ def evaluate(
     return out
 
 
+def shard_docs(docs: Sequence[dict]) -> Sequence[dict]:
+    """Multi-host data-parallel eval: each process scores a strided shard
+    (the GSPMD analogue of the reference's 8-proc accelerate DDP loop,
+    eval adapter llava_llada.py:174-198).  Single-host: identity.  Metric
+    aggregation across hosts is the caller's job (process_allgather)."""
+    import jax
+
+    n = jax.process_count()
+    if n <= 1:
+        return docs
+    return docs[jax.process_index()::n]
+
+
 def simple_evaluate(
     model: LavidaEvalModel,
     tasks: Sequence[str],
@@ -104,17 +117,19 @@ def simple_evaluate(
     gen_kwargs: Optional[dict] = None,
     log_samples: bool = False,
     output_path: Optional[str] = None,
+    batch_size: int = 1,
 ) -> dict:
     """Run several tasks; returns {task: results}.  data_paths maps task
     name -> local jsonl/dataset override."""
     all_results = {}
     for name in tasks:
         task = get_task(name)
-        docs = task.load_docs(
+        docs = shard_docs(task.load_docs(
             (data_paths or {}).get(name), limit=limit
-        )
+        ))
         all_results[name] = evaluate(
-            model, task, docs, gen_kwargs, log_samples
+            model, task, docs, gen_kwargs, log_samples,
+            batch_size=batch_size,
         )
     if output_path:
         with open(output_path, "w") as f:

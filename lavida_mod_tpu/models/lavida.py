@@ -15,6 +15,7 @@ LLaDAModelLM.base_model_prefix="model", LlavaMetaModel attributes):
 
 from __future__ import annotations
 
+import functools
 import glob
 import os
 from typing import Optional, Sequence
@@ -82,9 +83,6 @@ def convert_lavida_state_dict(
         else jnp.zeros((cfg.llada.d_model,), dtype)
     )
     return params
-
-
-import functools
 
 
 @functools.partial(

@@ -25,6 +25,23 @@ from jax.sharding import Mesh
 AXES = ("dp", "fsdp", "tp")
 
 
+def maybe_init_distributed():
+    """Multi-host bring-up: call before building a mesh when running on a
+    multi-host slice.  jax.distributed picks coordinator/host-count from
+    the TPU environment; safe no-op when single-host or already
+    initialized.  Collectives then ride ICI within a slice and DCN across
+    (the mesh's outer axes span hosts automatically via mesh_utils)."""
+    try:
+        if jax.process_count() > 1:
+            return  # already initialized
+    except Exception:
+        pass
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        pass  # single-host / no coordinator env: fine
+
+
 def make_mesh(
     dp: int = 1,
     fsdp: Optional[int] = None,

@@ -130,6 +130,9 @@ def main():
     )
     rank0_print(f"[train] dataset: {len(ds)} samples")
 
+    from lavida_mod_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     mesh = make_mesh(dp=args.dp, fsdp=args.fsdp, tp=args.tp)
     rank0_print(f"[train] mesh: {mesh.shape}")
 
