@@ -203,10 +203,17 @@ def shirg_scores(
 
 def topk_select(tokens: jax.Array, scores: jax.Array, k: int) -> jax.Array:
     """The fused top-k gather: [B, N, D] + [B, N] -> [B, K, D], keeping
-    torch.topk's score-descending order (siglip_shirg.py:532-545)."""
+    torch.topk's score-descending order (siglip_shirg.py:532-545).  On TPU
+    the gather leg streams through the Pallas row-gather kernel
+    (ops/pallas_gather.py)."""
     # epsilon budget guarantee (:531-535)
     scores = scores + 1e-6
     _, idx = jax.lax.top_k(scores, k)
+    B, N, D = tokens.shape
+    if B == 1 and jax.default_backend() == "tpu" and D % 128 == 0:
+        from ..ops.pallas_gather import gather_rows
+
+        return gather_rows(tokens[0], idx[0])[None]
     return jnp.take_along_axis(tokens, idx[..., None], axis=1)
 
 

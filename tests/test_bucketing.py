@@ -62,3 +62,21 @@ def test_bucket_is_noop_when_aligned(model):
     a = model.generate(ids, gen=gen, prefix_bucket=32)
     b = model.generate(ids, gen=gen)
     np.testing.assert_array_equal(a, b)
+
+
+def test_generate_fused_matches_generate(model):
+    """Single-executable fused path == multi-dispatch path, token-exact."""
+    from lavida_mod_tpu.data.anyres import anyres_grid_shape
+
+    rng = np.random.default_rng(1)
+    nw, nh = anyres_grid_shape(
+        (100, 60), model.cfg.vision.grid_pinpoints, 56
+    )
+    views = rng.standard_normal((1 + nw * nh, 3, 56, 56)).astype(np.float32)
+    ids = np.array([5, 6, -200, 7, 8, 9])
+    gen = GenerationConfig(max_new_tokens=16, block_length=8,
+                           prefix_lm=True, schedule="shift",
+                           schedule_shift=0.33)
+    a = model.generate(ids, [views], [(100, 60)], gen)
+    b = model.generate_fused(ids, [views], [(100, 60)], gen)
+    np.testing.assert_array_equal(a, b)
