@@ -117,7 +117,10 @@ class LavidaEvalModel:
         )
         dt = time.perf_counter() - t0
         self.latencies.append(dt)
-        return self.model.decode_output(out, self.tokenizer)
+        from ..data.conversation import get_conv_template
+
+        stop_ids = get_conv_template(self.conv_template).stop_token_ids
+        return self.model.decode_output(out, self.tokenizer, stop_ids)
 
     def loglikelihood(self, text: str, images: Sequence,
                       continuation: str) -> float:

@@ -294,10 +294,17 @@ class LaViDa:
         )
         return np.asarray(out)[0]
 
-    def decode_output(self, ids: np.ndarray, tokenizer) -> str:
-        """Cut at eos and decode (predict.py:85 batch_decode behavior)."""
+    def decode_output(
+        self, ids: np.ndarray, tokenizer,
+        stop_ids: Optional[Sequence[int]] = None,
+    ) -> str:
+        """Cut at eos / conversation stop ids and decode (predict.py:85
+        batch_decode + the conv template's stop_token_ids, e.g. 126348 for
+        llada, conversation.py:474)."""
         ids = list(np.asarray(ids))
-        eos = self.cfg.llada.eos_token_id
-        if eos in ids:
-            ids = ids[: ids.index(eos)]
-        return tokenizer.decode(ids, skip_special_tokens=True).strip()
+        stops = {self.cfg.llada.eos_token_id, *(stop_ids or ())}
+        cut = len(ids)
+        for s in stops:
+            if s in ids:
+                cut = min(cut, ids.index(s))
+        return tokenizer.decode(ids[:cut], skip_special_tokens=True).strip()

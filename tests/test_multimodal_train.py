@@ -146,3 +146,35 @@ def test_multimodal_train_step_full(setup):
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0], losses
+
+
+def test_multi_image_gather_plan(setup):
+    """Two images in one sample: both -200 markers spliced in order."""
+    cfg, params = setup
+    from lavida_mod_tpu.data.anyres import anyres_grid_shape
+
+    rng = np.random.default_rng(2)
+    sizes = [(100, 60), (56, 56)]
+    n_views, pix = [], []
+    for s in sizes:
+        nw, nh = anyres_grid_shape(s, cfg.vision.grid_pinpoints, 56)
+        v = 1 + nw * nh
+        n_views.append(v)
+        pix.append(rng.standard_normal((v, 3, 56, 56)).astype(np.float32))
+    ids = [np.array([5, -200, 6, 7, -200, 8])]
+    gather_idx, text_ids, valid, labs = mm.build_gather_plan(
+        cfg, ids, [n_views], [sizes], [np.full(6, -100, np.int64)]
+    )
+    fused = mm.multimodal_embeds(
+        params, cfg, jnp.asarray(np.concatenate(pix, axis=0)),
+        jnp.asarray(text_ids), jnp.asarray(gather_idx),
+    )
+    eager, valid2, _, lens = mm.prepare_multimodal_batch(
+        cfg=cfg, params=params, batch_input_ids=ids,
+        batch_images=[[jnp.asarray(p) for p in pix]],
+        batch_image_sizes=[sizes],
+        batch_labels=[np.full(6, -100, np.int64)],
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(eager), atol=1e-5
+    )
