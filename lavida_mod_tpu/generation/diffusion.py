@@ -162,6 +162,47 @@ def _denoise_scan_cached_body(
     use_flash: bool,
 ):
     mask_id = cfg.mask_token_id
+    B, G = x.shape
+
+    if isinstance(params["blocks"], (list, tuple)) and not use_flash:
+        # WRITE-INDEX decode: pad each layer's cache to [P+G] once and
+        # write the gen K/V in place every step — the concat path copies
+        # the whole 1056-row prefix per layer per step (~1.3GB/step of
+        # pure memcpy at 8B scale).
+        P = cache["k"].shape[2]
+        cache_l = [
+            (
+                jnp.pad(cache["k"][li], ((0, 0), (0, G), (0, 0), (0, 0))),
+                jnp.pad(cache["v"][li], ((0, 0), (0, G), (0, 0), (0, 0))),
+            )
+            for li in range(cache["k"].shape[0])
+        ]
+        kv_valid = None
+        if prefix_valid is not None:
+            kv_valid = jnp.concatenate(
+                [prefix_valid, jnp.ones((B, G), bool)], axis=1
+            )
+
+        def step_w(carry, ctl):
+            x, cache_l, key = carry
+            k_row, b_end = ctl
+            key, sk = jax.random.split(key)
+            embeds = llada_model.embed_tokens(params, x)
+            logits, cache_l = llada_model.forward(
+                params, cfg, embeds,
+                positions=positions, kv_cache=cache_l, kv_valid=kv_valid,
+                kv_write_index=P, use_cache=True,
+            )
+            x = sampling.denoise_commit(
+                x, logits, x == mask_id, k_row, b_end,
+                temperature=temperature, remasking=remasking, key=sk,
+            )
+            return (x, cache_l, key), None
+
+        (x, _, _), _ = jax.lax.scan(
+            step_w, (x, cache_l, key), (k_table, block_end)
+        )
+        return x
 
     def step(carry, ctl):
         x, key = carry

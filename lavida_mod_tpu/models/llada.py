@@ -240,7 +240,13 @@ def forward(
     Returns (logits [B,T,V] or hidden [B,T,D], new_cache or None).
     """
     B, T, D = embeds.shape
-    past_len = 0 if kv_cache is None else kv_cache["k"].shape[2]
+    cache_is_list = isinstance(kv_cache, (list, tuple))
+    if kv_cache is None:
+        past_len = 0
+    elif cache_is_list:
+        past_len = kv_cache[0][0].shape[1]
+    else:
+        past_len = kv_cache["k"].shape[2]
     if kv_write_index is not None:
         assert kv_cache is not None
         S = past_len            # buffer size; this call writes inside it
@@ -312,7 +318,8 @@ def forward(
         for li, layer_p in enumerate(block_params):
             lp = None
             if kv_cache is not None:
-                lp = (kv_cache["k"][li], kv_cache["v"][li])
+                lp = (kv_cache[li] if cache_is_list
+                      else (kv_cache["k"][li], kv_cache["v"][li]))
             x, present = _block(
                 cfg, x, layer_p,
                 sin=sin, cos=cos, positions=positions, bias=bias,
@@ -323,11 +330,15 @@ def forward(
             )
             if use_cache:
                 presents_list.append(present)
-        presents = (
-            (jnp.stack([p[0] for p in presents_list]),
-             jnp.stack([p[1] for p in presents_list]))
-            if use_cache else None
-        )
+        if not use_cache:
+            presents = None
+        elif cache_is_list or kv_write_index is not None:
+            # per-layer list layout: lets XLA update each layer's buffer
+            # in place instead of restacking (decode hot path)
+            presents = presents_list
+        else:
+            presents = (jnp.stack([p[0] for p in presents_list]),
+                        jnp.stack([p[1] for p in presents_list]))
     else:
         def layer_fn(carry, scanned):
             h = carry
@@ -354,7 +365,8 @@ def forward(
 
     new_cache = None
     if use_cache:
-        new_cache = {"k": presents[0], "v": presents[1]}
+        new_cache = (presents if isinstance(presents, list)
+                     else {"k": presents[0], "v": presents[1]})
 
     if not return_logits:
         return x, new_cache

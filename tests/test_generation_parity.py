@@ -171,3 +171,31 @@ def test_batched_parity(tiny_pair):
                          schedule="shift", schedule_shift=0.33),
     )
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_unrolled_write_index_decode_matches_stacked(tiny_pair):
+    """The serving layout (unrolled layer list -> write-index fixed-buffer
+    decode) must produce the same tokens as the stacked concat path."""
+    _, cfg, params = tiny_pair
+    prompt = np.arange(7, 19)[None]
+    gen_cfg = GenerationConfig(max_new_tokens=16, block_length=8,
+                               prefix_lm=True, schedule="shift",
+                               schedule_shift=0.33)
+    prefix = jl.embed_tokens(params, jnp.asarray(prompt))
+    ref = np.asarray(generate(params, cfg, prefix, gen_cfg))
+    unrolled = jl.unstack_blocks(params)
+    out = np.asarray(generate(unrolled, cfg, prefix, gen_cfg))
+    np.testing.assert_array_equal(out, ref)
+
+    # and with a prefix_valid mask (bucketed serving path)
+    Pb = 16
+    pad = Pb - prefix.shape[1]
+    pe = jnp.concatenate(
+        [jnp.zeros((1, pad, prefix.shape[-1]), prefix.dtype), prefix], axis=1
+    )
+    pv = jnp.concatenate(
+        [jnp.zeros((1, pad), bool), jnp.ones((1, prefix.shape[1]), bool)],
+        axis=1,
+    )
+    out_b = np.asarray(generate(unrolled, cfg, pe, gen_cfg, prefix_valid=pv))
+    np.testing.assert_array_equal(out_b, ref)
