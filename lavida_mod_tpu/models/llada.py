@@ -389,6 +389,47 @@ def embed_tokens(params: Params, ids: jax.Array) -> jax.Array:
     return params["wte"][ids]
 
 
+def resize_token_embeddings(
+    params: Params, new_size: int, init: str = "mean"
+) -> Params:
+    """Grow (or shrink) the embedding table and untied head, initializing
+    new rows to the mean of existing embeddings — the reference's
+    initialize_vision_tokenizer behavior when special tokens are added
+    (llava_arch.py:912-952; predict.py:36-39 resize+tie after load)."""
+    out = dict(params)
+    wte = params["wte"]
+    old = wte.shape[0]
+    if new_size <= old:
+        out["wte"] = wte[:new_size]
+    else:
+        if init == "mean":
+            fill = jnp.broadcast_to(
+                wte.astype(jnp.float32).mean(axis=0, keepdims=True),
+                (new_size - old, wte.shape[1]),
+            ).astype(wte.dtype)
+        else:
+            fill = jnp.zeros((new_size - old, wte.shape[1]), wte.dtype)
+        out["wte"] = jnp.concatenate([wte, fill], axis=0)
+    if "ff_out" in params and "kernel" in params["ff_out"]:
+        head = params["ff_out"]["kernel"]          # [D, V]
+        if new_size <= head.shape[1]:
+            out["ff_out"] = {**params["ff_out"],
+                             "kernel": head[:, :new_size]}
+        else:
+            if init == "mean":
+                hfill = jnp.broadcast_to(
+                    head.astype(jnp.float32).mean(axis=1, keepdims=True),
+                    (head.shape[0], new_size - head.shape[1]),
+                ).astype(head.dtype)
+            else:
+                hfill = jnp.zeros(
+                    (head.shape[0], new_size - head.shape[1]), head.dtype
+                )
+            out["ff_out"] = {**params["ff_out"],
+                             "kernel": jnp.concatenate([head, hfill], axis=1)}
+    return out
+
+
 def unstack_blocks(params: Params) -> Params:
     """Stacked [L, ...] blocks dict -> list of per-layer dicts (the
     inference layout: python-unrolled layers, no scan layout copies)."""

@@ -280,3 +280,34 @@ def test_blockwise_long_seq_trains():
                      for g in jax.tree.leaves(grads)))
     )
     assert np.isfinite(gn) and gn > 0
+
+
+def test_resize_token_embeddings():
+    import jax
+    import jax.numpy as jnp
+
+    from lavida_mod_tpu.config import tiny_llada_config
+    from lavida_mod_tpu.models import llada as jl
+
+    cfg = tiny_llada_config()
+    params = jl.init_params(cfg, jax.random.PRNGKey(0))
+    V0 = params["wte"].shape[0]
+    grown = jl.resize_token_embeddings(params, V0 + 3)
+    assert grown["wte"].shape[0] == V0 + 3
+    assert grown["ff_out"]["kernel"].shape[1] == V0 + 3
+    # new rows are the mean of the old table (llava_arch.py:930-945)
+    mean = np.asarray(params["wte"], np.float32).mean(axis=0)
+    np.testing.assert_allclose(
+        np.asarray(grown["wte"][V0:], np.float32),
+        np.tile(mean, (3, 1)), atol=1e-5,
+    )
+    # old logits unchanged for old tokens
+    emb = jl.embed_tokens(grown, jnp.asarray(np.arange(5, 10)[None]))
+    lg, _ = jl.forward(grown, cfg, emb)
+    emb0 = jl.embed_tokens(params, jnp.asarray(np.arange(5, 10)[None]))
+    lg0, _ = jl.forward(params, cfg, emb0)
+    np.testing.assert_allclose(
+        np.asarray(lg)[..., :V0], np.asarray(lg0), atol=1e-5
+    )
+    shrunk = jl.resize_token_embeddings(params, V0 - 4)
+    assert shrunk["wte"].shape[0] == V0 - 4
