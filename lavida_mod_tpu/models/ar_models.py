@@ -53,3 +53,50 @@ def mistral_7b_config(**kw) -> LLaDAConfig:
     )
     base.update(kw)
     return LLaDAConfig(**base)
+
+
+def mixtral_8x7b_config(**kw) -> LLaDAConfig:
+    """Mixtral-8x7B geometry; blocks carry a "moe" params entry (moe.py)."""
+    base = dict(
+        d_model=4096, n_heads=32, n_kv_heads=8, n_layers=32,
+        mlp_hidden_size=14336, block_type="llama", activation="silu",
+        rope_theta=1000000.0, layer_norm_type="rms", rms_norm_eps=1e-5,
+        include_qkv_bias=False, vocab_size=32000, embedding_size=32000,
+        weight_tying=False, max_sequence_length=32768,
+        mask_token_id=31999, eos_token_id=2, pad_token_id=2,
+    )
+    base.update(kw)
+    return LLaDAConfig(**base)
+
+
+def convert_mixtral_moe_layer(state, layer_idx: int, n_experts: int = 8,
+                              dtype=None, prefix: str = "model."):
+    """HF mixtral naming -> our moe params for one layer:
+    block_sparse_moe.gate.weight + experts.N.{w1,w2,w3}.weight
+    (w1=gate/ff_proj, w3=up, w2=down/ff_out)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+
+    def get(name):
+        for cand in (prefix + name, name):
+            if cand in state:
+                return np.asarray(state[cand])
+        raise KeyError(name)
+
+    lp = f"layers.{layer_idx}.block_sparse_moe."
+    experts = {"ff_proj": [], "up_proj": [], "ff_out": []}
+    for e in range(n_experts):
+        experts["ff_proj"].append(get(f"{lp}experts.{e}.w1.weight").T)
+        experts["up_proj"].append(get(f"{lp}experts.{e}.w3.weight").T)
+        experts["ff_out"].append(get(f"{lp}experts.{e}.w2.weight").T)
+    return {
+        "router": {"kernel": jnp.asarray(get(f"{lp}gate.weight").T, dtype)},
+        "experts": {
+            k: {"kernel": jnp.asarray(np.stack(v), dtype)}
+            for k, v in experts.items()
+        },
+    }

@@ -191,6 +191,13 @@ def _block(
 
     h2 = apply_norm(x, p["ff_norm"], nt, rms_eps=cfg.rms_norm_eps,
                     ln_eps=cfg.layer_norm_eps)
+    if "moe" in p:
+        # mixture-of-experts FF (mixtral / qwen_moe AR baselines)
+        from .moe import moe_ff
+
+        ff, _ = moe_ff(h2, p["moe"])
+        x = x + ff
+        return x, present
     if cfg.block_type == "llama":
         ff = _act(cfg, lin(h2, p["ff_proj"])) * lin(h2, p["up_proj"])
     else:
