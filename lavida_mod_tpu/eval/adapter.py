@@ -124,6 +124,13 @@ class LavidaEvalModel:
 
     def loglikelihood(self, text: str, images: Sequence,
                       continuation: str) -> float:
+        if self.model.lm_family == "dream":
+            # reference parity: Dream's AR-shifted head has no MC estimator
+            # (llava_dream.py:366-376 raises NotImplementedError); the
+            # LLaDA estimator would silently mis-score shifted logits
+            raise NotImplementedError(
+                "loglikelihood is not supported for the Dream backbone"
+            )
         input_ids, views, sizes = self._build_inputs(text, images)
         prefix = self.model.encode_prompt(input_ids, views, sizes)
         ans = self.tokenizer(continuation).input_ids
