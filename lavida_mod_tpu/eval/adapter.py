@@ -95,20 +95,33 @@ class LavidaEvalModel:
         conv.append_message(conv.roles[0], msg)
         prompt = conv.get_prompt()
         input_ids = tokenizer_image_token(prompt, self.tokenizer)
-        views = process_images(
-            list(images), self.processor, self.model.cfg.vision
-        )
+        model = self.model
+        if len(images) > 1:
+            # reference multi-image setting forces "pad" (eval adapter
+            # llava_llada.py / llava_dream.py:289: anyres tiling per image
+            # would explode the context).  The facade swap keeps the
+            # processing and encode paths consistent.
+            model = LaViDa(
+                self.model.cfg.replace(
+                    vision=self.model.cfg.vision.replace(
+                        image_aspect_ratio="pad"
+                    )
+                ),
+                self.model.params, self.model.lm_family,
+            )
+        views = process_images(list(images), self.processor,
+                               model.cfg.vision)
         sizes = [im.size for im in images]
-        return input_ids, views, sizes
+        return input_ids, views, sizes, model
 
     def generate_until(self, text: str, images: Sequence,
                        gen_kwargs: Optional[dict] = None) -> str:
         gen = gen_kwargs_to_config(
             gen_kwargs or {}, self.model.lm_family
         )
-        input_ids, views, sizes = self._build_inputs(text, images)
+        input_ids, views, sizes, model = self._build_inputs(text, images)
         t0 = time.perf_counter()
-        out = self.model.generate(
+        out = model.generate(
             input_ids, views, sizes, gen,
             prefix_bucket=(
                 self.prefix_bucket
@@ -120,7 +133,7 @@ class LavidaEvalModel:
         from ..data.conversation import get_conv_template
 
         stop_ids = get_conv_template(self.conv_template).stop_token_ids
-        return self.model.decode_output(out, self.tokenizer, stop_ids)
+        return model.decode_output(out, self.tokenizer, stop_ids)
 
     def loglikelihood(self, text: str, images: Sequence,
                       continuation: str) -> float:
@@ -131,8 +144,8 @@ class LavidaEvalModel:
             raise NotImplementedError(
                 "loglikelihood is not supported for the Dream backbone"
             )
-        input_ids, views, sizes = self._build_inputs(text, images)
-        prefix = self.model.encode_prompt(input_ids, views, sizes)
+        input_ids, views, sizes, model = self._build_inputs(text, images)
+        prefix = model.encode_prompt(input_ids, views, sizes)
         ans = self.tokenizer(continuation).input_ids
         ans = np.asarray(ans[:300])  # llava_llada.py:322 answer truncation
         return get_log_likelihood(
@@ -162,9 +175,9 @@ class LavidaEvalModel:
         t0 = time.perf_counter()
         prefixes = []
         for text, images in zip(texts, images_list):
-            ids, views, sizes = self._build_inputs(text, images)
+            ids, views, sizes, model = self._build_inputs(text, images)
             prefixes.append(
-                self.model.encode_prompt(ids, views, sizes)[0]
+                model.encode_prompt(ids, views, sizes)[0]
             )
         bucket = self.prefix_bucket or 128
         Pb = max(-(-p.shape[0] // bucket) * bucket for p in prefixes)

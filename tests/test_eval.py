@@ -230,3 +230,19 @@ def test_evaluate_batched_generation(tiny_eval_model):
     docs = _synth_docs(5)
     out = evaluate(tiny_eval_model, task, docs, progress=False, batch_size=2)
     assert out["results"]["n"] == 5
+
+
+def test_multi_image_doc_uses_pad_mode(tiny_eval_model):
+    """Two images in a doc route through the pad facade (reference
+    multi-image behavior) and still generate."""
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    images = [
+        Image.fromarray(rng.integers(0, 255, (64, 80, 3), dtype=np.uint8))
+        for _ in range(2)
+    ]
+    out = tiny_eval_model.generate_until(
+        "compare the two images", images, {"max_new_tokens": 8}
+    )
+    assert isinstance(out, str) and out
