@@ -199,3 +199,39 @@ def test_unrolled_write_index_decode_matches_stacked(tiny_pair):
     )
     out_b = np.asarray(generate(unrolled, cfg, pe, gen_cfg, prefix_valid=pv))
     np.testing.assert_array_equal(out_b, ref)
+
+
+def test_fuzz_parity_random_configs(tiny_pair):
+    """Randomized sweep over (gen length, blocks, steps, schedule, prompt):
+    token-exact parity with the reference sampler on every combo."""
+    ref_model, cfg, params = tiny_pair
+    rng = np.random.default_rng(1234)
+    for trial in range(6):
+        gen_len = int(rng.choice([8, 16, 24, 32]))
+        divisors = [b for b in (4, 8, 16, 32) if gen_len % b == 0]
+        block = int(rng.choice(divisors))
+        schedule = rng.choice([None, "shift", "cosine", "linear"])
+        shift = float(rng.uniform(0.3, 3.0))
+        spb = rng.choice([None, 2, 4])
+        plen = int(rng.integers(4, 20))
+        prompt = rng.integers(3, 400, size=(1, plen))
+
+        kwargs = dict(max_new_tokens=gen_len, block_length=block,
+                      prefix_lm=True)
+        ours_cfg = dict(max_new_tokens=gen_len, block_length=block,
+                        prefix_lm=True)
+        if schedule is not None:
+            kwargs.update(schedule=schedule,
+                          schedule_kwargs={"shift": shift})
+            ours_cfg.update(schedule=schedule, schedule_shift=shift)
+        if spb is not None:
+            kwargs.update(step_per_block=int(spb))
+            ours_cfg.update(step_per_block=int(spb))
+
+        ref = _ref_generate(ref_model, prompt, **kwargs)
+        ours = _our_generate(cfg, params, prompt,
+                             GenerationConfig(**ours_cfg))
+        np.testing.assert_array_equal(
+            ours, ref,
+            err_msg=f"trial {trial}: {ours_cfg}",
+        )
