@@ -108,11 +108,56 @@ class ModelWorker:
         finally:
             self.queue_length -= 1
 
+    def openai_chat(self, payload: dict) -> dict:
+        """OpenAI-compatible /v1/chat/completions (the sglang_worker
+        analogue, reference llava/serve/sglang_worker.py): messages with
+        text and image_url (data: URIs) content parts."""
+        text_parts: list[str] = []
+        images: list[str] = []
+        for msg in payload.get("messages", []):
+            if msg.get("role") != "user":
+                continue
+            content = msg.get("content", "")
+            if isinstance(content, str):
+                text_parts.append(content)
+                continue
+            for part in content:
+                if part.get("type") == "text":
+                    text_parts.append(part.get("text", ""))
+                elif part.get("type") == "image_url":
+                    url = part["image_url"]["url"]
+                    if url.startswith("data:"):
+                        images.append(url.split(",", 1)[1])
+        gen_kwargs = {}
+        if "max_tokens" in payload:
+            gen_kwargs["max_new_tokens"] = int(payload["max_tokens"])
+        if payload.get("temperature"):
+            gen_kwargs["temperature"] = float(payload["temperature"])
+        out = self.generate({
+            "prompt": "\n".join(text_parts),
+            "images": images,
+            "gen_kwargs": gen_kwargs,
+        })
+        if out.get("error_code"):
+            return {"error": {"message": out.get("error", "generation failed")}}
+        return {
+            "object": "chat.completion",
+            "model": self.model_name,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": out["text"]},
+                "finish_reason": "stop",
+            }],
+            "usage": {"latency_s": out.get("latency_s")},
+        }
+
     def handle(self, path: str, payload: dict) -> dict:
         if path == "/worker_get_status":
             return self.status()
         if path in ("/worker_generate", "/worker_generate_stream"):
             return self.generate(payload)
+        if path == "/v1/chat/completions":
+            return self.openai_chat(payload)
         return {"error": f"unknown path {path}", "error_code": 1}
 
     def serve(self, host: str = "0.0.0.0", port: int = 21002):

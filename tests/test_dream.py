@@ -169,3 +169,24 @@ def test_dream_step_ratio_and_schedule(tiny_pair):
                               schedule_shift=0.33),
     )
     assert (np.asarray(out) != MASK_ID).all()
+
+
+def test_dream_fuzz_parity(tiny_pair):
+    """Randomized Dream-sampler sweep: token-exact vs the torch oracle."""
+    ref_model, cfg, params = tiny_pair
+    rng = np.random.default_rng(77)
+    for trial in range(4):
+        G = int(rng.choice([8, 16, 24]))
+        steps = int(rng.choice([4, 8, 16]))
+        alg = str(rng.choice(["maskgit_plus", "topk_margin"]))
+        plen = int(rng.integers(4, 16))
+        prompt = rng.integers(3, 400, size=(1, plen))
+        gen_cfg = DreamGenerationConfig(
+            max_new_tokens=G, steps=steps, alg=alg, prefix_lm=True
+        )
+        ref = _ref_dream_sample(ref_model, prompt, gen_cfg)
+        prefix = jl.embed_tokens(params, jnp.asarray(prompt))
+        ours = dream_generate(params, cfg, prefix, gen_cfg)
+        np.testing.assert_array_equal(
+            np.asarray(ours), ref, err_msg=f"trial {trial}: {gen_cfg}"
+        )

@@ -92,3 +92,46 @@ def test_worker_serves_web_ui():
     with urllib.request.urlopen(req) as r:
         out = json.loads(r.read())
     assert out["text"] == "ok" and out["error_code"] == 0
+
+
+def test_openai_chat_endpoint():
+    import base64
+    import io
+    import json
+    import threading
+    import time
+    import urllib.request
+
+    from PIL import Image
+
+    from lavida_mod_tpu.serve.worker import ModelWorker
+
+    class FakeEval:
+        def generate_until(self, text, images, gen_kwargs=None):
+            return f"saw {len(images)} image(s): {text[:20]}"
+
+    w = ModelWorker(FakeEval(), "m")
+    threading.Thread(target=w.serve, args=("127.0.0.1", 19322),
+                     daemon=True).start()
+    time.sleep(0.5)
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 10)).save(buf, "PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    body = {
+        "model": "m",
+        "max_tokens": 8,
+        "messages": [{"role": "user", "content": [
+            {"type": "text", "text": "what is this?"},
+            {"type": "image_url",
+             "image_url": {"url": f"data:image/png;base64,{b64}"}},
+        ]}],
+    }
+    req = urllib.request.Request(
+        "http://127.0.0.1:19322/v1/chat/completions",
+        json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        out = json.loads(r.read())
+    assert out["choices"][0]["message"]["content"].startswith("saw 1")
+    assert out["object"] == "chat.completion"
