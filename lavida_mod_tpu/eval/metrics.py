@@ -101,6 +101,82 @@ def cider_d(
 
 
 # ---------------------------------------------------------------------------
+# BLEU (corpus, uniform 1..n weights) and ROUGE-L — the rest of the COCO
+# caption metric list (coco2017_cap_val_lite.yaml:20-35); METEOR needs
+# WordNet and is omitted (the reference's own SPICE is commented out too)
+# ---------------------------------------------------------------------------
+
+def bleu(
+    candidates: Sequence[str],
+    references: Sequence[Sequence[str]],
+    max_n: int = 4,
+) -> float:
+    """Corpus BLEU-max_n with brevity penalty (x100)."""
+    p_log_sum = 0.0
+    c_len = 0
+    r_len = 0
+    clipped = [0] * max_n
+    totals = [0] * max_n
+    for cand, refs in zip(candidates, references):
+        ct = normalize_caption(cand)
+        rts = [normalize_caption(r) for r in refs]
+        c_len += len(ct)
+        r_len += min((abs(len(r) - len(ct)), len(r)) for r in rts)[1]
+        for n in range(1, max_n + 1):
+            cc = _ngram_counts(ct, n)
+            max_ref = Counter()
+            for rt in rts:
+                rc = _ngram_counts(rt, n)
+                for g, c in rc.items():
+                    max_ref[g] = max(max_ref[g], c)
+            clipped[n - 1] += sum(min(c, max_ref[g]) for g, c in cc.items())
+            totals[n - 1] += max(sum(cc.values()), 0)
+    for n in range(max_n):
+        if totals[n] == 0 or clipped[n] == 0:
+            return 0.0
+        p_log_sum += math.log(clipped[n] / totals[n]) / max_n
+    bp = 1.0 if c_len > r_len else math.exp(1 - r_len / max(c_len, 1))
+    return 100.0 * bp * math.exp(p_log_sum)
+
+
+def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if x == y
+                       else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l(
+    candidates: Sequence[str],
+    references: Sequence[Sequence[str]],
+    beta: float = 1.2,
+) -> float:
+    """Mean ROUGE-L F-beta over best reference (x100, pycocoevalcap
+    convention)."""
+    scores = []
+    for cand, refs in zip(candidates, references):
+        ct = normalize_caption(cand)
+        best = 0.0
+        for r in refs:
+            rt = normalize_caption(r)
+            lcs = _lcs_len(ct, rt)
+            if lcs == 0:
+                continue
+            p = lcs / len(ct)
+            rec = lcs / len(rt)
+            best = max(best, (1 + beta**2) * p * rec /
+                       (rec + beta**2 * p))
+        scores.append(best)
+    return 100.0 * sum(scores) / max(len(scores), 1)
+
+
+# ---------------------------------------------------------------------------
 # ANLS (docvqa)
 # ---------------------------------------------------------------------------
 

@@ -68,8 +68,7 @@ class Task:
         if limit is not None:
             ds = ds.select(range(min(limit, len(ds))))
         for i, d in enumerate(ds):
-            doc = dict(d)
-            doc.setdefault("id", i)
+            doc = _normalize_doc(dict(d), i)
             if self.doc_mapper:
                 doc = self.doc_mapper(doc)
             docs.append(doc)
@@ -91,6 +90,32 @@ class Task:
         return d
 
 
+def _normalize_doc(d: dict, idx: int) -> dict:
+    """Map common lmms-lab / HF dataset field names onto our doc schema
+    ({text, target, images, id, choices?}) so task defs stay declarative."""
+    d.setdefault("id", d.get("question_id", idx))
+    if "text" not in d:
+        for k in ("question", "query", "prompt"):
+            if k in d:
+                d["text"] = d[k]
+                break
+    if "target" not in d:
+        for k in ("answer", "answers", "label", "gt_answer"):
+            if k in d:
+                d["target"] = d[k]
+                break
+    if "images" not in d:
+        imgs = []
+        for k in ("image", "decoded_image", "image_1"):
+            v = d.get(k)
+            if v is not None:
+                imgs.extend(v if isinstance(v, list) else [v])
+        d["images"] = imgs
+    if "choices" not in d and "options" in d:
+        d["choices"] = d["options"]
+    return d
+
+
 # ---------------------------------------------------------------------------
 # scoring helpers
 # ---------------------------------------------------------------------------
@@ -106,7 +131,12 @@ def _mean_agg(key: str):
 def _caption_agg(rows: list[dict]) -> dict:
     cands = [r["prediction"] for r in rows]
     refs = [r["references"] for r in rows]
-    return {"CIDEr": M.cider_d(cands, refs)}
+    return {
+        "CIDEr": M.cider_d(cands, refs),
+        "Bleu_4": M.bleu(cands, refs, 4),
+        "Bleu_1": M.bleu(cands, refs, 1),
+        "ROUGE_L": M.rouge_l(cands, refs),
+    }
 
 
 def _mme_agg(rows: list[dict]) -> dict:

@@ -283,23 +283,30 @@ def forward(
         pv = kv_valid if kv_valid is not None else jnp.ones((B, past_len), bool)
         sv = self_valid if self_valid is not None else jnp.ones((B, T), bool)
         valid = jnp.concatenate([pv, sv], axis=1) if past_len else sv
+    # the prefix-LM / causal masks are about SEQUENCE structure, so they
+    # use sequence indices — NOT the RoPE `positions`, which training may
+    # shift (use_pos_skipping) without changing who attends to whom
+    if kv_write_index is not None:
+        mask_q_pos = kv_write_index + jnp.arange(T, dtype=jnp.int32)
+    else:
+        mask_q_pos = jnp.arange(past_len, past_len + T, dtype=jnp.int32)
     blockwise_args = None
     if attention_impl == "blockwise":
         assert not causal and not use_flash
         blockwise_args = dict(
             kv_valid=valid, prefix_lengths=prefix_lengths,
-            q_positions=positions, kv_block=kv_block,
+            q_positions=mask_q_pos, kv_block=kv_block,
         )
         bias = None
     else:
         bias = make_bias(
             kv_valid=valid,
             prefix_lengths=prefix_lengths,
-            q_positions=positions if prefix_lengths is not None else None,
+            q_positions=mask_q_pos if prefix_lengths is not None else None,
             kv_positions=kv_pos if prefix_lengths is not None else None,
         )
     if causal:
-        cmask = positions.reshape(1, 1, -1, 1) >= kv_pos.reshape(1, 1, 1, -1)
+        cmask = mask_q_pos.reshape(1, 1, -1, 1) >= kv_pos.reshape(1, 1, 1, -1)
         cbias = jnp.where(cmask, 0.0, -1e30)
         bias = cbias if bias is None else jnp.maximum(bias + cbias, -1e30)
 

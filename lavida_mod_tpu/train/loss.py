@@ -80,6 +80,7 @@ def diffusion_loss(
     policy_args: Optional[dict] = None,
     masked_indices: Optional[jax.Array] = None,   # test injection
     fim_id: Optional[int] = None,
+    pos_skip_range: int = 0,
     remat: bool = True,
     use_flash: bool = False,
 ):
@@ -116,8 +117,16 @@ def diffusion_loss(
         pl = jnp.argmax(labels_mask.astype(jnp.int32), axis=1)
         prefix_lengths = jnp.concatenate([pl, pl], axis=0)
 
+    positions = None
+    if pos_skip_range > 0:
+        # use_pos_skipping (llava_arch.py:894-900): shift all positions by
+        # a random offset so long-context RoPE ranges get exercised
+        key, kp = jax.random.split(key)
+        offset = jax.random.randint(kp, (), 0, pos_skip_range)
+        positions = offset + jnp.arange(L, dtype=jnp.int32)
     logits, _ = llada_model.forward(
         params, cfg, embeds2,
+        positions=positions,
         prefix_lengths=prefix_lengths,
         remat=remat, use_flash=use_flash,
     )

@@ -246,3 +246,23 @@ def test_multi_image_doc_uses_pad_mode(tiny_eval_model):
         "compare the two images", images, {"max_new_tokens": 8}
     )
     assert isinstance(out, str) and out
+
+
+def test_bleu_rouge():
+    cands = ["a cat sits on the mat", "dogs run fast"]
+    refs = [["a cat sits on the mat"], ["dogs run very fast"]]
+    assert M.bleu(cands[:1], refs[:1]) > 99.0
+    assert M.bleu(["zzz yyy"], [["aaa bbb"]]) == 0.0
+    assert M.rouge_l(cands[:1], refs[:1]) > 99.0
+    r = M.rouge_l(cands[1:], refs[1:])
+    assert 50.0 < r < 100.0
+
+
+def test_doc_normalization():
+    from lavida_mod_tpu.eval.tasks import _normalize_doc
+
+    d = _normalize_doc(
+        {"question": "q?", "answer": "a", "options": ["a", "b"]}, 3
+    )
+    assert d["text"] == "q?" and d["target"] == "a"
+    assert d["choices"] == ["a", "b"] and d["id"] == 3 and d["images"] == []

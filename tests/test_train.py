@@ -150,3 +150,28 @@ def test_param_specs_cover_llada_and_composed():
     assert get("llada/ln_f/weight") == shd.PartitionSpec()
     assert get("image_newline") == shd.PartitionSpec()
     assert batch_spec() == shd.PartitionSpec(("dp", "fsdp"))
+
+
+def test_pos_skipping_changes_logits_not_loss_magnitude():
+    cfg = tiny_llada_config()
+    params = jl.init_params(cfg.llada if hasattr(cfg, "llada") else cfg,
+                            jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B, L = 2, 16
+    ids = rng.integers(3, 400, size=(B, L))
+    labels = np.full((B, L), -100, np.int64)
+    labels[:, 8:] = ids[:, 8:]
+    embeds = jl.embed_tokens(params, jnp.asarray(ids))
+    masked = jnp.asarray(rng.random((B, L)) < 0.5)
+    base, _ = diffusion_loss(
+        params, cfg, embeds, jnp.asarray(labels), jax.random.PRNGKey(1),
+        prefix_lm=False, masked_indices=masked, remat=False,
+    )
+    skipped, _ = diffusion_loss(
+        params, cfg, embeds, jnp.asarray(labels), jax.random.PRNGKey(1),
+        prefix_lm=False, masked_indices=masked, pos_skip_range=256,
+        remat=False,
+    )
+    assert np.isfinite(float(skipped))
+    # offset positions change the loss value but keep it in a sane band
+    assert abs(float(skipped) - float(base)) < 2.0
