@@ -31,6 +31,10 @@ def main():
                     help="throughput mode: decode N images per dispatch "
                          "(decode is weight-bandwidth-bound, so batching "
                          "amortizes the weight reads)")
+    ap.add_argument("--int4", action="store_true",
+                    help="grouped-int4 LM weights via the Pallas kernel "
+                         "(half the weight memory; quality must be "
+                         "evaluated per checkpoint)")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -43,7 +47,50 @@ def main():
     cfg = LaViDaConfig()
     # Serving layout: int8 weight-only LM, unrolled layers, zero weights
     # (latency is weight-value independent; see LaViDa.zero_init docstring)
-    params = LaViDa.zero_init(cfg, jnp.bfloat16, quantized=True).params
+    if args.int4:
+        import jax as _jax
+
+        from lavida_mod_tpu.models import llada as _lm
+        from lavida_mod_tpu.models import multimodal as _mm
+        from lavida_mod_tpu.ops.quant import quantize_linear4
+
+        def build(k):
+            p = _mm.init_params(cfg, k, jnp.bfloat16)
+            p["llada"] = _lm.unstack_blocks(p["llada"])
+            return p
+
+        shapes = _jax.eval_shape(build, _jax.random.PRNGKey(0))
+
+        # build the int4 serving layout straight from shapes (zeros) —
+        # actually quantizing 16GB of device zeros round-trips the host
+        def q4_zero(d):
+            if isinstance(d, list):
+                return [q4_zero(x) for x in d]
+            if isinstance(d, dict):
+                if "kernel" in d and len(d["kernel"].shape) == 2:
+                    K, N = d["kernel"].shape
+                    out = {
+                        "kernel_p4": jnp.zeros((K // 2, N), jnp.int8),
+                        "scales4": jnp.zeros((K // 128, N), jnp.float32),
+                    }
+                    if "bias" in d:
+                        out["bias"] = jnp.zeros(
+                            d["bias"].shape, d["bias"].dtype
+                        )
+                    return out
+                return {k: q4_zero(v) for k, v in d.items()}
+            return jnp.zeros(d.shape, d.dtype)
+
+        params = {
+            k: (q4_zero(v) if k == "llada"
+                else _jax.tree.map(
+                    lambda sh: jnp.zeros(sh.shape, sh.dtype), v
+                ))
+            for k, v in shapes.items()
+        }
+        del quantize_linear4  # (imported for documentation of the path)
+    else:
+        params = LaViDa.zero_init(cfg, jnp.bfloat16, quantized=True).params
 
     # HD anyres input: base + 4 tiles (the square (768,768) pinpoint);
     # inputs vary per run so transport-level memoization can't flatter us
@@ -96,8 +143,9 @@ def main():
 
     print(json.dumps({
         "metric": (
-            "s_per_image_len32_steps16_hd" if B == 1
-            else f"s_per_image_len32_steps16_hd_batch{B}"
+            ("s_per_image_len32_steps16_hd" if B == 1
+             else f"s_per_image_len32_steps16_hd_batch{B}")
+            + ("_int4" if args.int4 else "")
         ),
         "value": round(s_per_image, 4),
         "unit": "s",

@@ -455,18 +455,32 @@ def unstack_blocks(params: Params) -> Params:
     return {**params, "blocks": out}
 
 
-def quantize_params(params: Params) -> Params:
-    """int8-quantize every linear kernel (ops/quant.py); norms, embeddings
-    and biases stay bf16.  Works on stacked or unstacked blocks."""
+def quantize_params(params: Params, bits: int = 8,
+                    group: int = 128) -> Params:
+    """Quantize every linear kernel (ops/quant.py); norms, embeddings and
+    biases stay bf16.  bits=8: per-channel int8 (near-lossless serving
+    default).  bits=4: grouped int4 via the Pallas kernel — half the weight
+    memory at ~equal speed; quality must be evaluated per checkpoint
+    (NOTES_ROUND2.md).  int4 requires unstacked blocks."""
+    from ..ops.quant import quantize_linear4
+
+    quant_one = (quantize_linear if bits == 8
+                 else (lambda d: quantize_linear4(d, group)))
+
     def quant_tree(d):
         if isinstance(d, (list, tuple)):
             return type(d)(quant_tree(x) for x in d)
         if isinstance(d, dict):
             if "kernel" in d:
-                return quantize_linear(d)
+                return quant_one(d)
             return {k: quant_tree(v) for k, v in d.items()}
         return d
 
+    if bits == 4:
+        assert isinstance(params["blocks"], (list, tuple)), (
+            "int4 needs unstacked blocks: quantize_params("
+            "unstack_blocks(p), bits=4)"
+        )
     out = dict(params)
     out["blocks"] = quant_tree(params["blocks"])
     if "ff_out" in params:

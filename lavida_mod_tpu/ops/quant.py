@@ -33,11 +33,62 @@ def quantize_linear(p: dict, dtype=jnp.bfloat16) -> dict:
     return out
 
 
+def quantize_linear4(p: dict, group: int = 128) -> dict:
+    """int4 grouped quantization of a single (unstacked) linear param dict:
+    {"kernel_p4": int8 [in/2, out], "scales4": f32 [in/group, out]}.
+    Serving-only layout (ops/pallas_w4.py kernel on TPU; reference dequant
+    elsewhere)."""
+    import numpy as np
+
+    from .pallas_w4 import quantize_w4_grouped
+
+    if "kernel" not in p:
+        return p
+    k = p["kernel"]
+    assert k.ndim == 2, "int4-quantize unstacked (2D) kernels only"
+    packed, scales = quantize_w4_grouped(
+        np.asarray(k, np.float32), group=group
+    )
+    out = {"kernel_p4": jnp.asarray(packed),
+           "scales4": jnp.asarray(scales)}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def _linear_w4(x: jax.Array, p: dict, preferred=None) -> jax.Array:
+    from .pallas_w4 import dequant_w4_grouped, split_even_odd, w4_matmul_grouped
+
+    K2 = p["kernel_p4"].shape[0]
+    group = (K2 * 2) // p["scales4"].shape[0]
+    lead = x.shape[:-1]
+    x2d = x.reshape(-1, x.shape[-1])
+    if jax.default_backend() == "tpu":
+        y = w4_matmul_grouped(
+            split_even_odd(x2d.astype(jnp.bfloat16)),
+            p["kernel_p4"], p["scales4"], group=group,
+        )
+        y = y.astype(preferred) if preferred is not None else y.astype(x.dtype)
+    else:
+        q = p["kernel_p4"].astype(jnp.int32)
+        lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(q, 28), 28)
+        hi = jax.lax.shift_right_arithmetic(q, 4)
+        K = K2 * 2
+        w = jnp.stack([lo, hi], axis=1).reshape(K, -1).astype(jnp.float32)
+        w = (w.reshape(K // group, group, -1)
+             * p["scales4"][:, None, :]).reshape(K, -1)
+        y = jnp.matmul(x2d, w.astype(x.dtype),
+                       preferred_element_type=preferred)
+    return y.reshape(lead + (y.shape[-1],))
+
+
 def linear(x: jax.Array, p: dict, preferred=None) -> jax.Array:
-    """x @ W (+ bias), W either plain or int8-quantized.  `preferred` sets
+    """x @ W (+ bias), W plain / int8 / int4-grouped.  `preferred` sets
     the accumulation/output dtype (e.g. f32 for the logit head).  When LoRA
     factors are attached (train/lora.py), adds (x @ A @ B) * (alpha/r)."""
-    if "kernel_q" in p:
+    if "kernel_p4" in p:
+        y = _linear_w4(x, p, preferred)
+    elif "kernel_q" in p:
         w = p["kernel_q"].astype(x.dtype)
         y = jnp.matmul(x, w, preferred_element_type=preferred)
         y = y * p["scale"].astype(y.dtype)

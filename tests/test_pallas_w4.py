@@ -45,3 +45,71 @@ def test_split_even_odd():
     s = np.asarray(split_even_odd(x))
     np.testing.assert_array_equal(s[0], np.asarray(x)[:, 0::2])
     np.testing.assert_array_equal(s[1], np.asarray(x)[:, 1::2])
+
+
+def test_grouped_quantize_roundtrip_accuracy():
+    from lavida_mod_tpu.ops.pallas_w4 import (
+        dequant_w4_grouped, quantize_w4_grouped,
+    )
+
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((256, 128)).astype(np.float32)
+    packed, scales = quantize_w4_grouped(w, group=64)
+    wd = dequant_w4_grouped(packed, scales, group=64)
+    # int4-g64 symmetric: per-element error bounded by scale/2
+    rel = np.abs(wd - w).max() / np.abs(w).max()
+    assert rel < 0.12, rel
+    # correlation stays high
+    corr = np.corrcoef(w.ravel(), wd.ravel())[0, 1]
+    assert corr > 0.99
+
+
+def test_w4_matmul_grouped_interpret():
+    from lavida_mod_tpu.ops.pallas_w4 import (
+        dequant_w4_grouped, quantize_w4_grouped, split_even_odd,
+        w4_matmul_grouped,
+    )
+
+    rng = np.random.default_rng(3)
+    K, N, T, group = 128, 256, 4, 64
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    packed, scales = quantize_w4_grouped(w, group=group)
+    x = rng.standard_normal((T, K)).astype(np.float32)
+    out = w4_matmul_grouped(
+        split_even_odd(jnp.asarray(x).astype(jnp.bfloat16)),
+        jnp.asarray(packed), jnp.asarray(scales),
+        group=group, block_n=128, interpret=True,
+    )
+    ref = x @ dequant_w4_grouped(packed, scales, group=group)
+    rel = np.abs(np.asarray(out, np.float32) - ref).max() / (
+        np.abs(ref).max() + 1e-9
+    )
+    assert rel < 0.03, rel  # bf16 rounding only
+
+
+def test_int4_model_path_accuracy():
+    """End-to-end int4-g128 model: logits close to f32, generation runs
+    (CPU reference-dequant path; the TPU pallas path is numerically the
+    same kernel validated on-chip)."""
+    import jax
+
+    from lavida_mod_tpu.config import GenerationConfig, tiny_llada_config
+    from lavida_mod_tpu.generation import generate
+    from lavida_mod_tpu.models import llada as jl
+
+    cfg = tiny_llada_config(d_model=128, n_heads=4, n_kv_heads=4,
+                            mlp_hidden_size=256)
+    params = jl.init_params(cfg, jax.random.PRNGKey(0))
+    p4 = jl.quantize_params(jl.unstack_blocks(params), bits=4, group=64)
+
+    ids = jnp.asarray(np.arange(5, 21)[None])
+    base, _ = jl.forward(params, cfg, jl.embed_tokens(params, ids))
+    q4, _ = jl.forward(p4, cfg, jl.embed_tokens(p4, ids))
+    rel = np.abs(np.asarray(q4) - np.asarray(base)).max() / (
+        np.abs(np.asarray(base)).max() + 1e-9
+    )
+    assert rel < 0.2, rel  # int4 quantization noise band (tiny random net)
+
+    out = generate(p4, cfg, jl.embed_tokens(p4, ids),
+                   GenerationConfig(max_new_tokens=8, block_length=8))
+    assert (np.asarray(out) != cfg.mask_token_id).all()
