@@ -52,7 +52,6 @@ def main():
 
         from lavida_mod_tpu.models import llada as _lm
         from lavida_mod_tpu.models import multimodal as _mm
-        from lavida_mod_tpu.ops.quant import quantize_linear4
 
         def build(k):
             p = _mm.init_params(cfg, k, jnp.bfloat16)
@@ -88,7 +87,6 @@ def main():
                 ))
             for k, v in shapes.items()
         }
-        del quantize_linear4  # (imported for documentation of the path)
     else:
         params = LaViDa.zero_init(cfg, jnp.bfloat16, quantized=True).params
 

@@ -8,9 +8,9 @@ Usage:
       [--schedule shift --schedule-shift 0.33] [--step-ratio 0.5] \\
       [--aspect anyres|square] [--warmup]
 
-Without --model-path, runs a random-initialized model (geometry from
---tiny or the full 8B config) — useful for smoke/latency runs when no
-checkpoint is present.
+Without --model-path: --tiny runs a random-initialized toy model; the full
+8B geometry runs zero-initialized in the int8 serving layout — useful for
+smoke/latency runs when no checkpoint is present.
 """
 
 from __future__ import annotations
