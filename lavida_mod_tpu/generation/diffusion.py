@@ -120,10 +120,15 @@ def _generate_cached_fused_body(
     use_flash: bool,
     act_int8_prefill: bool = False,
     use_flash_prefill: bool = False,
+    decode_params=None,
 ):
     """Prefill + full denoise loop as ONE executable: a single dispatch per
     image, no intermediate host round-trips (the reference pays a python
-    step loop with per-step topk syncs; we pay one RPC)."""
+    step loop with per-step topk syncs; we pay one RPC).
+
+    decode_params: optional separate weight tree for the denoise scan —
+    the mixed-precision serving layout (int8 prefill for MXU-tuned XLA
+    matmuls; int4 decode for half the bandwidth-bound weight reads)."""
     _, cache = llada_model.forward(
         params, cfg, prefix_embeds,
         self_valid=prefix_valid,
@@ -135,7 +140,8 @@ def _generate_cached_fused_body(
     G = x.shape[1]
     positions = jnp.arange(P, P + G, dtype=jnp.int32)
     return _denoise_scan_cached_body(
-        params, cfg, x, cache, k_table, block_end, positions,
+        decode_params if decode_params is not None else params,
+        cfg, x, cache, k_table, block_end, positions,
         prefix_valid, key, temperature, remasking, use_flash,
     )
 

@@ -266,3 +266,27 @@ def test_doc_normalization():
     )
     assert d["text"] == "q?" and d["target"] == "a"
     assert d["choices"] == ["a", "b"] and d["id"] == 3 and d["images"] == []
+
+
+def test_hf_dataset_loading_with_normalization(tmp_path, monkeypatch):
+    """Task.load_docs over a datasets.Dataset exercises the HF branch and
+    field normalization without network."""
+    import datasets as hfds
+    from PIL import Image
+
+    ds = hfds.Dataset.from_dict({
+        "question": ["what color?", "how many?"],
+        "answer": ["red", "3"],
+        "question_id": ["q1", "q2"],
+    })
+
+    import lavida_mod_tpu.eval.tasks as T
+
+    monkeypatch.setattr(
+        "datasets.load_dataset", lambda *a, **k: ds, raising=True
+    )
+    docs = get_task("chartqa").load_docs("anything-nonjsonl", limit=2)
+    assert docs[0]["text"] == "what color?"
+    assert docs[0]["target"] == "red"
+    assert docs[0]["id"] == "q1"
+    assert docs[0]["images"] == []

@@ -311,3 +311,37 @@ def test_resize_token_embeddings():
     )
     shrunk = jl.resize_token_embeddings(params, V0 - 4)
     assert shrunk["wte"].shape[0] == V0 - 4
+
+
+def test_bf16_logit_parity(reference_llada):
+    """North-star claim: bit-comparable logits at bf16 — same tiny weights
+    cast to bf16 on both sides, logits agree within bf16 resolution."""
+    import jax
+    import jax.numpy as jnp
+
+    from lavida_mod_tpu.config import tiny_llada_config
+    from lavida_mod_tpu.models import llada as jl
+    from lavida_mod_tpu.models.llada_loader import convert_state_dict
+
+    model, cfg_kw = _make_ref_model(reference_llada)
+    model = model.to(torch.bfloat16)
+    state = {k: v.float().detach().numpy()
+             for k, v in model.state_dict().items()}
+    cfg = tiny_llada_config()
+    params = convert_state_dict(state, cfg, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((1, 12, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(
+            input_ids=None,
+            input_embeddings=torch.from_numpy(emb).to(torch.bfloat16),
+        ).logits.float().numpy()
+    ours, _ = jl.forward(params, cfg, jnp.asarray(emb, jnp.bfloat16))
+    ours = np.asarray(ours, np.float32)
+    # bf16 has ~3 decimal digits; ops orderings differ slightly
+    denom = np.abs(ref).max() + 1e-6
+    assert np.abs(ours - ref).max() / denom < 0.06
+    # argmax tokens agree almost everywhere (what sampling consumes)
+    agree = (ours.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.9, agree
