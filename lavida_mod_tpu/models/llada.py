@@ -403,6 +403,42 @@ def embed_tokens(params: Params, ids: jax.Array) -> jax.Array:
     return params["wte"][ids]
 
 
+def to_fused_layout(params: Params, cfg: LLaDAConfig) -> tuple[Params, LLaDAConfig]:
+    """Convert llama-layout blocks (separate q/k/v + gate/up) into the
+    fused "sequential" layout the core already executes: att_proj =
+    [q|k|v], ff_proj = [up|gate] consumed by the swiglu chunking
+    (silu(gate) * up == llama's silu(ff_proj) * up_proj).  Halves the
+    matmul count per block (7 -> 4) — bigger contiguous weight reads for
+    the bandwidth-bound decode.  Exact logits equivalence is tested."""
+    assert cfg.block_type == "llama"
+    blocks = params["blocks"]
+    is_list = isinstance(blocks, (list, tuple))
+    layers = blocks if is_list else [blocks]
+
+    def fuse_layer(b):
+        nb = {k: v for k, v in b.items()
+              if k in ("attn_norm", "ff_norm", "q_norm", "k_norm",
+                       "attn_out", "ff_out", "moe")}
+        assert "kernel" in b["q_proj"], "fuse before quantization"
+        nb["att_proj"] = {"kernel": jnp.concatenate(
+            [b["q_proj"]["kernel"], b["k_proj"]["kernel"],
+             b["v_proj"]["kernel"]], axis=-1)}
+        if "bias" in b["q_proj"]:
+            nb["att_proj"]["bias"] = jnp.concatenate(
+                [b["q_proj"]["bias"], b["k_proj"]["bias"],
+                 b["v_proj"]["bias"]], axis=-1)
+        nb["ff_proj"] = {"kernel": jnp.concatenate(
+            [b["up_proj"]["kernel"], b["ff_proj"]["kernel"]], axis=-1)}
+        return nb
+
+    new_blocks = [fuse_layer(b) for b in layers] if is_list else fuse_layer(blocks)
+    new_cfg = cfg.replace(
+        block_type="sequential", activation="swiglu",
+        mlp_hidden_size=2 * cfg.hidden_size,
+    )
+    return {**params, "blocks": new_blocks}, new_cfg
+
+
 def resize_token_embeddings(
     params: Params, new_size: int, init: str = "mean"
 ) -> Params:

@@ -345,3 +345,32 @@ def test_bf16_logit_parity(reference_llada):
     # argmax tokens agree almost everywhere (what sampling consumes)
     agree = (ours.argmax(-1) == ref.argmax(-1)).mean()
     assert agree > 0.9, agree
+
+
+def test_fused_layout_equivalence():
+    """to_fused_layout: fused att_proj/swiglu layout gives identical logits
+    (and identical generation through the cache) to the llama layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from lavida_mod_tpu.config import GenerationConfig, tiny_llada_config
+    from lavida_mod_tpu.generation import generate
+    from lavida_mod_tpu.models import llada as jl
+
+    cfg = tiny_llada_config()
+    params = jl.init_params(cfg, jax.random.PRNGKey(0))
+    fused, fcfg = jl.to_fused_layout(jl.unstack_blocks(params), cfg)
+
+    ids = jnp.asarray(np.arange(5, 17)[None])
+    a, _ = jl.forward(params, cfg, jl.embed_tokens(params, ids))
+    b, _ = jl.forward(fused, fcfg, jl.embed_tokens(fused, ids))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    gen_cfg = GenerationConfig(max_new_tokens=16, block_length=8,
+                               prefix_lm=True, schedule="shift",
+                               schedule_shift=0.33)
+    prefix = jl.embed_tokens(params, ids)
+    ga = np.asarray(generate(params, cfg, prefix, gen_cfg))
+    gb = np.asarray(generate(fused, fcfg,
+                             jl.embed_tokens(fused, ids), gen_cfg))
+    np.testing.assert_array_equal(ga, gb)
