@@ -113,12 +113,18 @@ def main():
     else:
         class ByteTokenizer:
             bos_token_id = 1
+            chat_template = None
 
             def __call__(self, text):
                 class R:
                     input_ids = [2 + (b % 250) for b in text.encode()]
 
                 return R()
+
+            def decode(self, ids, skip_special_tokens=True):
+                return bytes(
+                    (int(i) - 2) % 250 for i in ids
+                ).decode("latin-1")
 
         tokenizer = ByteTokenizer()
         rank0_print("[train] no tokenizer path: byte-level fallback")
