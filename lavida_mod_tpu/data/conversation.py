@@ -112,4 +112,13 @@ conv_templates: dict[str, Conversation] = {
 
 
 def get_conv_template(name: str) -> Conversation:
+    """Fetch a template; unknown names fall back to `llada` (the reference
+    has tokenizer/template fallback chains rather than hard failures,
+    conversation.py:447-460)."""
+    if name not in conv_templates:
+        import warnings
+
+        warnings.warn(f"unknown conversation template {name!r}; "
+                      "falling back to 'llada'")
+        name = "llada"
     return conv_templates[name].copy()

@@ -290,3 +290,37 @@ def test_hf_dataset_loading_with_normalization(tmp_path, monkeypatch):
     assert docs[0]["target"] == "red"
     assert docs[0]["id"] == "q1"
     assert docs[0]["images"] == []
+
+
+def test_dream_backend_through_eval_adapter():
+    """Dream generation flows through the adapter (gen_kwargs -> Dream
+    config -> dream sampler); loglikelihood raises like the reference."""
+    import jax
+
+    from lavida_mod_tpu.config import (
+        LaViDaConfig, VisionConfig, tiny_siglip_config,
+    )
+    from lavida_mod_tpu.models.dream import tiny_dream_config
+    from lavida_mod_tpu.models.lavida import LaViDa
+
+    cfg = LaViDaConfig(
+        llada=tiny_dream_config(),
+        vision=VisionConfig(siglip=tiny_siglip_config(), mm_hidden_size=32),
+    )
+    model = LaViDa.random_init(cfg, 0, jnp.float32)
+    model.lm_family = "dream"
+    adapter = LavidaEvalModel(model, FakeTokenizer(), conv_template="dream")
+    out = adapter.generate_until(
+        "hello", [], {"max_new_tokens": 8, "steps": 4, "alg": "maskgit_plus"}
+    )
+    assert isinstance(out, str)
+    with pytest.raises(NotImplementedError):
+        adapter.loglikelihood("q", [], "a")
+
+
+def test_unknown_conv_template_falls_back():
+    from lavida_mod_tpu.data.conversation import get_conv_template
+
+    with pytest.warns(UserWarning):
+        conv = get_conv_template("nonexistent")
+    assert conv.name == "llada"
