@@ -99,6 +99,11 @@ def build_dream_schedule(
         int(gen.max_new_tokens * gen.step_ratio)
         if gen.step_ratio is not None else steps0
     )
+    # step_ratio shortens the loop over the SAME steps0 timestep grid
+    # (generation_utils.py:448-453 computes the linspace before applying
+    # step_ratio); clamp to steps0 — beyond it the reference itself would
+    # index timesteps past its end, and our t/s slices would shape-mismatch.
+    steps = max(1, min(steps, steps0))
     m0 = gen_length - 1 if gen.prefix_lm else gen_length
     if gen.alg == "origin":
         return timesteps, np.zeros((steps,), np.int64), steps

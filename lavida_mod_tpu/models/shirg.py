@@ -211,9 +211,9 @@ def topk_select(tokens: jax.Array, scores: jax.Array, k: int) -> jax.Array:
     _, idx = jax.lax.top_k(scores, k)
     B, N, D = tokens.shape
     if B == 1 and jax.default_backend() == "tpu" and D % 128 == 0:
-        from ..ops.pallas_gather import gather_rows
+        from ..ops.pallas_gather import gather_rows_ad
 
-        return gather_rows(tokens[0], idx[0])[None]
+        return gather_rows_ad(tokens[0], idx[0])[None]
     return jnp.take_along_axis(tokens, idx[..., None], axis=1)
 
 

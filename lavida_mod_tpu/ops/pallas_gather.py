@@ -78,15 +78,56 @@ def gather_rows(
     return out.reshape(Tp, D)[:T]
 
 
+@functools.lru_cache(maxsize=None)
+def _gather_rows_ad_for(shape, dtype, interpret):
+    """Build a custom-VJP gather for a static (table shape, dtype).
+
+    pallas_call has no transpose rule, so differentiating through the raw
+    kernel raises NotImplementedError — which would crash every multimodal
+    training step on TPU (the splice gather sits between the embedding
+    table and the LM).  The VJP of a gather is a scatter-add into a zero
+    table (`.at[idx].add(g)`, duplicate indices accumulate, matching
+    XLA-gather's gradient); idx is integral so its cotangent is float0.
+    Shape/dtype are closed over statically (residuals must be JAX arrays).
+    """
+    import numpy as np
+
+    @jax.custom_vjp
+    def f(table, idx):
+        return gather_rows(table, idx, interpret=interpret)
+
+    def fwd(table, idx):
+        return gather_rows(table, idx, interpret=interpret), idx
+
+    def bwd(idx, g):
+        dtable = (
+            jnp.zeros(shape, jnp.promote_types(g.dtype, jnp.float32))
+            .at[idx].add(g.astype(jnp.float32))
+            .astype(dtype)
+        )
+        return dtable, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def gather_rows_ad(
+    table: jax.Array, idx: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """`gather_rows` that also works under jax.grad (see _gather_rows_ad_for)."""
+    return _gather_rows_ad_for(table.shape, table.dtype, interpret)(table, idx)
+
+
 def gather_rows_auto(table: jax.Array, idx: jax.Array) -> jax.Array:
     """Pallas on TPU (1.8x XLA's dynamic-gather, measured on v5e for the
     splice shapes), plain XLA gather elsewhere or when the row width isn't
-    lane-aligned.  Trace-safe: the backend decision is static."""
+    lane-aligned.  Trace-safe: the backend decision is static.  Uses the
+    custom-VJP wrapper so the same call works under jax.grad (training)."""
     if (
         jax.default_backend() == "tpu"
         and table.ndim == 2
         and table.shape[1] % 128 == 0
         and idx.ndim == 1
     ):
-        return gather_rows(table, idx)
+        return gather_rows_ad(table, idx)
     return table[idx]

@@ -1,11 +1,13 @@
 """Pallas TPU kernel: int4-packed weight matmul with in-VMEM unpack.
 
-Status: working and validated on v5e (0.27% rel err vs reference unpack at
-bf16 accumulation; ~1.17x XLA's int8-weight matmul at decode shapes
-[32, 4096] x [4096, 12288], best block_n=512).  NOT yet wired into the
-model: the measured win over int8 is below the quality risk of per-channel
-int4 for the 8B — revisit in round 2 with grouped scales (g=128) and a
-quality evaluation (NOTES_ROUND2.md).
+Status: validated on v5e (0.27% rel err vs reference unpack at bf16
+accumulation; ~1.17x XLA's int8-weight matmul at decode shapes
+[32, 4096] x [4096, 12288], best block_n=512) and wired end-to-end opt-in:
+`quantize_params(bits=4)` + `bench.py --int4` run the whole LM through this
+kernel with grouped scales (g=128).  End-to-end it still trails int8 at
+batch 1 (prefill is compute-bound and the kernel's MXU utilization is below
+XLA's tuned matmul there) — the int4 payoff is HBM headroom (half the LM
+weights) for batched serving; see NOTES_ROUND2.md lever 2b.
 
 Why Pallas is REQUIRED for int4 here (not just faster):
   - the jnp.int4 dtype dies in the axon tunnel client (transfer layer);

@@ -171,6 +171,20 @@ def test_dream_step_ratio_and_schedule(tiny_pair):
     assert (np.asarray(out) != MASK_ID).all()
 
 
+def test_dream_schedule_step_ratio_clamped():
+    """step_ratio > steps0/max_new_tokens must clamp to steps0 instead of
+    indexing the (steps0+1)-entry timestep grid out of bounds."""
+    from lavida_mod_tpu.generation.dream_sampler import build_dream_schedule
+
+    gen = DreamGenerationConfig(
+        max_new_tokens=16, steps=4, step_ratio=1.0, alg="maskgit_plus"
+    )
+    timesteps, ks, steps = build_dream_schedule(gen, 16)
+    assert steps == 4  # clamped to steps0 = min(steps, max_new_tokens)
+    assert timesteps.shape == (5,)
+    assert ks.shape == (4,) and ks.sum() == 15  # prefix_lm: first from prefill
+
+
 def test_dream_fuzz_parity(tiny_pair):
     """Randomized Dream-sampler sweep: token-exact vs the torch oracle."""
     ref_model, cfg, params = tiny_pair
