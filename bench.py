@@ -35,6 +35,9 @@ def main():
                     help="grouped-int4 LM weights via the Pallas kernel "
                          "(half the weight memory; quality must be "
                          "evaluated per checkpoint)")
+    ap.add_argument("--no-flash-prefill", action="store_true",
+                    help="disable the 128-bucketed Pallas flash prefill "
+                         "(falls back to dense prefill attention)")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -125,6 +128,7 @@ def main():
             )
         out = diffusion.generate(
             params["llada"], cfg.llada, prefix, gen,
+            use_flash_prefill=not args.no_flash_prefill,
         )
         jax.block_until_ready(out)
         return out

@@ -312,6 +312,11 @@ def generate(
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    # use_flash_prefill routes the prefill through the Pallas flash kernel;
+    # sequence-length bucketing to the kernel's 128-blocks happens INSIDE
+    # ops/attention.flash_attention (q/k/v padded post-projection, output
+    # sliced), so the projections/FFN never see pad rows.
+
     x = jnp.full((B, G), mask_id, jnp.int32)
     if draft_tokens is not None:
         Td = draft_tokens.shape[1]
@@ -334,7 +339,8 @@ def generate(
                 use_flash=use_flash, act_int8_prefill=act_int8_prefill,
                 use_flash_prefill=use_flash_prefill,
             )
-        cache = prefill(params, cfg, prefix_embeds, prefix_valid, use_flash)
+        cache = prefill(params, cfg, prefix_embeds, prefix_valid,
+                        use_flash or use_flash_prefill)
         positions = jnp.arange(P, P + G, dtype=jnp.int32)
         args = (
             params, cfg, x, cache,

@@ -64,6 +64,29 @@ def test_bucket_is_noop_when_aligned(model):
     np.testing.assert_array_equal(a, b)
 
 
+def test_flash_prefill_padded_matches_dense(model):
+    """use_flash_prefill pads the prefix to a 128 multiple and routes the
+    prefill through the Pallas flash kernel (segment-id masked); tokens
+    must match the exact-length dense prefill (interpret mode on CPU; the
+    same path is compiled on the real chip by bench.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from lavida_mod_tpu.generation import diffusion
+
+    ids = np.arange(3, 40)  # P=37 -> padded to 128
+    gen = GenerationConfig(max_new_tokens=16, block_length=16,
+                           prefix_lm=True, schedule="shift",
+                           schedule_shift=0.33)
+    exact = model.generate(ids, gen=gen)
+    prefix = model.encode_prompt(ids)
+    with pltpu.force_tpu_interpret_mode():
+        out = diffusion.generate(
+            model.params["llada"], model.cfg.llada, prefix, gen,
+            use_flash_prefill=True,
+        )
+    np.testing.assert_array_equal(np.asarray(out)[0], exact)
+
+
 def test_generate_fused_matches_generate(model):
     """Single-executable fused path == multi-dispatch path, token-exact."""
     from lavida_mod_tpu.data.anyres import anyres_grid_shape
