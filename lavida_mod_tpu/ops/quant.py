@@ -57,7 +57,7 @@ def quantize_linear4(p: dict, group: int = 128) -> dict:
 
 
 def _linear_w4(x: jax.Array, p: dict, preferred=None) -> jax.Array:
-    from .pallas_w4 import dequant_w4_grouped, split_even_odd, w4_matmul_grouped
+    from .pallas_w4 import dequant_w4_grouped, w4_matmul_grouped
 
     K2 = p["kernel_p4"].shape[0]
     group = (K2 * 2) // p["scales4"].shape[0]
@@ -65,20 +65,34 @@ def _linear_w4(x: jax.Array, p: dict, preferred=None) -> jax.Array:
     x2d = x.reshape(-1, x.shape[-1])
     if jax.default_backend() == "tpu":
         y = w4_matmul_grouped(
-            split_even_odd(x2d.astype(jnp.bfloat16)),
+            x2d.astype(jnp.bfloat16),
             p["kernel_p4"], p["scales4"], group=group,
         )
         y = y.astype(preferred) if preferred is not None else y.astype(x.dtype)
     else:
+        # CPU fallback mirrors the kernel's W4A8 math (per-token int8
+        # activations, integer dot, grouped scale on the accumulator) so
+        # CPU tests exercise the same numerics as the chip.
         q = p["kernel_p4"].astype(jnp.int32)
         lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(q, 28), 28)
         hi = jax.lax.shift_right_arithmetic(q, 4)
         K = K2 * 2
-        w = jnp.stack([lo, hi], axis=1).reshape(K, -1).astype(jnp.float32)
-        w = (w.reshape(K // group, group, -1)
-             * p["scales4"][:, None, :]).reshape(K, -1)
-        y = jnp.matmul(x2d, w.astype(x.dtype),
-                       preferred_element_type=preferred)
+        w = jnp.stack([lo, hi], axis=1).reshape(K, -1)  # int32 [K, N]
+        xf = x2d.astype(jnp.float32)
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8
+        ) / 127.0
+        x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int32)
+        G = K // group
+        acc = jnp.einsum(
+            "tgk,gkn->tgn",
+            x8.reshape(-1, G, group),
+            w.reshape(G, group, -1),
+        ).astype(jnp.float32)
+        y = (jnp.einsum("tgn,gn->tn", acc, p["scales4"]) * sx).astype(
+            jnp.bfloat16
+        )
+        y = y.astype(preferred) if preferred is not None else y.astype(x.dtype)
     return y.reshape(lead + (y.shape[-1],))
 
 

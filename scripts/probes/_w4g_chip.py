@@ -1,6 +1,6 @@
 import time, numpy as np, jax, jax.numpy as jnp
 from lavida_mod_tpu.ops.pallas_w4 import (
-    quantize_w4_grouped, dequant_w4_grouped, split_even_odd, w4_matmul_grouped)
+    quantize_w4_grouped, dequant_w4_grouped, w4_matmul_grouped)
 
 
 def main():
@@ -9,7 +9,7 @@ def main():
     w = rng.standard_normal((K, N)).astype(np.float32) * 0.02
     packed, scales = quantize_w4_grouped(w, group=group)
     x = rng.standard_normal((T, K)).astype(np.float32)
-    x2 = split_even_odd(jnp.asarray(x).astype(jnp.bfloat16))
+    x2 = jnp.asarray(x).astype(jnp.bfloat16)
     pj, sj = jnp.asarray(packed), jnp.asarray(scales)
 
     out = w4_matmul_grouped(x2, pj, sj, group=group)
@@ -24,7 +24,7 @@ def main():
     def chain_g(x2, p, s, n):
         def body(i, x2):
             y = w4_matmul_grouped(x2, p, s, group=group)
-            return x2 + y[None, :, :x2.shape[2]].astype(jnp.bfloat16) * 1e-9
+            return x2 + y[:, :x2.shape[1]].astype(jnp.bfloat16) * 1e-9
         return jax.lax.fori_loop(0, n, body, x2).sum()
     @jax.jit
     def chain_8(x, w8, s, n):

@@ -66,8 +66,7 @@ def test_grouped_quantize_roundtrip_accuracy():
 
 def test_w4_matmul_grouped_interpret():
     from lavida_mod_tpu.ops.pallas_w4 import (
-        dequant_w4_grouped, quantize_w4_grouped, split_even_odd,
-        w4_matmul_grouped,
+        dequant_w4_grouped, quantize_w4_grouped, w4_matmul_grouped,
     )
 
     rng = np.random.default_rng(3)
@@ -76,7 +75,7 @@ def test_w4_matmul_grouped_interpret():
     packed, scales = quantize_w4_grouped(w, group=group)
     x = rng.standard_normal((T, K)).astype(np.float32)
     out = w4_matmul_grouped(
-        split_even_odd(jnp.asarray(x).astype(jnp.bfloat16)),
+        jnp.asarray(x).astype(jnp.bfloat16),
         jnp.asarray(packed), jnp.asarray(scales),
         group=group, block_n=128, interpret=True,
     )
@@ -113,3 +112,33 @@ def test_int4_model_path_accuracy():
     out = generate(p4, cfg, jl.embed_tokens(p4, ids),
                    GenerationConfig(max_new_tokens=8, block_length=8))
     assert (np.asarray(out) != cfg.mask_token_id).all()
+
+
+def test_w4a8_kernel_matches_cpu_fallback():
+    """The interpret-mode Pallas W4A8 kernel and quant._linear_w4's CPU
+    branch implement the same math (per-token A8, integer dot, grouped
+    scales on the accumulator) — outputs must agree to bf16 rounding."""
+    import jax
+    import jax.numpy as jnp
+
+    from lavida_mod_tpu.ops.pallas_w4 import (
+        quantize_w4_grouped, w4_matmul_grouped,
+    )
+    from lavida_mod_tpu.ops.quant import _linear_w4
+
+    rng = np.random.default_rng(9)
+    K, N, T, group = 256, 256, 8, 128
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    packed, scales = quantize_w4_grouped(w, group=group)
+    p = {"kernel_p4": jnp.asarray(packed), "scales4": jnp.asarray(scales)}
+    x = jnp.asarray(rng.standard_normal((T, K)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    kern = np.asarray(
+        w4_matmul_grouped(x, p["kernel_p4"], p["scales4"],
+                          group=group, block_n=128, interpret=True),
+        np.float32,
+    )
+    fallback = np.asarray(_linear_w4(x, p), np.float32)
+    scale = np.abs(fallback).max() + 1e-9
+    assert np.abs(kern - fallback).max() / scale < 0.02
