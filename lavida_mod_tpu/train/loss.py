@@ -83,8 +83,18 @@ def diffusion_loss(
     pos_skip_range: int = 0,
     remat: bool = True,
     use_flash: bool = False,
+    batch_constraint=None,
 ):
-    """Returns (loss, metrics dict). Batch is doubled internally."""
+    """Returns (loss, metrics dict). Batch is doubled internally.
+
+    batch_constraint: optional fn(x) -> x applying a GSPMD sharding
+    constraint that pins dim 0 (batch) to the data axes.  Without it, XLA's
+    backward sharding propagation through the mask `where`s can pick a
+    conflicting layout for the pre-concat selects and fall back to
+    "involuntary full rematerialization" (replicate + repartition) inside
+    the train step — a real multi-chip perf bug observed on the 8-device
+    dryrun.  make_train_step wires this automatically when given a mesh.
+    """
     B, L, D = inputs_embeds.shape
     labels_mask = labels != -100
     fim_pos = (labels == fim_id) if fim_id is not None else jnp.zeros_like(labels_mask)
@@ -103,12 +113,15 @@ def diffusion_loss(
     def apply_mask(sel):
         return jnp.where(sel[..., None], mask_embed, inputs_embeds)
 
-    embeds2 = jnp.concatenate(
-        [apply_mask(final_masked), apply_mask(final_masked_inv)], axis=0
-    )
+    if batch_constraint is None:
+        batch_constraint = lambda x: x
+    embeds2 = batch_constraint(jnp.concatenate(
+        [batch_constraint(apply_mask(final_masked)),
+         batch_constraint(apply_mask(final_masked_inv))], axis=0
+    ))
     lab = jnp.where(final_masked, labels, -100)
     lab_inv = jnp.where(final_masked_inv, labels, -100)
-    labels2 = jnp.concatenate([lab, lab_inv], axis=0)
+    labels2 = batch_constraint(jnp.concatenate([lab, lab_inv], axis=0))
     if fim_id is not None:
         labels2 = jnp.where(labels2 == fim_id, -100, labels2)
 

@@ -20,6 +20,23 @@ from ..config import LaViDaConfig
 from .loss import diffusion_loss
 
 
+def _batch_constraint(mesh, batch_axes):
+    """Build the dim-0 sharding-constraint fn for diffusion_loss (pins the
+    doubled batch to the data axes so GSPMD never reshards the mask
+    selects — see diffusion_loss docstring)."""
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    axes = tuple(a for a in batch_axes if a in mesh.axis_names)
+
+    def constrain(x):
+        spec = PartitionSpec(axes, *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return constrain
+
+
 def label_params(params) -> Any:
     """Map each leaf to an LR-group label by top-level module
     (llava_trainer.py:404-437 semantics)."""
@@ -90,6 +107,8 @@ def make_train_step(
     policy_args: Optional[dict] = None,
     remat: bool = True,
     use_flash: bool = False,
+    mesh=None,
+    batch_axes: tuple = ("dp", "fsdp"),
 ):
     """Returns train_step(params, opt_state, batch, key) -> (params,
     opt_state, metrics).  `batch` = {"inputs_embeds": [B,L,D],
@@ -107,6 +126,7 @@ def make_train_step(
             lm, cfg.llada, batch["inputs_embeds"], batch["labels"], key,
             prefix_lm=prefix_lm, policy=policy, policy_args=policy_args,
             remat=remat, use_flash=use_flash,
+            batch_constraint=_batch_constraint(mesh, batch_axes),
         )
 
     def train_step(params, opt_state, batch, key):
@@ -135,6 +155,8 @@ def make_multimodal_train_step(
     fim_id: Optional[int] = None,
     remat: bool = True,
     use_flash: bool = False,
+    mesh=None,
+    batch_axes: tuple = ("dp", "fsdp"),
 ):
     """End-to-end train step: pixels -> SigLIP -> projector -> pool ->
     gather-splice -> diffusion loss.  Gradients reach every module, so the
@@ -157,6 +179,7 @@ def make_multimodal_train_step(
             params["llada"], cfg.llada, embeds, batch["labels"], key,
             prefix_lm=prefix_lm, policy=policy, policy_args=policy_args,
             fim_id=fim_id, remat=remat, use_flash=use_flash,
+            batch_constraint=_batch_constraint(mesh, batch_axes),
         )
 
     def train_step(params, opt_state, batch, key):

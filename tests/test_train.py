@@ -175,3 +175,47 @@ def test_pos_skipping_changes_logits_not_loss_magnitude():
     assert np.isfinite(float(skipped))
     # offset positions change the loss value but keep it in a sane band
     assert abs(float(skipped) - float(base)) < 2.0
+
+
+def test_train_step_sharded_no_involuntary_reshard(capfd):
+    """The batch-sharding constraint in diffusion_loss must keep GSPMD from
+    'involuntary full rematerialization' on the mask selects (a real
+    multi-chip perf bug: XLA replicates + repartitions inside train_step).
+    Also: mesh-constrained and unconstrained steps agree numerically."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = LaViDaConfig(llada=tiny_llada_config())
+    params = jl.init_params(cfg.llada, jax.random.PRNGKey(0))
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    params = shard_params(params, mesh)
+    opt = make_optimizer(lr=1e-3, total_steps=10)
+    opt_state = opt.init(params)
+
+    rng = np.random.default_rng(1)
+    B, L = 8, 16
+    ids = rng.integers(3, 400, size=(B, L))
+    labels = np.full((B, L), -100, np.int64)
+    labels[:, 8:] = ids[:, 8:]
+    batch = {
+        "inputs_embeds": jax.device_put(
+            jl.embed_tokens(params, jnp.asarray(ids)),
+            NamedSharding(mesh, P(("dp", "fsdp"), None, None)),
+        ),
+        "labels": jax.device_put(
+            jnp.asarray(labels), NamedSharding(mesh, P(("dp", "fsdp"), None))
+        ),
+    }
+
+    ref_step = make_train_step(cfg, opt, prefix_lm=True, remat=True)
+    _, _, ref_metrics = ref_step(params, opt_state, batch,
+                                 jax.random.PRNGKey(7))
+
+    capfd.readouterr()  # drain
+    step = jit_train_step(
+        make_train_step(cfg, opt, prefix_lm=True, remat=True, mesh=mesh)
+    )
+    _, _, metrics = step(params, opt_state, batch, jax.random.PRNGKey(7))
+    loss = float(metrics["loss"])
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err
+    np.testing.assert_allclose(loss, float(ref_metrics["loss"]), atol=2e-5)

@@ -172,7 +172,7 @@ def main():
 
     step_fn = jit_train_step(make_multimodal_train_step(
         cfg, opt, prefix_lm=not args.no_prefix_lm, policy=args.t_policy,
-        fim_id=LLADA_FIM_ID if args.fim else None, remat=True,
+        fim_id=LLADA_FIM_ID if args.fim else None, remat=True, mesh=mesh,
     ))
 
     logger = MetricsLogger(args.output_dir, use_wandb=args.wandb)
