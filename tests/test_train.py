@@ -219,3 +219,59 @@ def test_train_step_sharded_no_involuntary_reshard(capfd):
     err = capfd.readouterr().err
     assert "Involuntary full rematerialization" not in err
     np.testing.assert_allclose(loss, float(ref_metrics["loss"]), atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "strategy", ["whole_layer", "one_in_2", "one_in_4", "dots",
+                 "dots_nobatch"]
+)
+def test_remat_strategies_exact(strategy):
+    """one_in_N checkpointing (modeling_llada.py:189-203): logits and
+    grads must be bit-equal to the un-rematted forward — remat changes
+    memory, never math."""
+    cfg = tiny_llada_config(n_layers=4)
+    params = jl.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jnp.asarray(np.arange(3, 19)[None])
+    embeds = jl.embed_tokens(params, ids)
+
+    def loss(p, remat):
+        logits, _ = jl.forward(p, cfg, embeds, remat=remat)
+        return (logits.astype(jnp.float32) ** 2).mean()
+
+    base, gbase = jax.value_and_grad(lambda p: loss(p, False))(params)
+    out, g = jax.value_and_grad(lambda p: loss(p, strategy))(params)
+    np.testing.assert_allclose(float(out), float(base), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gbase)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-7)
+
+
+def test_remat_policy_memory_ladder():
+    """Memory-delta assertion for the activation-checkpointing knob.
+
+    The TPU-native intermediate points between whole_layer and no remat
+    are checkpoint POLICIES on the scanned layer (models/llada.py
+    _remat_group docstring: the literal one_in_N translation makes
+    weight-stack layout copies under lax.scan that can exceed the
+    activation saving — measured).  Assert the policy ladder:
+    whole_layer < dots_nobatch < dots < none.
+    """
+    cfg = tiny_llada_config(n_layers=8)
+    params = jl.init_params(cfg, jax.random.PRNGKey(0))
+    embeds = jl.embed_tokens(params, jnp.asarray(np.arange(3, 259)[None]))
+
+    def mk(remat):
+        def loss(p):
+            logits, _ = jl.forward(p, cfg, embeds, remat=remat)
+            return (logits.astype(jnp.float32) ** 2).mean()
+        return jax.jit(jax.grad(loss)).lower(params).compile()
+
+    temps = {}
+    for r in (False, "whole_layer", "dots", "dots_nobatch"):
+        m = mk(r).memory_analysis()
+        if m is None:
+            pytest.skip("memory_analysis unavailable on this backend")
+        temps[r] = m.temp_size_in_bytes
+    assert temps["whole_layer"] < temps["dots_nobatch"], temps
+    assert temps["dots_nobatch"] < temps["dots"], temps
+    assert temps["dots"] < temps[False], temps
