@@ -36,6 +36,9 @@ def parse_kv(s: str) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-path", default=None)
+    ap.add_argument("--tiny", action="store_true",
+                    help="random-init tiny model + whitespace tokenizer "
+                         "(pipeline smoke runs without a checkpoint)")
     ap.add_argument("--lm-family", default="llada", choices=["llada", "dream"])
     ap.add_argument("--conv-template", default=None)
     ap.add_argument("--tasks", required=True, help="comma-separated")
@@ -56,9 +59,40 @@ def main():
     cfg = LaViDaConfig()
     if args.model_path:
         model = LaViDa.load(args.model_path, cfg, lm_family=args.lm_family)
-        from transformers import AutoTokenizer
+        from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
-        tokenizer = AutoTokenizer.from_pretrained(args.model_path)
+        tokenizer = load_hf_or_offline(args.model_path)
+    elif args.tiny:
+        import jax.numpy as jnp
+
+        from ..config import (
+            VisionConfig, tiny_llada_config, tiny_siglip_config,
+        )
+
+        cfg = LaViDaConfig(
+            llada=tiny_llada_config(),
+            vision=VisionConfig(
+                siglip=tiny_siglip_config(), mm_hidden_size=32,
+                grid_pinpoints=((56, 112), (112, 56), (112, 112)),
+            ),
+        )
+        model = LaViDa.random_init(cfg, 0, jnp.float32)
+
+        class _ToyTokenizer:
+            bos_token_id = 1
+            eos_token_id = 2
+            chat_template = None
+
+            def __call__(self, text):
+                class R:
+                    input_ids = [1] + [10 + (ord(c) % 80) for c in text[:32]]
+
+                return R()
+
+            def decode(self, ids, skip_special_tokens=True):
+                return " ".join(str(int(i)) for i in ids)
+
+        tokenizer = _ToyTokenizer()
     else:
         raise SystemExit("--model-path is required (no checkpoint = no eval)")
 

@@ -47,14 +47,32 @@ def cider_d(
     n_max: int = 4,
     sigma: float = 6.0,
 ) -> float:
-    """Corpus CIDEr-D score (0-10 scale x100 convention NOT applied; the
-    reference reports x100 — we return x100 to match lmms-eval tables)."""
+    """Corpus CIDEr-D, pycocoevalcap `cider_scorer.py` semantics:
+
+      - document frequency counts IMAGES whose reference set contains the
+        n-gram; idf weight = log(#images) - log(max(1, df));
+      - vectors use RAW term frequency x idf (no caption-length division —
+        the min() clipping makes the score sensitive to per-vector
+        rescaling, so this must match exactly);
+      - per-n cosine with the candidate weight clipped at the reference
+        weight (min(h, r) * r), zero if either norm is zero;
+      - the Gaussian length penalty uses the difference in BIGRAM counts
+        (counts2vec tracks `length` only at n==1 — a pycocoevalcap quirk
+        preserved here);
+      - per image: sum over refs, mean over n, / #refs, x10; corpus = mean.
+
+    Divergence: pycocoevalcap tokenizes with the Stanford PTBTokenizer
+    (java); we use lowercase+strip-punctuation+split.  Returned x100 to
+    match the published-table convention (pycocoevalcap returns 0-10).
+    Validated against an independent transcription of the pycocoevalcap
+    algorithm on randomized corpora (tests/test_eval.py).
+    """
     assert len(candidates) == len(references)
-    N = len(candidates)
+    N = max(len(candidates), 1)
     cand_toks = [normalize_caption(c) for c in candidates]
     ref_toks = [[normalize_caption(r) for r in refs] for refs in references]
 
-    # document frequency over reference n-grams
+    # df[n][gram] = number of images whose refs contain the gram
     df = [defaultdict(float) for _ in range(n_max)]
     for refs in ref_toks:
         for n in range(n_max):
@@ -63,40 +81,37 @@ def cider_d(
                 seen |= set(_ngram_counts(r, n + 1).keys())
             for g in seen:
                 df[n][g] += 1.0
-    log_n = math.log(max(N, 1))
+    ref_len = math.log(float(N))
 
-    def tfidf(counts: Counter, n: int):
-        vec = {}
-        norm = 0.0
-        length = sum(counts.values())
-        for g, c in counts.items():
-            idf = log_n - math.log(max(df[n][g], 1.0))
-            w = (c / length) * idf if length > 0 else 0.0
-            vec[g] = w
-            norm += w * w
-        return vec, math.sqrt(norm)
+    def counts2vec(tokens):
+        vec = [defaultdict(float) for _ in range(n_max)]
+        norm = [0.0] * n_max
+        length = 0
+        for n in range(n_max):
+            for g, tf in _ngram_counts(tokens, n + 1).items():
+                w = float(tf) * (ref_len - math.log(max(1.0, df[n][g])))
+                vec[n][g] = w
+                norm[n] += w * w
+                if n == 1:
+                    length += tf
+        return vec, [math.sqrt(x) for x in norm], length
 
     scores = []
     for ci, refs in zip(cand_toks, ref_toks):
-        score_n = []
-        for n in range(n_max):
-            c_counts = _ngram_counts(ci, n + 1)
-            c_vec, c_norm = tfidf(c_counts, n)
-            s = 0.0
-            for r in refs:
-                r_counts = _ngram_counts(r, n + 1)
-                r_vec, r_norm = tfidf(r_counts, n)
-                num = 0.0
-                for g, w in c_vec.items():
-                    # CIDEr-D clips candidate tf-idf at reference value
-                    num += min(w, r_vec.get(g, 0.0)) * r_vec.get(g, 0.0)
-                denom = c_norm * r_norm
-                val = num / denom if denom > 0 else 0.0
-                delta = len(ci) - len(r)
-                val *= math.exp(-(delta * delta) / (2 * sigma * sigma))
-                s += val
-            score_n.append(10.0 * s / max(len(refs), 1))
-        scores.append(sum(score_n) / n_max)
+        c_vec, c_norm, c_len = counts2vec(ci)
+        s = 0.0
+        for r in refs:
+            r_vec, r_norm, r_len = counts2vec(r)
+            delta = float(c_len - r_len)
+            pen = math.exp(-(delta * delta) / (2 * sigma * sigma))
+            for n in range(n_max):
+                num = sum(
+                    min(w, r_vec[n].get(g, 0.0)) * r_vec[n].get(g, 0.0)
+                    for g, w in c_vec[n].items()
+                )
+                if c_norm[n] != 0 and r_norm[n] != 0:
+                    s += pen * num / (c_norm[n] * r_norm[n]) / n_max
+        scores.append(10.0 * s / max(len(refs), 1))
     return 100.0 * sum(scores) / max(len(scores), 1)
 
 

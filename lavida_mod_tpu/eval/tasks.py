@@ -20,6 +20,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Sequence
 
+from . import filters as F
 from . import metrics as M
 
 
@@ -106,14 +107,35 @@ def _normalize_doc(d: dict, idx: int) -> dict:
                 break
     if "images" not in d:
         imgs = []
-        for k in ("image", "decoded_image", "image_1"):
+        for k in ("image", "decoded_image"):
             v = d.get(k)
             if v is not None:
                 imgs.extend(v if isinstance(v, list) else [v])
+        if not imgs:
+            # MMMU-style multi-image docs: image_1 .. image_7
+            # (reference tasks/mmmu/utils.py:153-159 collects the
+            # <image N> placeholders; docs carry up to 7 slots)
+            for i in range(1, 8):
+                v = d.get(f"image_{i}")
+                if v is not None:
+                    imgs.append(v)
         d["images"] = imgs
     if "choices" not in d and "options" in d:
-        d["choices"] = d["options"]
+        d["choices"] = _parse_options_field(d["options"])
     return d
+
+
+def _parse_options_field(options):
+    """MMMU stores options as a stringified python list
+    (reference utils.py:137-138 ast.literal_eval)."""
+    if isinstance(options, str):
+        import ast
+
+        try:
+            return list(ast.literal_eval(options))
+        except (ValueError, SyntaxError):
+            return [options]
+    return list(options)
 
 
 # ---------------------------------------------------------------------------
@@ -139,10 +161,6 @@ def _caption_agg(rows: list[dict]) -> dict:
     }
 
 
-def _mme_agg(rows: list[dict]) -> dict:
-    return M.mme_scores(rows)
-
-
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -166,6 +184,12 @@ def list_tasks() -> list[str]:
 SINGLE_WORD = "\nAnswer the question using a single word or phrase."
 MC_LETTER = "\nAnswer with the option's letter from the given choices directly."
 
+def _coco_map(doc: dict) -> dict:
+    # fixed caption prompt (reference coco_cap/utils.py:20-21)
+    doc["text"] = "Provide a one-sentence caption for the provided image."
+    return doc
+
+
 register(Task(
     name="coco2017_cap_val_lite",
     post_prompt="",
@@ -173,6 +197,7 @@ register(Task(
     dataset_path="lmms-lab/LMMs-Eval-Lite",
     dataset_name="coco2017_cap_val",
     test_split="lite",
+    doc_mapper=_coco_map,
     score_doc=lambda doc, pred: {
         "prediction": pred,
         "references": (
@@ -183,18 +208,54 @@ register(Task(
     aggregate=_caption_agg,
 ))
 
+def _mme_score(doc: dict, pred: str) -> dict:
+    """Reference mme_process_results (mme/utils.py:76-95): Otter-eval
+    parse, score per (question_id, category); both rows of an image share
+    question_id for the pairwise acc+ aggregate."""
+    pred_ans = F.mme_parse_pred_ans(pred)
+    gt = str(doc["target"]).lower().strip().replace(".", "")
+    return {
+        "category": doc.get("category", "default"),
+        "question_id": str(doc.get("question_id", doc["id"])),
+        "score": 1.0 if pred_ans == gt else 0.0,
+        # kept for the legacy mme_scores aggregate signature
+        "image_id": str(doc.get("question_id", doc["id"])),
+        "correct": 1.0 if pred_ans == gt else 0.0,
+    }
+
+
 register(Task(
     name="mme",
     post_prompt=SINGLE_WORD,
     generation_kwargs={"max_new_tokens": 16},
     dataset_path="lmms-lab/MME",
-    score_doc=lambda doc, pred: {
-        "category": doc.get("category", "default"),
-        "image_id": str(doc.get("question_id", doc["id"])).rsplit("-", 1)[0],
-        "correct": M.yes_no_match(pred, str(doc["target"])),
-    },
-    aggregate=_mme_agg,
+    score_doc=_mme_score,
+    aggregate=F.mme_aggregate,
 ))
+
+
+def _mmmu_map(doc: dict) -> dict:
+    """Interpolate the option block into the prompt (reference
+    construct_prompt, mmmu/utils.py:134-143) and keep the parsed choices
+    for answer extraction."""
+    if doc.get("choices") and str(doc.get("question_type",
+                                          "multiple-choice")) \
+            == "multiple-choice":
+        doc["text"] = (f"{doc['text']}\n"
+                       f"{F.mmmu_parse_options(doc['choices'])}\n")
+    return doc
+
+
+def _mmmu_score(doc: dict, pred: str) -> dict:
+    qt = str(doc.get("question_type", "multiple-choice"))
+    gold = str(doc["target"]).strip()
+    if qt == "multiple-choice" and doc.get("choices"):
+        index2ans, all_choices = F.get_multi_choice_info(doc["choices"])
+        parsed = F.parse_multi_choice_response(pred, all_choices, index2ans)
+        return {"acc": float(parsed == gold)}
+    return {"acc": float(F.eval_open(doc["target"],
+                                     F.parse_open_response(pred)))}
+
 
 register(Task(
     name="mmmu_val",
@@ -202,11 +263,8 @@ register(Task(
     generation_kwargs={"max_new_tokens": 16},
     dataset_path="lmms-lab/MMMU",
     test_split="validation",
-    score_doc=lambda doc, pred: {
-        "acc": float(
-            M.parse_multi_choice(pred) == str(doc["target"]).strip().upper()
-        ),
-    },
+    doc_mapper=_mmmu_map,
+    score_doc=_mmmu_score,
     aggregate=_mean_agg("acc"),
 ))
 

@@ -86,9 +86,9 @@ def main():
 
     if args.model_path:
         model = LaViDa.load(args.model_path, cfg, dtype)
-        from transformers import AutoTokenizer
+        from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
-        tokenizer = AutoTokenizer.from_pretrained(args.model_path)
+        tokenizer = load_hf_or_offline(args.model_path)
     else:
         tokenizer = None
         if args.tiny:

@@ -82,9 +82,9 @@ def main():
     else:
         cfg = LaViDaConfig()
         model = LaViDa.load(args.model_path, cfg)
-        from transformers import AutoTokenizer
+        from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
-        tokenizer = AutoTokenizer.from_pretrained(args.model_path)
+        tokenizer = load_hf_or_offline(args.model_path)
 
     images, sizes = [], []
     if args.image:

@@ -324,3 +324,195 @@ def test_unknown_conv_template_falls_back():
     with pytest.warns(UserWarning):
         conv = get_conv_template("nonexistent")
     assert conv.name == "llada"
+
+
+# ---------------------------------------------------------------------------
+# answer-filter fidelity (eval/filters.py vs reference task utils)
+# ---------------------------------------------------------------------------
+
+def test_mmmu_parse_multi_choice_cascade():
+    from lavida_mod_tpu.eval import filters as F
+
+    i2a, choices = F.get_multi_choice_info(["cat", "dog", "bird", "fish"])
+    assert choices == ["A", "B", "C", "D"] and i2a["C"] == "bird"
+    # bracketed wins the cascade
+    assert F.parse_multi_choice_response("I pick (B) here", choices, i2a) == "B"
+    # bare letter with trailing space
+    assert F.parse_multi_choice_response("B or maybe not", choices, i2a) == "B"
+    # "A." form
+    assert F.parse_multi_choice_response("Answer: C.", choices, i2a) == "C"
+    # content match only kicks in for long answers (> 5 words)
+    assert F.parse_multi_choice_response(
+        "the image clearly shows a small bird flying", choices, i2a) == "C"
+    # multiple candidates: LAST occurrence wins
+    assert F.parse_multi_choice_response(
+        "(A) is wrong, the answer is (D)", choices, i2a) == "D"
+    # no match: deterministic (seeded) fallback, stays within choices
+    a = F.parse_multi_choice_response("garbage", choices, i2a, rng_seed=0)
+    b = F.parse_multi_choice_response("garbage", choices, i2a, rng_seed=0)
+    assert a == b and a in choices
+
+
+def test_mmmu_open_response_and_eval_open():
+    from lavida_mod_tpu.eval import filters as F
+
+    preds = F.parse_open_response("The total is computed. Therefore the answer is 1,234")
+    assert 1234.0 in preds
+    assert F.eval_open("1234", preds)
+    assert F.eval_open(["1,234"], preds)
+    assert not F.eval_open("999", preds)
+    # single-char answers get space guards against trivial containment
+    assert F.normalize_str("x") == [" x", "x "]
+
+
+def test_mme_parse_and_aggregate():
+    from lavida_mod_tpu.eval import filters as F
+
+    assert F.mme_parse_pred_ans("Yes.") == "yes"
+    assert F.mme_parse_pred_ans("no") == "no"
+    assert F.mme_parse_pred_ans("y") == "yes"
+    assert F.mme_parse_pred_ans("n") == "no"
+    assert F.mme_parse_pred_ans("Yes, the image shows a cat") == "yes"
+    assert F.mme_parse_pred_ans("Nope definitely") == "no"   # 'no' in first 4
+    assert F.mme_parse_pred_ans("maybe") == "other"
+    assert F.mme_parse_pred_ans("q") == "other"
+
+    rows = [
+        {"category": "ocr", "question_id": "img1", "score": 1.0},
+        {"category": "ocr", "question_id": "img1", "score": 1.0},
+        {"category": "ocr", "question_id": "img2", "score": 1.0},
+        {"category": "ocr", "question_id": "img2", "score": 0.0},
+    ]
+    out = F.mme_aggregate(rows)
+    # img1: acc 100 + acc+ 100 = 200; img2: acc 50 + acc+ 0 = 50 -> avg 125
+    assert abs(out["ocr"] - 125.0) < 1e-9
+    assert abs(out["total"] - 125.0) < 1e-9
+
+
+def test_filter_stack():
+    from lavida_mod_tpu.eval import filters as F
+
+    docs = [{"choices": ["red", "green", "blue"]}]
+    ens = F.FilterEnsemble("mc", [
+        F.WhitespaceFilter(),
+        F.MultiChoiceRegexFilter(r"\b([A-C])\b"),
+        F.TakeFirst(),
+    ])
+    assert ens.apply([[" B is right"]], docs) == ["B"]
+    # falls back to matching option text -> letter
+    assert ens.apply([["the green one"]], docs) == ["B"]
+    rf = F.RegexFilter(r"#### (\-?[0-9\.\,]+)")
+    assert rf.apply([["reasoning #### 42"]], docs) == [["42"]]
+    assert rf.apply([["no answer"]], docs) == [["[invalid]"]]
+
+
+def test_mmmu_doc_pipeline_multi_image_and_choices():
+    """_normalize_doc + _mmmu_map: stringified options interpolate into the
+    prompt as an A./B. block (reference construct_prompt) and image_1..N
+    slots are collected in order."""
+    from lavida_mod_tpu.eval.tasks import _normalize_doc, get_task
+
+    doc = _normalize_doc({
+        "question": "What is shown in <image 1> and <image 2>?",
+        "options": "['a cat', 'a dog', 'a bird']",
+        "answer": "B",
+        "question_type": "multiple-choice",
+        "id": "validation_Art_1",
+        "image_1": "IMG1", "image_2": "IMG2", "image_3": None,
+    }, 0)
+    assert doc["choices"] == ["a cat", "a dog", "a bird"]
+    assert doc["images"] == ["IMG1", "IMG2"]
+
+    task = get_task("mmmu_val")
+    doc = task.doc_mapper(doc)
+    text = task.doc_to_text(doc)
+    assert "A. a cat\nB. a dog\nC. a bird" in text
+    assert text.endswith(
+        "\nAnswer with the option's letter from the given choices directly."
+    )
+    assert task.score_doc(doc, "It must be (B)")["acc"] == 1.0
+    assert task.score_doc(doc, "a bird I think it is")["acc"] == 0.0
+
+
+def test_cider_d_matches_pycocoevalcap_transcription():
+    """Cross-check our cider_d against an independent straight-line
+    transcription of pycocoevalcap's cider_scorer algorithm (raw tf x idf,
+    bigram-count length penalty, min-clip), on a randomized corpus."""
+    import math
+    import random
+    from collections import defaultdict
+
+    from lavida_mod_tpu.eval.metrics import cider_d, normalize_caption
+
+    def oracle(cands, refs_all, n_max=4, sigma=6.0):
+        crefs = [[normalize_caption(r) for r in refs] for refs in refs_all]
+        ctest = [normalize_caption(c) for c in cands]
+
+        def counts(toks, n):
+            d = defaultdict(int)
+            for i in range(len(toks) - n + 1):
+                d[tuple(toks[i:i + n])] += 1
+            return d
+
+        doc_freq = defaultdict(float)
+        for refs in crefs:
+            for ngram in set(
+                g for r in refs for n in range(1, n_max + 1)
+                for g in counts(r, n)
+            ):
+                doc_freq[ngram] += 1
+        ref_len = math.log(float(len(crefs)))
+
+        def c2v(toks):
+            vec = [defaultdict(float) for _ in range(n_max)]
+            norm = [0.0] * n_max
+            length = 0
+            for n in range(1, n_max + 1):
+                for g, tf in counts(toks, n).items():
+                    df = math.log(max(1.0, doc_freq[g]))
+                    vec[n - 1][g] = float(tf) * (ref_len - df)
+                    norm[n - 1] += vec[n - 1][g] ** 2
+                    if n == 2:
+                        length += tf
+            return vec, [math.sqrt(x) for x in norm], length
+
+        def sim(vh, vr, nh, nr, lh, lr):
+            delta = float(lh - lr)
+            val = [0.0] * n_max
+            for n in range(n_max):
+                for g in vh[n]:
+                    val[n] += min(vh[n][g], vr[n][g]) * vr[n][g]
+                if nh[n] != 0 and nr[n] != 0:
+                    val[n] /= nh[n] * nr[n]
+                val[n] *= math.e ** (-(delta ** 2) / (2 * sigma ** 2))
+            return val
+
+        scores = []
+        for toks, refs in zip(ctest, crefs):
+            vh, nh, lh = c2v(toks)
+            score = [0.0] * n_max
+            for r in refs:
+                vr, nr, lr = c2v(r)
+                s = sim(vh, vr, nh, nr, lh, lr)
+                score = [a + b for a, b in zip(score, s)]
+            scores.append(sum(score) / n_max / len(refs) * 10.0)
+        return sum(scores) / len(scores)
+
+    rng = random.Random(0)
+    vocab = ["a", "cat", "dog", "sits", "on", "the", "mat", "red", "big",
+             "runs", "fast", "sleeps"]
+
+    def sentence():
+        return " ".join(rng.choice(vocab)
+                        for _ in range(rng.randint(3, 10)))
+
+    cands = [sentence() for _ in range(12)]
+    refs = [[sentence() for _ in range(rng.randint(1, 4))]
+            for _ in range(12)]
+    ours = cider_d(cands, refs)
+    ref_val = oracle(cands, refs) * 100.0
+    assert abs(ours - ref_val) < 1e-9, (ours, ref_val)
+    # sanity: perfect match on a 2-image corpus scores high
+    perfect = cider_d(["a cat sits on the mat", "a dog runs fast"],
+                      [["a cat sits on the mat"], ["a dog runs fast"]])
+    assert perfect > 500.0

@@ -107,9 +107,9 @@ def main():
         cfg = LaViDaConfig()
 
     if args.tokenizer_path:
-        from transformers import AutoTokenizer
+        from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
-        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer_path)
+        tokenizer = load_hf_or_offline(args.tokenizer_path)
     else:
         class ByteTokenizer:
             bos_token_id = 1
