@@ -38,6 +38,16 @@ def main():
     ap.add_argument("--no-flash-prefill", action="store_true",
                     help="disable the 128-bucketed Pallas flash prefill "
                          "(falls back to dense prefill attention)")
+    ap.add_argument("--gen-len", type=int, default=32,
+                    help="generation length (headline protocol: 32)")
+    ap.add_argument("--steps", type=int, default=16,
+                    help="denoising steps (headline protocol: 16)")
+    ap.add_argument("--dllm", type=int, default=None,
+                    help="dLLM-cache partial recompute size (tokens "
+                         "re-forwarded per step; cached K/V + logits for "
+                         "the rest). Wins once gen-len is compute-bound: "
+                         "measured 1.56x at --gen-len 256 --steps 32 "
+                         "--dllm 64 on v5e")
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -102,7 +112,8 @@ def main():
     ids = np.concatenate([text_ids[:8], [-200], text_ids[8:]])
 
     gen = GenerationConfig(
-        max_new_tokens=32, block_length=32, steps=None, step_per_block=16,
+        max_new_tokens=args.gen_len, block_length=args.gen_len,
+        steps=None, step_per_block=args.steps,
         prefix_lm=True, remasking="low_confidence",
     )
 
@@ -129,6 +140,7 @@ def main():
         out = diffusion.generate(
             params["llada"], cfg.llada, prefix, gen,
             use_flash_prefill=not args.no_flash_prefill,
+            dllm_cache=args.dllm,
         )
         jax.block_until_ready(out)
         return out
@@ -143,11 +155,13 @@ def main():
         times.append(time.perf_counter() - t0)
     s_per_image = float(np.median(times)) / B
 
+    tag = f"len{args.gen_len}_steps{args.steps}"
     print(json.dumps({
         "metric": (
-            ("s_per_image_len32_steps16_hd" if B == 1
-             else f"s_per_image_len32_steps16_hd_batch{B}")
+            (f"s_per_image_{tag}_hd" if B == 1
+             else f"s_per_image_{tag}_hd_batch{B}")
             + ("_int4" if args.int4 else "")
+            + (f"_dllm{args.dllm}" if args.dllm else "")
         ),
         "value": round(s_per_image, 4),
         "unit": "s",

@@ -282,6 +282,110 @@ def _denoise_scan_full(
     return x
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "recompute", "temperature", "remasking",
+                     "use_flash_prefill"),
+)
+def _generate_dllm_fused(
+    params,
+    cfg: LLaDAConfig,
+    x: jax.Array,               # [1, G]
+    prefix_embeds: jax.Array,   # [1, P, D]
+    k_table: jax.Array,         # [S, 1]
+    block_end: jax.Array,       # [S]
+    prefix_valid,
+    key: jax.Array,
+    recompute: int,
+    temperature: float,
+    remasking: str,
+    use_flash_prefill: bool,
+):
+    """dLLM-Cache-style denoising (PAPERS.md; reference hot loop
+    llada/generate.py:221-311 recomputes every gen token every step):
+
+    Per-layer K/V and final logits are carried across steps; each step
+    re-forwards only `recompute` tokens — tokens committed last step (their
+    embedding changed, so their cached K/V is stale by construction) plus
+    the stalest still-masked tokens — scattering fresh K/V and logits into
+    the caches.  Untouched tokens keep cached features/logits, bounding
+    divergence by the refresh pressure (recompute >= G reproduces the
+    exact scan, tested).  Pays off once the step is compute-bound
+    (G >~ 128): per-step FLOPs drop by G/recompute while weight reads stay
+    constant.  B=1 (the serving latency path)."""
+    B, G = x.shape
+    assert B == 1, "dLLM cache path is the B=1 serving latency path"
+    P = prefix_embeds.shape[1]
+    mask_id = cfg.mask_token_id
+    r = min(recompute, G)
+
+    _, cache = llada_model.forward(
+        params, cfg, prefix_embeds,
+        self_valid=prefix_valid,
+        use_cache=True, return_logits=False, use_flash=use_flash_prefill,
+    )
+    # pad the prefix cache to P+G in whichever layout the block params use
+    # (list of per-layer tuples for unrolled serving params, stacked dict
+    # for scanned params)
+    if isinstance(cache, list):
+        cache_l = [
+            (jnp.pad(k, ((0, 0), (0, G), (0, 0), (0, 0))),
+             jnp.pad(v, ((0, 0), (0, G), (0, 0), (0, 0))))
+            for k, v in cache
+        ]
+    else:
+        cache_l = {
+            "k": jnp.pad(cache["k"], ((0, 0), (0, 0), (0, G), (0, 0), (0, 0))),
+            "v": jnp.pad(cache["v"], ((0, 0), (0, 0), (0, G), (0, 0), (0, 0))),
+        }
+    kv_valid = None
+    if prefix_valid is not None:
+        kv_valid = jnp.concatenate(
+            [prefix_valid, jnp.ones((B, G), bool)], axis=1
+        )
+    positions_all = jnp.arange(P, P + G, dtype=jnp.int32)
+
+    # init pass: full forward over G (write-index), seeding caches + logits
+    logits_c, cache_l = llada_model.forward(
+        params, cfg, llada_model.embed_tokens(params, x),
+        positions=positions_all, kv_cache=cache_l, kv_valid=kv_valid,
+        kv_write_index=P, use_cache=True,
+    )
+    logits_c = logits_c.astype(jnp.bfloat16)
+
+    def step(carry, ctl):
+        x, cache_l, logits_c, changed_prev, stale, key = carry
+        k_row, b_end = ctl
+        key, sk = jax.random.split(key)
+        masked = x[0] == mask_id
+        prio = (changed_prev[0].astype(jnp.float32) * 1e6
+                + jnp.where(masked, stale, -1e6))
+        _, pos = jax.lax.top_k(prio, r)
+        embeds = llada_model.embed_tokens(params, x[:, pos])
+        logits_r, cache_l = llada_model.forward(
+            params, cfg, embeds,
+            positions=P + pos, kv_cache=cache_l, kv_valid=kv_valid,
+            kv_scatter_idx=P + pos, use_cache=True,
+        )
+        logits_c = logits_c.at[:, pos].set(logits_r.astype(logits_c.dtype))
+        x_new = sampling.denoise_commit(
+            x, logits_c.astype(jnp.float32), x == mask_id, k_row, b_end,
+            temperature=temperature, remasking=remasking, key=sk,
+        )
+        changed = x_new != x
+        fresh = jnp.zeros((G,), bool).at[pos].set(True)
+        stale = jnp.where(fresh, 0.0, stale + 1.0)
+        return (x_new, cache_l, logits_c, changed, stale, key), None
+
+    stale0 = jnp.zeros((G,), jnp.float32)
+    changed0 = jnp.zeros((B, G), bool)
+    (x, *_), _ = jax.lax.scan(
+        step, (x, cache_l, logits_c, changed0, stale0, key),
+        (k_table, block_end),
+    )
+    return x
+
+
 def generate(
     params,
     cfg: LLaDAConfig,
@@ -294,6 +398,7 @@ def generate(
     use_flash: bool = False,
     act_int8_prefill: bool = False,
     use_flash_prefill: bool = False,
+    dllm_cache: Optional[int] = None,
     verbose: bool = False,
 ):
     """Generate `gen.max_new_tokens` tokens after the given prefix embeddings.
@@ -330,6 +435,15 @@ def generate(
         )
         if k_table.shape[0] == 0:
             return (x, []) if verbose else x
+        if dllm_cache is not None and not verbose:
+            return _generate_dllm_fused(
+                params, cfg, x, prefix_embeds,
+                jnp.asarray(k_table), jnp.asarray(block_end),
+                prefix_valid, key,
+                recompute=int(dllm_cache),
+                temperature=gen.temperature, remasking=gen.remasking,
+                use_flash_prefill=use_flash_prefill,
+            )
         if not verbose:
             return _generate_cached_fused(
                 params, cfg, x, prefix_embeds,

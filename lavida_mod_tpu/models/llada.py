@@ -130,6 +130,7 @@ def _block(
     q_segment_ids: Optional[jax.Array],
     kv_segment_ids: Optional[jax.Array],
     kv_write_index: Optional[jax.Array] = None,
+    kv_scatter_idx: Optional[jax.Array] = None,
     act_int8: bool = False,
     blockwise_args: Optional[dict] = None,
 ):
@@ -167,7 +168,14 @@ def _block(
     present = (k, v)
     if layer_past is not None:
         pk, pv = layer_past
-        if kv_write_index is not None:
+        if kv_scatter_idx is not None:
+            # non-contiguous in-place cache update (dLLM-style partial
+            # recompute): this call's T tokens live at arbitrary cache
+            # positions kv_scatter_idx [T]
+            k = pk.at[:, kv_scatter_idx].set(k.astype(pk.dtype))
+            v = pv.at[:, kv_scatter_idx].set(v.astype(pv.dtype))
+            present = (k, v)
+        elif kv_write_index is not None:
             # fixed-size cache buffers: write in place (AR decode path)
             k = jax.lax.dynamic_update_slice(
                 pk, k.astype(pk.dtype), (0, kv_write_index, 0, 0)
@@ -262,6 +270,7 @@ def forward(
     last_logits_only: bool = False,
     causal: bool = False,
     kv_write_index: Optional[jax.Array] = None,
+    kv_scatter_idx: Optional[jax.Array] = None,
     act_int8: bool = False,
     use_flash: bool = False,
     attention_impl: str = "dense",
@@ -295,7 +304,12 @@ def forward(
         past_len = kv_cache[0][0].shape[1]
     else:
         past_len = kv_cache["k"].shape[2]
-    if kv_write_index is not None:
+    if kv_scatter_idx is not None:
+        assert kv_cache is not None and positions is not None, (
+            "scattered cache updates need explicit RoPE positions"
+        )
+        S = past_len
+    elif kv_write_index is not None:
         assert kv_cache is not None
         S = past_len            # buffer size; this call writes inside it
         if positions is None:
@@ -315,7 +329,9 @@ def forward(
     # additive bias from padding + prefix-LM / causal masks
     kv_pos = jnp.arange(S, dtype=jnp.int32)
     valid = None
-    if kv_write_index is not None:
+    if kv_scatter_idx is not None:
+        valid = kv_valid  # caller owns the mask in scattered mode
+    elif kv_write_index is not None:
         filled = (kv_pos < kv_write_index + T)[None]
         valid = jnp.broadcast_to(filled, (B, S))
         if kv_valid is not None:
@@ -327,7 +343,9 @@ def forward(
     # the prefix-LM / causal masks are about SEQUENCE structure, so they
     # use sequence indices — NOT the RoPE `positions`, which training may
     # shift (use_pos_skipping) without changing who attends to whom
-    if kv_write_index is not None:
+    if kv_scatter_idx is not None:
+        mask_q_pos = kv_scatter_idx
+    elif kv_write_index is not None:
         mask_q_pos = kv_write_index + jnp.arange(T, dtype=jnp.int32)
     else:
         mask_q_pos = jnp.arange(past_len, past_len + T, dtype=jnp.int32)
@@ -380,14 +398,16 @@ def forward(
                 sin=sin, cos=cos, positions=positions, bias=bias,
                 layer_past=lp, use_flash=use_flash,
                 q_segment_ids=q_seg, kv_segment_ids=kv_seg,
-                kv_write_index=kv_write_index, act_int8=act_int8,
+                kv_write_index=kv_write_index,
+                kv_scatter_idx=kv_scatter_idx, act_int8=act_int8,
                 blockwise_args=blockwise_args,
             )
             if use_cache:
                 presents_list.append(present)
         if not use_cache:
             presents = None
-        elif cache_is_list or kv_write_index is not None:
+        elif cache_is_list or kv_write_index is not None \
+                or kv_scatter_idx is not None:
             # per-layer list layout: lets XLA update each layer's buffer
             # in place instead of restacking (decode hot path)
             presents = presents_list
@@ -403,7 +423,8 @@ def forward(
                 sin=sin, cos=cos, positions=positions, bias=bias,
                 layer_past=layer_past, use_flash=use_flash,
                 q_segment_ids=q_seg, kv_segment_ids=kv_seg,
-                kv_write_index=kv_write_index, act_int8=act_int8,
+                kv_write_index=kv_write_index,
+                kv_scatter_idx=kv_scatter_idx, act_int8=act_int8,
                 blockwise_args=blockwise_args,
             )
             return h, present if use_cache else None
