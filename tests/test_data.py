@@ -242,3 +242,111 @@ def test_dream_conv_fallback_is_chatml_and_matches_training_renderer():
     conv2.append_message("user", "hi there")
     conv2.append_message("assistant", None)
     assert conv2.get_prompt() == prompt
+
+
+def test_conversation_template_registry_breadth():
+    """Full reference registry (conversation.py:657-684) present, and the
+    separator styles render the reference semantics (expected strings
+    derived from conversation.py:65-212)."""
+    from lavida_mod_tpu.data.conversation import conv_templates, get_conv_template
+
+    for name in ["default", "v0", "v1", "vicuna_v1", "llama_2",
+                 "mistral_instruct", "mistral_orca", "mistral_zephyr",
+                 "mistral_direct", "plain", "v0_plain", "chatml_direct",
+                 "llava_v0", "llava_v0_mmtag", "llava_v1",
+                 "llava_v1_mmtag", "llava_llama_2", "llava_llama_3",
+                 "llava_llama_2_simple", "llava_llama_2_mmtag",
+                 "llava_mistral_instruct", "mpt", "qwen_1_5", "qwen_2",
+                 "gemma_instruct", "llada", "dream"]:
+        assert name in conv_templates, name
+
+    # SINGLE (v0): "### Human: ... ### Assistant:"
+    c = get_conv_template("llava_v0")
+    c.system = "SYS"
+    c.append_message("user", "hi")
+    assert c.get_prompt() == "SYS###Human: hi###Assistant:"
+
+    # TWO (v1): alternating " " / "</s>"
+    c = get_conv_template("llava_v1")
+    c.system = "SYS"
+    c.append_message("user", "q1")
+    c.append_message("assistant", "a1")
+    c.append_message("user", "q2")
+    assert c.get_prompt() == "SYS USER: q1 ASSISTANT: a1</s>USER: q2 ASSISTANT:"
+
+    # MPT/chatml_direct: role strings carry markers
+    c = get_conv_template("chatml_direct")
+    c.append_message("user", "hello")
+    assert c.get_prompt() == (
+        "<|im_start|>system\nAnswer the questions.<|im_end|>"
+        "<|im_start|>user\nhello<|im_end|><|im_start|>assistant\n"
+    )
+
+    # LLAMA_2: [INST] wrapping with <<SYS>> in the first turn
+    c = get_conv_template("llama_2")
+    c.system = "S"
+    c.append_message("user", "q1")
+    c.append_message("assistant", "a1")
+    c.append_message("user", "q2")
+    assert c.get_prompt() == (
+        "[INST] <<SYS>>\nS\n<</SYS>>\n\nq1 [/INST] a1 </s>"
+        "<s>[INST] q2 [/INST]"
+    )
+
+    # GEMMA
+    c = get_conv_template("gemma_instruct")
+    c.append_message("user", "hey")
+    assert c.get_prompt() == (
+        "<start_of_turn>user\nhey<end_of_turn>\n<start_of_turn>model\n"
+    )
+
+    # PLAIN pairwise (stage-1 pretraining): "<image>\ncaption\n"
+    c = get_conv_template("v0_plain")
+    c.append_message("user", "<image>")
+    c.append_message("assistant", "a cat")
+    assert c.get_prompt() == "<image>\na cat\n"
+
+
+def test_preprocess_ar_styles():
+    """AR preprocessors: labels supervise exactly the assistant responses
+    (+closing separator) for every template family (reference
+    train.py:418-1258 intent, segment-exact by construction)."""
+    from lavida_mod_tpu.data.preprocess import IGNORE_INDEX, preprocess_ar
+
+    class WordTok:
+        bos_token_id = 1
+
+        def __call__(self, text):
+            class R:
+                input_ids = [hash(w) % 1000 + 10 for w in text.split()]
+
+            return R()
+
+        def encode(self, text, add_special_tokens=False):
+            return [hash(w) % 1000 + 10 for w in text.split()]
+
+    tok = WordTok()
+    src = [{"from": "human", "value": "what is this"},
+           {"from": "gpt", "value": "a cat"},
+           {"from": "human", "value": "sure ?"},
+           {"from": "gpt", "value": "yes"}]
+
+    for template in ["v1", "qwen_1_5", "mpt", "llama_2", "gemma_instruct",
+                     "llava_llama_3"]:
+        out = preprocess_ar(src, tok, template)
+        ids, lab = out["input_ids"], out["labels"]
+        assert len(ids) == len(lab)
+        sup = lab != IGNORE_INDEX
+        assert sup.any(), template
+        # supervised positions must equal their input ids
+        np.testing.assert_array_equal(lab[sup], ids[sup])
+        # both answers supervised -> at least 3 supervised tokens
+        assert sup.sum() >= 3, template
+
+    # plain: caption only
+    out = preprocess_ar(
+        [{"from": "human", "value": "<image>"},
+         {"from": "gpt", "value": "a red bus"}],
+        tok, "plain", has_image=True,
+    )
+    assert (out["labels"] != IGNORE_INDEX).sum() == 3  # "a red bus"
