@@ -12,10 +12,10 @@ capability parity, re-expressed functionally:
   perceiver     Flamingo-style PerceiverResampler (perceiver.py:30-160):
                 learned latents cross-attend to [media; latents], softmax
                 with max-subtraction, ff_mult MLP, final LN
-  qformer       compact query-transformer: learned queries with
-                cross-attention into the image tokens + self-attention
-                (functional stand-in for the 1160-line vendored BERT
-                Qformer, qformer.py)
+  qformer       real BLIP-2 BERT Q-former (models/qformer.py): learned
+                query bank through a post-LN BERT with cross-attention
+                every cross_attention_freq layers; torch-parity tested
+                against the vendored qformer.py
 """
 
 from __future__ import annotations
@@ -154,23 +154,6 @@ def perceiver_resample(params: Params, features: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# qformer (compact)
-# ---------------------------------------------------------------------------
-
-def init_qformer(
-    dim: int, key: jax.Array, depth: int = 2, heads: int = 8,
-    num_queries: int = 32, dtype=jnp.float32,
-) -> Params:
-    p = init_perceiver(dim, key, depth=depth, dim_head=dim // heads,
-                       heads=heads, num_latents=num_queries, dtype=dtype)
-    return p
-
-
-def qformer_resample(params: Params, features: jax.Array) -> jax.Array:
-    return perceiver_resample(params, features)
-
-
-# ---------------------------------------------------------------------------
 # registry (builder.py equivalent)
 # ---------------------------------------------------------------------------
 
@@ -197,7 +180,19 @@ def build_resampler(name: Optional[str], dim: int = 1152,
         return (init_perceiver(dim, key, **kw),
                 lambda p, f, **_: perceiver_resample(p, f))
     if name == "qformer":
+        # real BLIP-2 BERT Q-former (models/qformer.py, torch-parity
+        # tested).  Mirrors the reference wiring
+        # (multimodal_resampler/qformer.py:1102-1133): `depth` feeds
+        # cross_attention_freq — a reference quirk preserved as-is.
+        from . import qformer as qf
+
         assert key is not None
-        return (init_qformer(dim, key, **kw),
-                lambda p, f, **_: qformer_resample(p, f))
+        cfg = qf.QformerConfig(
+            encoder_width=dim,
+            num_query_tokens=kw.pop("latents", kw.pop("num_latents", 32)),
+            cross_attention_freq=kw.pop("depth", 2),
+            **kw,
+        )
+        return (qf.init_params(cfg, key),
+                lambda p, f, **_: qf.apply(p, cfg, f))
     raise ValueError(f"unknown resampler: {name}")

@@ -139,9 +139,12 @@ def test_perceiver_and_qformer():
     assert out.shape == (2, 8, 32)
     assert bool(jnp.isfinite(out).all())
 
-    q = R.init_qformer(32, jax.random.PRNGKey(1), depth=1, heads=4,
-                       num_queries=4)
-    assert R.qformer_resample(q, f).shape == (2, 4, 32)
+    qp, qfn = R.build_resampler(
+        "qformer", dim=32, key=jax.random.PRNGKey(1), depth=1,
+        num_latents=4, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+    )
+    assert qfn(qp, f).shape == (2, 4, 32)
 
 
 def test_build_resampler_registry():
