@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--mc-num", type=int, default=16)
     ap.add_argument("--log-samples", action="store_true")
     ap.add_argument("--output", default=None)
+    ap.add_argument("--output-dir", default=None,
+                    help="EvaluationTracker dir: date-stamped results + "
+                         "per-sample jsonl per task")
     args = ap.parse_args()
 
     from ..config import LaViDaConfig
@@ -106,10 +109,19 @@ def main():
         for item in args.data_path.split(","):
             k, _, v = item.partition("=")
             data_paths[k] = v
+    tracker = None
+    if args.output_dir:
+        from .tracker import EvaluationTracker
+
+        tracker = EvaluationTracker(
+            args.output_dir,
+            model_name=args.model_path or "tiny",
+        )
     results = simple_evaluate(
         adapter, args.tasks.split(","), data_paths,
         limit=args.limit, gen_kwargs=parse_kv(args.gen_kwargs),
-        log_samples=args.log_samples, output_path=args.output,
+        log_samples=args.log_samples or bool(tracker),
+        output_path=args.output, tracker=tracker,
     )
     print(json.dumps(
         {t: r["results"] for t, r in results.items()}, indent=2, default=str

@@ -118,9 +118,13 @@ def simple_evaluate(
     log_samples: bool = False,
     output_path: Optional[str] = None,
     batch_size: int = 1,
+    tracker=None,
 ) -> dict:
     """Run several tasks; returns {task: results}.  data_paths maps task
-    name -> local jsonl/dataset override."""
+    name -> local jsonl/dataset override.  `tracker`: an
+    eval.tracker.EvaluationTracker — saves date-stamped aggregated results
+    and per-sample jsonl under its output dir (the reference's
+    evaluation_tracker layer)."""
     all_results = {}
     for name in tasks:
         task = get_task(name)
@@ -134,4 +138,10 @@ def simple_evaluate(
     if output_path:
         with open(output_path, "w") as f:
             json.dump(all_results, f, indent=2, default=str)
+    if tracker is not None:
+        tracker.save_results_aggregated(
+            {t: r.get("results", r) for t, r in all_results.items()},
+            samples={t: r["samples"] for t, r in all_results.items()
+                     if "samples" in r},
+        )
     return all_results

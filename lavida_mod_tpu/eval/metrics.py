@@ -290,3 +290,109 @@ def mme_scores(rows: Sequence[dict]) -> dict:
         total += score
     out["total"] = total
     return out
+
+
+# ---------------------------------------------------------------------------
+# VQA accuracy (vqav2 / okvqa / vizwiz / textvqa-official protocol)
+# ---------------------------------------------------------------------------
+# Normalization data from the official VQA evaluation (EvalAI processor,
+# reference eval/lmms_eval/tasks/_task_utils/vqa_eval_metric.py:11-211 —
+# itself from facebookresearch/mmf).  The maps are published golden
+# semantics; scores only match the tables if they match exactly.
+
+_VQA_CONTRACTIONS = dict(p.split("=", 1) for p in (
+    "aint=ain't arent=aren't cant=can't couldve=could've couldnt=couldn't "
+    "couldn'tve=couldn't've couldnt've=couldn't've didnt=didn't "
+    "doesnt=doesn't dont=don't hadnt=hadn't hadnt've=hadn't've "
+    "hadn'tve=hadn't've hasnt=hasn't havent=haven't hed=he'd "
+    "hed've=he'd've he'dve=he'd've hes=he's howd=how'd howll=how'll "
+    "hows=how's Id've=I'd've I'dve=I'd've Im=I'm Ive=I've isnt=isn't "
+    "itd=it'd itd've=it'd've it'dve=it'd've itll=it'll let's=let's "
+    "maam=ma'am mightnt=mightn't mightnt've=mightn't've "
+    "mightn'tve=mightn't've mightve=might've mustnt=mustn't "
+    "mustve=must've neednt=needn't notve=not've oclock=o'clock "
+    "oughtnt=oughtn't ow's'at='ow's'at 'ows'at='ow's'at 'ow'sat='ow's'at "
+    "shant=shan't shed've=she'd've she'dve=she'd've she's=she's "
+    "shouldve=should've shouldnt=shouldn't shouldnt've=shouldn't've "
+    "shouldn'tve=shouldn't've somebody'd=somebodyd "
+    "somebodyd've=somebody'd've somebody'dve=somebody'd've "
+    "somebodyll=somebody'll somebodys=somebody's someoned=someone'd "
+    "someoned've=someone'd've someone'dve=someone'd've "
+    "someonell=someone'll someones=someone's somethingd=something'd "
+    "somethingd've=something'd've something'dve=something'd've "
+    "somethingll=something'll thats=that's thered=there'd "
+    "thered've=there'd've there'dve=there'd've therere=there're "
+    "theres=there's theyd=they'd theyd've=they'd've they'dve=they'd've "
+    "theyll=they'll theyre=they're theyve=they've twas='twas "
+    "wasnt=wasn't wed've=we'd've we'dve=we'd've weve=we've "
+    "werent=weren't whatll=what'll whatre=what're whats=what's "
+    "whatve=what've whens=when's whered=where'd wheres=where's "
+    "whereve=where've whod=who'd whod've=who'd've who'dve=who'd've "
+    "wholl=who'll whos=who's whove=who've whyll=why'll whyre=why're "
+    "whys=why's wont=won't wouldve=would've wouldnt=wouldn't "
+    "wouldnt've=wouldn't've wouldn'tve=wouldn't've yall=y'all "
+    "yall'll=y'all'll y'allll=y'all'll yall'd've=y'all'd've "
+    "y'alld've=y'all'd've y'all'dve=y'all'd've youd=you'd "
+    "youd've=you'd've you'dve=you'd've youll=you'll youre=you're "
+    "youve=you've"
+).split())
+
+_VQA_NUMBERS = {"none": "0", "zero": "0", "one": "1", "two": "2",
+                "three": "3", "four": "4", "five": "5", "six": "6",
+                "seven": "7", "eight": "8", "nine": "9", "ten": "10"}
+_VQA_ARTICLES = {"a", "an", "the"}
+_VQA_PERIOD = re.compile(r"(?!<=\d)(\.)(?!\d)")
+_VQA_COMMA = re.compile(r"(?<=\d)(\,)+(?=\d)")
+_VQA_PUNCT = [";", r"/", "[", "]", '"', "{", "}", "(", ")", "=", "+",
+              "\\", "_", "-", ">", "<", "@", "`", ",", "?", "!"]
+
+
+def vqa_normalize(text: str) -> str:
+    """EvalAI answer normalization (vqa_eval_metric.py:178-211)."""
+    t = text.lower().replace(",", "").replace("?", "").replace("'s", " 's")
+    t = t.strip().replace("\n", " ").replace("\t", " ").strip()
+    out = t
+    for p in _VQA_PUNCT:
+        if (p + " " in t or " " + p in t) or _VQA_COMMA.search(t):
+            out = out.replace(p, "")
+        else:
+            out = out.replace(p, " ")
+    out = _VQA_PERIOD.sub("", out)
+    words = []
+    for w in out.lower().split():
+        w = _VQA_NUMBERS.get(w, w)
+        if w not in _VQA_ARTICLES:
+            words.append(_VQA_CONTRACTIONS.get(w, w))
+    return " ".join(words)
+
+
+def vqa_accuracy(prediction: str, answers: Sequence[str]) -> float:
+    """Official VQA accuracy: leave-one-annotator-out mean of
+    min(1, matches/3) (vqav2/utils.py:17-47).  Normalization applies only
+    when annotators disagree, matching the reference."""
+    answers = [a.replace("\n", " ").replace("\t", " ").strip()
+               for a in answers]
+    pred = prediction.replace("\n", " ").replace("\t", " ").strip()
+    if len(set(answers)) > 1:
+        answers = [vqa_normalize(a) for a in answers]
+        pred = vqa_normalize(pred)
+    accs = []
+    for i in range(len(answers)):
+        others = answers[:i] + answers[i + 1:]
+        accs.append(min(1.0, sum(o == pred for o in others) / 3.0))
+    return sum(accs) / max(len(accs), 1)
+
+
+def pope_aggregate(rows: Sequence[dict]) -> dict:
+    """POPE: accuracy + precision/recall/F1 with 'yes' as positive
+    (reference tasks/pope/utils.py semantics)."""
+    tp = sum(1 for r in rows if r["pred"] == "yes" and r["gt"] == "yes")
+    fp = sum(1 for r in rows if r["pred"] == "yes" and r["gt"] == "no")
+    fn = sum(1 for r in rows if r["pred"] != "yes" and r["gt"] == "yes")
+    acc = sum(1 for r in rows if r["pred"] == r["gt"]) / max(len(rows), 1)
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    yes_ratio = sum(1 for r in rows if r["pred"] == "yes") / max(len(rows), 1)
+    return {"accuracy": acc, "precision": prec, "recall": rec, "f1": f1,
+            "yes_ratio": yes_ratio}

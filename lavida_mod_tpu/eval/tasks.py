@@ -396,3 +396,118 @@ register(Task(
     },
     aggregate=_mean_agg("acc"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# VQA-family, hallucination, MC-benchmark and caption tasks beyond the
+# BASELINE set (reference eval/lmms_eval/tasks/{vqav2,ok_vqa,vizwiz_vqa,
+# pope,seedbench,mmstar,flickr30k,nocaps,ocrbench})
+# ---------------------------------------------------------------------------
+
+def _answers_of(doc) -> list[str]:
+    t = doc.get("target")
+    if isinstance(t, list):
+        return [a["answer"] if isinstance(a, dict) else str(a) for a in t]
+    return [str(t)]
+
+
+def _vqa_score(doc: dict, pred: str) -> dict:
+    return {"exact_match": M.vqa_accuracy(pred, _answers_of(doc))}
+
+
+for _name, _path, _split in (
+    ("vqav2_val", "lmms-lab/VQAv2", "validation"),
+    ("ok_vqa_val", "lmms-lab/OK-VQA", "val2014"),
+    ("vizwiz_vqa_val", "lmms-lab/VizWiz-VQA", "val"),
+):
+    register(Task(
+        name=_name,
+        post_prompt=(
+            "\nWhen the provided information is insufficient, respond "
+            "with 'Unanswerable'.\nAnswer the question using a single "
+            "word or phrase." if "vizwiz" in _name else SINGLE_WORD
+        ),
+        generation_kwargs={"max_new_tokens": 16},
+        dataset_path=_path,
+        test_split=_split,
+        score_doc=_vqa_score,
+        aggregate=_mean_agg("exact_match"),
+    ))
+
+
+def _pope_score(doc: dict, pred: str) -> dict:
+    return {
+        "pred": F.mme_parse_pred_ans(pred),
+        "gt": str(doc["target"]).lower().strip().replace(".", ""),
+    }
+
+
+register(Task(
+    name="pope",
+    post_prompt=SINGLE_WORD,
+    generation_kwargs={"max_new_tokens": 16},
+    dataset_path="lmms-lab/POPE",
+    score_doc=_pope_score,
+    aggregate=M.pope_aggregate,
+))
+
+
+def _mc_from_choices_score(doc: dict, pred: str) -> dict:
+    if doc.get("choices"):
+        index2ans, all_choices = F.get_multi_choice_info(doc["choices"])
+        parsed = F.parse_multi_choice_response(pred, all_choices, index2ans)
+    else:
+        parsed = M.parse_multi_choice(pred)
+    return {"acc": float(parsed == str(doc["target"]).strip().upper())}
+
+
+for _name, _path, _split in (
+    ("seedbench", "lmms-lab/SEED-Bench", "test"),
+    ("mmstar", "Lin-Chen/MMStar", "val"),
+):
+    register(Task(
+        name=_name,
+        post_prompt=MC_LETTER,
+        generation_kwargs={"max_new_tokens": 16},
+        dataset_path=_path,
+        test_split=_split,
+        score_doc=_mc_from_choices_score,
+        aggregate=_mean_agg("acc"),
+    ))
+
+
+for _name, _path, _split in (
+    ("flickr30k_test", "lmms-lab/flickr30k", "test"),
+    ("nocaps_val", "lmms-lab/NoCaps", "validation"),
+):
+    register(Task(
+        name=_name,
+        post_prompt="",
+        generation_kwargs={"max_new_tokens": 32},
+        dataset_path=_path,
+        test_split=_split,
+        doc_mapper=_coco_map,
+        score_doc=lambda doc, pred: {
+            "prediction": pred,
+            "references": _answers_of(doc),
+        },
+        aggregate=_caption_agg,
+    ))
+
+
+def _ocrbench_score(doc: dict, pred: str) -> dict:
+    # containment accuracy (reference tasks/ocrbench/utils.py: answer
+    # string contained in the prediction, case-insensitive)
+    p = pred.lower().strip()
+    ok = any(str(a).lower().strip() in p for a in _answers_of(doc))
+    return {"acc": float(ok)}
+
+
+register(Task(
+    name="ocrbench",
+    post_prompt=SINGLE_WORD,
+    generation_kwargs={"max_new_tokens": 32},
+    dataset_path="echo840/OCRBench",
+    score_doc=_ocrbench_score,
+    aggregate=_mean_agg("acc"),
+))

@@ -1,6 +1,7 @@
 """Eval harness tests: metric golden values and an end-to-end evaluate()
 run over a synthetic task with the tiny model."""
 
+import os
 import json
 
 import numpy as np
@@ -516,3 +517,54 @@ def test_cider_d_matches_pycocoevalcap_transcription():
     perfect = cider_d(["a cat sits on the mat", "a dog runs fast"],
                       [["a cat sits on the mat"], ["a dog runs fast"]])
     assert perfect > 500.0
+
+
+def test_evaluation_tracker(tmp_path):
+    from lavida_mod_tpu.eval.tracker import EvaluationTracker, WandbLogger
+
+    tr = EvaluationTracker(str(tmp_path), model_name="ckpts/test-model")
+    p = tr.save_results_aggregated(
+        {"mme": {"total": 123.0}},
+        samples={"mme": [{"id": 1, "pred": "yes", "target": "yes"}]},
+    )
+    import json as _json
+
+    payload = _json.loads(open(p).read())
+    assert payload["results"]["mme"]["total"] == 123.0
+    assert "total_evaluation_time_seconds" in payload["config"]
+    sample_files = [f for f in os.listdir(os.path.dirname(p))
+                    if f.startswith("samples_mme")]
+    assert sample_files
+    # wandb absent in env -> logger must degrade to inactive no-ops
+    wl = WandbLogger()
+    assert not wl.active
+    wl.log_eval_result({"mme": {"total": 1.0}})
+    wl.finish()
+
+
+def test_vqa_accuracy_and_new_tasks():
+    from lavida_mod_tpu.eval import metrics as M
+    from lavida_mod_tpu.eval.tasks import get_task, list_tasks
+
+    # official leave-one-out protocol: 10 annotators, 7 say "2"
+    answers = ["two", "2", "2", "two", "3", "2", "2", "two", "2", "2"]
+    assert M.vqa_accuracy("2", answers) == 1.0
+    assert M.vqa_accuracy("3", answers) < 0.5
+    # normalization only when annotators disagree
+    assert M.vqa_accuracy("Yes.", ["yes"] * 10) == 0.0  # unanimous: exact
+    assert M.vqa_accuracy("yes", ["yes"] * 10) == 1.0
+
+    rows = [{"pred": "yes", "gt": "yes"}, {"pred": "yes", "gt": "no"},
+            {"pred": "no", "gt": "yes"}, {"pred": "no", "gt": "no"}]
+    agg = M.pope_aggregate(rows)
+    assert agg["accuracy"] == 0.5 and abs(agg["f1"] - 0.5) < 1e-9
+
+    for name in ("vqav2_val", "ok_vqa_val", "vizwiz_vqa_val", "pope",
+                 "seedbench", "mmstar", "flickr30k_test", "nocaps_val",
+                 "ocrbench"):
+        assert name in list_tasks()
+    t = get_task("vqav2_val")
+    doc = {"target": answers, "id": 0}
+    assert t.score_doc(doc, "2")["exact_match"] == 1.0
+    assert get_task("ocrbench").score_doc(
+        {"target": "hello", "id": 0}, "it says Hello world")["acc"] == 1.0
