@@ -21,10 +21,40 @@ def sample_frame_indices(total: int, num_frames: int) -> list[int]:
     return [min(int(i * step), total - 1) for i in range(num_frames)]
 
 
+def load_video_frames_av(path: str, num_frames: int = 8) -> list:
+    """pyav decode path (the reference's decord equivalent,
+    llava/utils.py:25-72: uniform frame sampling over the container).
+    Raises ImportError when `av` is absent — load_video_frames falls back
+    to PIL/frame-dir exactly as the reference degrades without decord."""
+    import av
+    from PIL import Image
+
+    with av.open(path) as container:
+        stream = container.streams.video[0]
+        total = stream.frames or sum(1 for _ in container.decode(stream))
+        container.seek(0)
+        want = set(sample_frame_indices(total, num_frames))
+        frames = [
+            Image.fromarray(f.to_ndarray(format="rgb24"))
+            for i, f in enumerate(container.decode(stream)) if i in want
+        ]
+    return frames
+
+
 def load_video_frames(path: str, num_frames: int = 8) -> list:
-    """GIF/animated-image file OR directory of frame images -> PIL frames."""
+    """Video file (pyav when available) OR GIF/animated-image file OR
+    directory of frame images -> PIL frames."""
     from PIL import Image, ImageSequence
 
+    if path.lower().endswith((".mp4", ".avi", ".mov", ".mkv", ".webm")):
+        try:
+            return load_video_frames_av(path, num_frames)
+        except ImportError:
+            raise ImportError(
+                f"decoding {path!r} needs the `av` (pyav) package, which "
+                "is not installed; pre-extract frames to a directory or "
+                "use an animated-image container"
+            )
     if os.path.isdir(path):
         files = sorted(
             f for f in os.listdir(path)

@@ -26,7 +26,11 @@ def evaluate(
     log_samples: bool = False,
     progress: bool = True,
     batch_size: int = 1,
+    distributed: bool = False,
 ) -> dict:
+    """distributed=True gathers every process's score rows before
+    aggregation (the reference's dist.all_gather_object merge,
+    llava_eval_trainer.py:268-292) and applies the MME pairwise dedup."""
     rows = []
     samples = []
     merged_kwargs = dict(task.generation_kwargs)
@@ -52,6 +56,10 @@ def evaluate(
             if log_samples:
                 samples.append({"id": doc.get("id"), "prediction": pred,
                                 **row})
+        if distributed:
+            rows = allgather_rows(rows)
+            if task.name == "mme":
+                rows = mme_dedup_rows(rows)
         results = task.aggregate(rows) if task.aggregate else {}
         results.update(
             avg_latency_s=model.avg_latency,
@@ -86,6 +94,10 @@ def evaluate(
         if progress and (i + 1) % 25 == 0:
             print(f"[eval:{task.name}] {i + 1}/{len(docs)} "
                   f"avg_latency={model.avg_latency:.3f}s", flush=True)
+    if distributed:
+        rows = allgather_rows(rows)
+        if task.name == "mme":
+            rows = mme_dedup_rows(rows)
     results = task.aggregate(rows) if task.aggregate else {}
     results["avg_latency_s"] = model.avg_latency
     results["wall_s"] = time.perf_counter() - t_start
@@ -93,6 +105,52 @@ def evaluate(
     out = {"task": task.name, "results": results}
     if log_samples:
         out["samples"] = samples
+    return out
+
+
+def allgather_rows(rows: list) -> list:
+    """Gather python score rows from every process (the JAX counterpart of
+    dist.all_gather_object): rows serialize to json, ride a padded uint8
+    process_allgather over DCN, and deserialize in process order —
+    deterministic aggregation on every host.  Single-process: identity."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return list(rows)
+    import json as _json
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(
+        _json.dumps(rows, default=str).encode(), np.uint8
+    )
+    sizes = multihost_utils.process_allgather(
+        np.array([payload.size], np.int32)
+    ).reshape(-1)
+    buf = np.zeros((int(sizes.max()),), np.uint8)
+    buf[:payload.size] = payload
+    bufs = multihost_utils.process_allgather(buf)
+    out: list = []
+    for i in range(bufs.shape[0]):
+        out.extend(_json.loads(bytes(bufs[i][:int(sizes[i])]).decode()))
+    return out
+
+
+def mme_dedup_rows(rows: list) -> list:
+    """MME strictly scores image PAIRS; distributed loaders can duplicate
+    docs, so keep at most two rows per question_id
+    (llava_eval_trainer.py:513-529)."""
+    from collections import defaultdict
+
+    seen: dict = defaultdict(int)
+    out = []
+    for r in rows:
+        qid = r.get("question_id", r.get("image_id"))
+        if seen[qid] >= 2:
+            continue
+        out.append(r)
+        seen[qid] += 1
     return out
 
 

@@ -14,7 +14,8 @@ from typing import Optional, Sequence
 
 from ..config import LaViDaConfig
 from ..eval.adapter import LavidaEvalModel
-from ..eval.evaluator import simple_evaluate
+from ..eval.evaluator import evaluate, shard_docs
+from ..eval.tasks import get_task
 from ..models.lavida import LaViDa
 
 
@@ -33,15 +34,26 @@ def run_in_training_eval(
     gen_kwargs: Optional[dict] = None,
 ) -> dict:
     """Returns {task: {metric: value}} flattened for the metrics logger."""
+    import jax
+
     model = LaViDa(cfg, params, lm_family=lm_family)
     adapter = LavidaEvalModel(model, tokenizer, conv_template=conv_template)
-    results = simple_evaluate(
-        adapter, tasks, data_paths, limit=limit,
-        gen_kwargs={**DEFAULT_GEN_KWARGS, **(gen_kwargs or {})},
-    )
+    distributed = jax.process_count() > 1
     flat = {}
-    for task, out in results.items():
+    for name in tasks:
+        task = get_task(name)
+        # each process scores a strided shard; rows are gathered and (for
+        # mme) pair-deduped before aggregation — the reference's
+        # all_gather_object merge loop (llava_eval_trainer.py:232-292)
+        docs = shard_docs(task.load_docs(
+            (data_paths or {}).get(name), limit=limit
+        ))
+        out = evaluate(
+            adapter, task, docs,
+            gen_kwargs={**DEFAULT_GEN_KWARGS, **(gen_kwargs or {})},
+            distributed=distributed,
+        )
         for k, v in out["results"].items():
             if isinstance(v, (int, float)):
-                flat[f"eval/{task}/{k}"] = float(v)
+                flat[f"eval/{name}/{k}"] = float(v)
     return flat

@@ -568,3 +568,13 @@ def test_vqa_accuracy_and_new_tasks():
     assert t.score_doc(doc, "2")["exact_match"] == 1.0
     assert get_task("ocrbench").score_doc(
         {"target": "hello", "id": 0}, "it says Hello world")["acc"] == 1.0
+
+
+def test_allgather_rows_and_mme_dedup():
+    from lavida_mod_tpu.eval.evaluator import allgather_rows, mme_dedup_rows
+
+    rows = [{"question_id": "a", "score": 1.0}] * 3 + [
+        {"question_id": "b", "score": 0.0}]
+    assert allgather_rows(rows) == rows  # single-process identity
+    deduped = mme_dedup_rows(rows)
+    assert len(deduped) == 3  # a kept twice, b once

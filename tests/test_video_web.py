@@ -135,3 +135,21 @@ def test_openai_chat_endpoint():
         out = json.loads(r.read())
     assert out["choices"][0]["message"]["content"].startswith("saw 1")
     assert out["object"] == "chat.completion"
+
+
+def test_video_av_path_gated():
+    """mp4-family files route to the pyav decoder; without `av` installed
+    the error is loud and actionable (reference degrades the same way
+    without decord, llava/utils.py:21-23)."""
+    import pytest
+
+    from lavida_mod_tpu.data.video import load_video_frames
+
+    try:
+        import av  # noqa: F401
+
+        pytest.skip("av present; decode path exercised implicitly")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="pyav"):
+        load_video_frames("/tmp/nonexistent.mp4")
