@@ -50,6 +50,7 @@ def evaluate(
                 print(f"[eval:{task.name}] {min(lo + batch_size, len(docs))}"
                       f"/{len(docs)}", flush=True)
         for doc, pred in zip(docs, preds):
+            pred = task.apply_filters(pred, doc)
             row = (task.score_doc(doc, pred) if task.score_doc
                    else {"pred": pred})
             rows.append(row)
@@ -75,6 +76,7 @@ def evaluate(
         if task.output_type == "generate_until":
             pred = model.generate_until(text, doc.get("images", []),
                                         merged_kwargs)
+            pred = task.apply_filters(pred, doc)
         elif "choices" in doc:
             # multiple-choice loglikelihood protocol: score every choice,
             # predict the argmax (lmms-eval loglikelihood requests)

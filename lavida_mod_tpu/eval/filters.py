@@ -172,8 +172,12 @@ def parse_multi_choice_response(
                 index_ans = False
     if not candidates:
         import random
+        import zlib
 
-        r = random.Random(rng_seed if rng_seed is not None else hash(response))
+        # stable seed (builtin hash() is salted per process, which would
+        # make re-runs disagree; the reference uses bare random.choice)
+        r = random.Random(rng_seed if rng_seed is not None
+                          else zlib.crc32(response.encode()))
         return r.choice(list(all_choices))
     if len(candidates) == 1:
         return candidates[0]
@@ -312,3 +316,75 @@ def mme_aggregate(rows: Sequence[dict]) -> dict:
         out[cat] = total / max(len(questions), 1)
     out["total"] = sum(v for k, v in out.items() if k != "total")
     return out
+
+
+# ---------------------------------------------------------------------------
+# MathVista-style rule-based extraction (reference tasks/mathvista/
+# mathvista_evals.py quick_extract + normalize_extracted_answer — the
+# reference's primary extractor is a GPT call; these regexes mirror its
+# documented quick path and the normalizer exactly)
+# ---------------------------------------------------------------------------
+
+_FINAL_ANSWER_PATTERNS = [
+    # quoted answers first ('The answer is "X"' — the quick_extract form),
+    # then a short unquoted token after the answer phrase
+    re.compile(r"[Tt]he answer is\s*\"([^\"\n]+)\""),
+    re.compile(r"[Tt]he answer is[:\s]*([A-Za-z0-9$.,%/()-]+)"),
+    re.compile(r"[Ff]inal answer[:\s]*\"?([A-Za-z0-9$.,%/()-]+)\"?"),
+    re.compile(r"[Aa]nswer[:\s]+\"?([A-Za-z0-9$.,%/()-]+)\"?"),
+]
+
+
+def extract_final_answer(response: str) -> str:
+    """Pull the stated final answer out of a chain-of-thought response;
+    fall back to the last number, then the last line."""
+    response = response.strip()
+    for pat in _FINAL_ANSWER_PATTERNS:
+        m = pat.search(response)
+        if m:
+            return m.group(1).strip().rstrip(".,;:")
+    nums = extract_numbers(response)
+    if nums:
+        return nums[-1]
+    lines = [ln for ln in response.splitlines() if ln.strip()]
+    return lines[-1].strip() if lines else ""
+
+
+def normalize_math_answer(extraction: str, choices=None, *,
+                          question_type: str = "free_form",
+                          answer_type: str = "text",
+                          precision=None) -> str:
+    """mathvista_evals.py normalize_extracted_answer: map multi-choice
+    extractions onto the option text; round numerics to the problem's
+    precision; pass text through."""
+    extraction = str(extraction).strip()
+    if question_type == "multi_choice" and choices:
+        letters = [chr(ord("A") + i) for i in range(len(choices))]
+        up = extraction.upper().strip().rstrip(".)")
+        if up in letters:
+            return str(choices[letters.index(up)])
+        for c in choices:
+            if str(c).lower() == extraction.lower():
+                return str(c)
+        return extraction
+    if answer_type in ("integer", "float") or _is_number(extraction):
+        try:
+            v = float(extraction.replace(",", "").replace("$", ""))
+        except ValueError:
+            return extraction
+        if answer_type == "integer" or (precision in (None, 0)):
+            return str(int(round(v))) if v == int(v) or \
+                answer_type == "integer" else str(round(v, 2))
+        return str(round(v, int(precision)))
+    return extraction
+
+
+def normalize_number(s: str) -> str:
+    """Canonical numeric string for exact-match (gsm8k strict-match
+    comparison after the regex filter): strip $ , and trailing dots."""
+    s = str(s).strip().strip(".").replace(",", "").replace("$", "")
+    try:
+        v = float(s)
+        return str(int(v)) if v == int(v) else str(v)
+    except ValueError:
+        return s.lower()

@@ -396,3 +396,90 @@ def pope_aggregate(rows: Sequence[dict]) -> dict:
     yes_ratio = sum(1 for r in rows if r["pred"] == "yes") / max(len(rows), 1)
     return {"accuracy": acc, "precision": prec, "recall": rec, "f1": f1,
             "yes_ratio": yes_ratio}
+
+
+# ---------------------------------------------------------------------------
+# round-2 breadth metrics (squad-F1 / edit-similarity / jaccard / REC bbox)
+# ---------------------------------------------------------------------------
+
+def _squad_normalize(s: str) -> str:
+    """SQuAD answer normalization: lowercase, strip punctuation AND the
+    articles a/an/the (websrc/utils.py normalize_answer)."""
+    words = normalize_answer(s).split()
+    return " ".join(w for w in words if w not in ("a", "an", "the"))
+
+
+def squad_f1(prediction: str, answers: Sequence[str]) -> float:
+    """Token-level SQuAD F1 (reference tasks/websrc/utils.py
+    squad_evaluate -> compute_f1): max over gold answers of the harmonic
+    mean of token precision/recall after article/punct normalization."""
+    def toks(s):
+        return _squad_normalize(s).split()
+
+    p = toks(prediction)
+    best = 0.0
+    for a in answers:
+        g = toks(str(a))
+        if not p or not g:
+            best = max(best, float(p == g))
+            continue
+        common = Counter(p) & Counter(g)
+        overlap = sum(common.values())
+        if overlap == 0:
+            continue
+        prec, rec = overlap / len(p), overlap / len(g)
+        best = max(best, 2 * prec * rec / (prec + rec))
+    return best
+
+
+def norm_edit_similarity(prediction: str, target: str) -> float:
+    """1 - normalized Levenshtein distance over characters — the donut
+    evaluator's per-sample score (reference tasks/synthdog/
+    donut_evaluator.py cal_acc: 1 - edit_distance/max_len, floored at 0)."""
+    a, b = prediction.strip(), str(target).strip()
+    if not a and not b:
+        return 1.0
+    d = _levenshtein(a, b)
+    return max(0.0, 1.0 - d / max(len(a), len(b), 1))
+
+
+def jaccard_word(prediction: str, target: str) -> float:
+    """Word-set Jaccard index (reference tasks/vcr_wiki scoring: the
+    covered-text restoration is graded by token-set overlap)."""
+    p = set(_squad_normalize(prediction).split())
+    g = set(_squad_normalize(str(target)).split())
+    if not p and not g:
+        return 1.0
+    return len(p & g) / max(len(p | g), 1)
+
+
+def parse_bbox(text: str):
+    """Extract the first [x1, y1, x2, y2] float box from generated text
+    (reference tasks/screenspot/utils.py screenspot_rec_process_result
+    regex over the model output). Returns None when unparseable."""
+    import re
+
+    m = re.search(
+        r"\[?\s*(-?\d+\.?\d*)\s*,\s*(-?\d+\.?\d*)\s*,"
+        r"\s*(-?\d+\.?\d*)\s*,\s*(-?\d+\.?\d*)\s*\]?", text)
+    if not m:
+        return None
+    return tuple(float(m.group(i)) for i in range(1, 5))
+
+
+def bbox_iou(a, b) -> float:
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    ua = max(0.0, a[2] - a[0]) * max(0.0, a[3] - a[1])
+    ub = max(0.0, b[2] - b[0]) * max(0.0, b[3] - b[1])
+    return inter / max(ua + ub - inter, 1e-9)
+
+
+def center_in_bbox(pred, gt) -> float:
+    """Screenspot REC point accuracy: predicted box center inside the gold
+    box (reference screenspot utils: center-point hit rate)."""
+    if pred is None:
+        return 0.0
+    cx, cy = (pred[0] + pred[2]) / 2, (pred[1] + pred[3]) / 2
+    return float(gt[0] <= cx <= gt[2] and gt[1] <= cy <= gt[3])

@@ -37,6 +37,16 @@ class Task:
     dataset_name: Optional[str] = None
     test_split: str = "test"
     doc_mapper: Optional[Callable[[dict], dict]] = None
+    # answer-extraction chain applied to raw generations before scoring
+    # (the reference's filter_list stage, lmms_eval/filters/__init__.py)
+    filter_ensemble: Optional["F.FilterEnsemble"] = None
+
+    def apply_filters(self, pred: str, doc: dict) -> str:
+        if self.filter_ensemble is None:
+            return pred
+        out = self.filter_ensemble.apply([[pred]], [doc])[0]
+        # selection filters (TakeFirst) flatten the per-doc response list
+        return out if isinstance(out, str) else out[0]
 
     def doc_to_text(self, doc: dict) -> str:
         return f"{self.pre_prompt}{doc['text']}{self.post_prompt}"
@@ -511,3 +521,7 @@ register(Task(
     score_doc=_ocrbench_score,
     aggregate=_mean_agg("acc"),
 ))
+
+
+# breadth tranche: the remaining reference task families register on import
+from . import tasks_ext  # noqa: E402,F401  (registration side effects)

@@ -1,0 +1,835 @@
+"""Task registry, breadth tranche — the remaining image/video/text task
+families from the reference's vendored lmms-eval library
+(/root/reference/eval/lmms_eval/tasks/*), as declarative configs over the
+shared Task pipeline in tasks.py.
+
+Fidelity notes
+--------------
+* Prompts (pre/post), dataset paths, splits and generation kwargs follow
+  each task's yaml (cited per registration).
+* GPT-judged tasks (mmvet, llava-in-the-wild, wild_vision_bench,
+  vibe_eval, mathvision, mia_bench, videochatgpt, activitynetqa): the
+  reference scores these through the OpenAI API
+  (e.g. tasks/mmvet/utils.py mmvet_process_results).  This environment has
+  zero egress, so the model-side protocol (prompt, decoding config,
+  submission-file aggregation) is implemented exactly, and scoring falls
+  back to a documented rule-based heuristic; rows keep the raw prediction
+  so a GPT judge can be run offline from the samples log.
+* Video tasks load frames through data/video.py (pyav when available,
+  frame dirs / animated images otherwise — the reference degrades the
+  same way without decord, llava/utils.py:25-72).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+from . import filters as F
+from . import metrics as M
+from .tasks import (
+    MC_LETTER,
+    SINGLE_WORD,
+    Task,
+    _answers_of,
+    _caption_agg,
+    _mean_agg,
+    _parse_options_field,
+    register,
+)
+
+
+def _letters(n: int) -> list[str]:
+    return [chr(ord("A") + i) for i in range(n)]
+
+
+def _format_options(choices: Sequence[str]) -> str:
+    """A. x\nB. y option block (lmms-eval house style, e.g.
+    tasks/mmmu/utils.py parse_options)."""
+    return "\n".join(f"{letter}. {c}"
+                     for letter, c in zip(_letters(len(choices)), choices))
+
+
+def _interp_choices(doc: dict) -> dict:
+    """Append the option block when the doc carries choices and the raw
+    question doesn't already include one."""
+    ch = doc.get("choices")
+    if ch and not re.search(r"(^|\n)\s*[AB][\.:\)] ", doc.get("text", "")):
+        doc["text"] = f"{doc['text']}\n{_format_options(ch)}"
+    return doc
+
+
+def _mc_letter_score(doc: dict, pred: str) -> dict:
+    """Robust MC-letter grade: the reference tasks use
+    parse_multi_choice_response (mmmu/utils.py) when choices are known,
+    else a first-letter heuristic."""
+    gold = str(doc["target"]).strip()
+    if doc.get("choices"):
+        index2ans, all_choices = F.get_multi_choice_info(doc["choices"])
+        parsed = F.parse_multi_choice_response(pred, all_choices, index2ans)
+        if gold.upper() not in all_choices and gold in doc["choices"]:
+            # gold given as option text -> compare in answer space
+            return {"acc": float(index2ans.get(parsed, parsed) == gold)}
+        return {"acc": float(parsed == gold.upper())}
+    return {"acc": float(M.parse_multi_choice(pred) == gold.upper())}
+
+
+def _mc_task(name: str, path: str, split: str, *, subset: str = None,
+             post: str = MC_LETTER, max_new: int = 16, mapper=None):
+    return register(Task(
+        name=name,
+        post_prompt=post,
+        generation_kwargs={"max_new_tokens": max_new},
+        dataset_path=path,
+        dataset_name=subset,
+        test_split=split,
+        doc_mapper=mapper or _interp_choices,
+        score_doc=_mc_letter_score,
+        aggregate=_mean_agg("acc"),
+    ))
+
+
+# ---------------------------------------------------------------------------
+# multiple-choice image benchmarks
+# ---------------------------------------------------------------------------
+
+# tasks/mmbench/_default_template_mmbench_cn_yaml (dataset lmms-lab/
+# MMBench_CN, dev split; letter answer)
+_mc_task("mmbench_cn_dev", "lmms-lab/MMBench_CN", "dev")
+
+# tasks/mmt/_default_template_yaml + mmt_val.yaml: single character from
+# the given options, max_new_tokens 8
+_mc_task("mmt_val", "lmms-lab/MMT-Benchmark", "val",
+         post="\nAnswer the question using a single character from the "
+              "given options.", max_new=8)
+
+# tasks/muirbench/muirbench.yaml (multi-image MC; letter answer)
+_mc_task("muirbench", "MUIRBENCH/MUIRBENCH", "test")
+
+# tasks/mme_realworld/mme_realworld.yaml: bespoke A-E post prompt
+_MMERW_POST = ("\nSelect the best answer to the above multiple-choice "
+               "question based on the image. Respond with only the letter "
+               "(A, B, C, D, or E) of the correct option.")
+_mc_task("mme_realworld", "yifanzhang114/MME-RealWorld-Lmms-eval", "train",
+         post=_MMERW_POST)
+_mc_task("mme_realworld_lite",
+         "yifanzhang114/MME-RealWorld-Lmms-eval-Lite", "train",
+         post=_MMERW_POST)
+
+# tasks/hrbench/hrbench{4k,8k}.yaml (DreamMr/HR-Bench)
+_mc_task("hrbench_4k", "DreamMr/HR-Bench", "hrbench_4k")
+_mc_task("hrbench_8k", "DreamMr/HR-Bench", "hrbench_8k")
+
+# tasks/illusionvqa (comprehension + soft-localization subsets)
+_mc_task("illusionvqa_comprehension",
+         "vipulgupta/IllusionVQA-Comprehension", "test")
+_mc_task("illusionvqa_soft_localization",
+         "vipulgupta/IllusionVQA-Soft-Localization", "test")
+
+# tasks/ii_bench/ii_bench.yaml
+_mc_task("ii_bench", "lmms-lab/II-Bench", "test")
+
+# tasks/qbench/{qbench_dev,abench_dev}.yaml (q-future; letter answer)
+_mc_task("qbench_dev", "q-future/Q-Bench-HF", "dev",
+         post="Answer with the option's letter from the given choices "
+              "directly.\n", max_new=32)
+_mc_task("abench_dev", "q-future/A-Bench-HF", "dev",
+         post="Answer with the option's letter from the given choices "
+              "directly.\n", max_new=32)
+
+# tasks/iconqa/iconqa_val.yaml (choose-text/fill-in-blank science icons)
+_mc_task("iconqa_val", "lmms-lab/ICON-QA", "val", max_new=32)
+
+# tasks/mmmu_pro/mmmu_pro_standard.yaml (10-option MMMU; the composite
+# "vision" split embeds the question in the image)
+def _mmmu_pro_map(doc: dict) -> dict:
+    if doc.get("options") and "choices" not in doc:
+        doc["choices"] = _parse_options_field(doc["options"])
+    return _interp_choices(doc)
+
+
+_mc_task("mmmu_pro_standard", "MMMU/MMMU_Pro", "test",
+         subset="standard (10 options)",
+         post="Answer with the option letter from the given choices "
+              "directly.", mapper=_mmmu_pro_map)
+_mc_task("mmmu_pro_vision", "MMMU/MMMU_Pro", "test", subset="vision",
+         post="Answer with the option letter from the given choices "
+              "directly.", mapper=lambda d: d)
+
+
+# tasks/cmmmu (Chinese MMMU: MC + fill-in; CN prompt per _cmmmu.yaml)
+_mc_task("cmmmu_val", "lmms-lab/CMMMU", "val",
+         post="\n请直接回答选项字母。", mapper=_mmmu_pro_map)
+
+
+# tasks/seedbench_2/seedbench_2.yaml: options live in choice_a..d; per-
+# data_type accuracies (utils.py seed_process_result)
+def _seed2_map(doc: dict) -> dict:
+    ch = [doc[k] for k in ("choice_a", "choice_b", "choice_c", "choice_d")
+          if doc.get(k) is not None]
+    doc["choices"] = ch
+    doc["text"] = f"{doc['text']}\n{_format_options(ch)}"
+    doc["target"] = str(doc.get("answer", doc.get("target", ""))).strip()
+    return doc
+
+
+def _seed2_score(doc: dict, pred: str) -> dict:
+    row = _mc_letter_score(doc, pred)
+    row["data_type"] = "_".join(str(doc.get("data_type", "all")).split())
+    return row
+
+
+def _seed2_agg(rows: list[dict]) -> dict:
+    out = {}
+    for r in rows:
+        out.setdefault(r["data_type"], []).append(r["acc"])
+    res = {f"seed_{k}": sum(v) / len(v) for k, v in out.items()}
+    res["seed_all"] = sum(r["acc"] for r in rows) / max(len(rows), 1)
+    return res
+
+
+register(Task(
+    name="seedbench_2",
+    post_prompt="\nAnswer with the option's letter from the given "
+                "choices directly.",
+    generation_kwargs={"max_new_tokens": 16},
+    dataset_path="lmms-lab/SEED-Bench-2",
+    test_split="test",
+    doc_mapper=_seed2_map,
+    score_doc=_seed2_score,
+    aggregate=_seed2_agg,
+))
+
+
+# tasks/mirb/mirb.yaml (multi-image reasoning; exact-match over short
+# answers, per-task_type means in utils.py mirb_aggregation)
+register(Task(
+    name="mirb",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 64},
+    dataset_path="VLLMs/MIRB-hf",
+    test_split="test",
+    score_doc=lambda doc, pred: {
+        "acc": max(M.exact_match(pred, t) for t in _answers_of(doc)),
+    },
+    aggregate=_mean_agg("acc"),
+))
+
+
+# ---------------------------------------------------------------------------
+# document / OCR family
+# ---------------------------------------------------------------------------
+
+# tasks/stvqa/stvqa.yaml: test split is submission-only upstream; scoring
+# uses ANLS when gold answers exist (the DocVQA-family metric)
+register(Task(
+    name="stvqa",
+    post_prompt=SINGLE_WORD,
+    generation_kwargs={"max_new_tokens": 32},
+    dataset_path="lmms-lab/ST-VQA",
+    test_split="test",
+    score_doc=lambda doc, pred: {
+        "anls": M.anls(pred, _answers_of(doc)),
+        "prediction": pred, "id": doc.get("id"),
+    },
+    aggregate=_mean_agg("anls"),
+))
+
+# tasks/multidocvqa/multidocvqa_val.yaml (lmms-lab/MP-DocVQA, ANLS +
+# answer-page accuracy; we score ANLS — page prediction needs the
+# page-id output convention the reference also special-cases)
+register(Task(
+    name="multidocvqa_val",
+    post_prompt=SINGLE_WORD,
+    generation_kwargs={"max_new_tokens": 32},
+    dataset_path="lmms-lab/MP-DocVQA",
+    test_split="val",
+    score_doc=lambda doc, pred: {"anls": M.anls(pred, _answers_of(doc))},
+    aggregate=_mean_agg("anls"),
+))
+
+# tasks/websrc/websrc_val.yaml (rootsautomation/websrc, dev split,
+# squad-F1 per utils.py websrc_aggregate_results)
+register(Task(
+    name="websrc_val",
+    post_prompt=SINGLE_WORD,
+    generation_kwargs={"max_new_tokens": 16},
+    dataset_path="rootsautomation/websrc",
+    test_split="dev",
+    score_doc=lambda doc, pred: {
+        "websrc_squad_f1": M.squad_f1(pred, _answers_of(doc)),
+    },
+    aggregate=_mean_agg("websrc_squad_f1"),
+))
+
+# tasks/synthdog/synthdog_en.yaml: full-page OCR; donut evaluator's
+# normalized-edit-distance accuracy (donut_evaluator.py cal_acc)
+def _synthdog_map(doc: dict) -> dict:
+    doc["text"] = "OCR this image section by section, from top to "
+    doc["text"] += "bottom, and left to right. Do not insert line breaks "
+    doc["text"] += "in the output text. If a word is split due to a line "
+    doc["text"] += "break in the image, use a space instead."
+    # ground truth ships as {"gt_parse": {"text_sequence": ...}}
+    gt = doc.get("ground_truth")
+    if isinstance(gt, str):
+        import json as _json
+
+        try:
+            gt = _json.loads(gt)
+        except ValueError:
+            gt = {"gt_parse": {"text_sequence": gt}}
+    if isinstance(gt, dict):
+        doc["target"] = gt.get("gt_parse", {}).get("text_sequence", "")
+    return doc
+
+
+register(Task(
+    name="synthdog_en",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 1024},
+    dataset_path="naver-clova-ix/synthdog-en",
+    test_split="validation",
+    doc_mapper=_synthdog_map,
+    score_doc=lambda doc, pred: {
+        "ned_acc": M.norm_edit_similarity(pred, str(doc.get("target", ""))),
+    },
+    aggregate=_mean_agg("ned_acc"),
+))
+
+# tasks/vcr_wiki (covered-text restoration; jaccard + exact match)
+for _lang, _diff in (("en", "easy"), ("en", "hard")):
+    register(Task(
+        name=f"vcr_wiki_{_lang}_{_diff}",
+        post_prompt="What is the covered texts in the image? Please "
+                    "restore the covered texts without outputting the "
+                    "explanations.",
+        generation_kwargs={"max_new_tokens": 128},
+        dataset_path=f"vcr-org/VCR-wiki-{_lang}-{_diff}-test",
+        test_split="test",
+        score_doc=lambda doc, pred: {
+            "jaccard": M.jaccard_word(pred, str(doc.get("target", ""))),
+            "exact_match": M.exact_match(pred, str(doc.get("target", ""))),
+        },
+        aggregate=lambda rows: {
+            "jaccard": sum(r["jaccard"] for r in rows) / max(len(rows), 1),
+            "exact_match": sum(r["exact_match"] for r in rows)
+            / max(len(rows), 1),
+        },
+    ))
+
+
+# ---------------------------------------------------------------------------
+# grounding (screenspot REC/REG)
+# ---------------------------------------------------------------------------
+
+def _rec_score(doc: dict, pred: str) -> dict:
+    gt = doc.get("bbox") or doc.get("target")
+    gt = tuple(float(v) for v in gt)
+    box = M.parse_bbox(pred)
+    return {
+        "iou": M.bbox_iou(box, gt) if box else 0.0,
+        "acc@0.5": float(box is not None and M.bbox_iou(box, gt) >= 0.5),
+        "center_acc": M.center_in_bbox(box, gt),
+    }
+
+
+register(Task(
+    name="screenspot_rec_test",
+    # tasks/screenspot/_default_template_rec_yaml: output the bbox for the
+    # described UI element
+    post_prompt="\nOutput the bounding box of the described element as "
+                "[x1, y1, x2, y2].",
+    generation_kwargs={"max_new_tokens": 32},
+    dataset_path="rootsautomation/ScreenSpot",
+    test_split="test",
+    score_doc=_rec_score,
+    aggregate=lambda rows: {
+        k: sum(r[k] for r in rows) / max(len(rows), 1)
+        for k in ("iou", "acc@0.5", "center_acc")
+    },
+))
+
+register(Task(
+    name="screenspot_reg_test",
+    # REG: describe the element in the given region (CIDEr, like captions)
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 32},
+    dataset_path="rootsautomation/ScreenSpot",
+    test_split="test",
+    score_doc=lambda doc, pred: {
+        "prediction": pred,
+        "references": _answers_of(doc),
+    },
+    aggregate=_caption_agg,
+))
+
+
+# ---------------------------------------------------------------------------
+# captions beyond COCO (textcaps / detailcaps)
+# ---------------------------------------------------------------------------
+
+def _textcaps_map(doc: dict) -> dict:
+    # tasks/textcaps/utils.py textcaps_doc_to_text: fixed caption prompt;
+    # gold captions live in caption_str / reference_strs
+    doc["text"] = "Provide a one-sentence caption for the provided image."
+    refs = doc.get("caption_str") or doc.get("reference_strs") \
+        or doc.get("target")
+    doc["target"] = refs if isinstance(refs, list) else [str(refs)]
+    return doc
+
+
+register(Task(
+    name="textcaps_val",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 64},
+    dataset_path="lmms-lab/TextCaps",
+    test_split="val",
+    doc_mapper=_textcaps_map,
+    score_doc=lambda doc, pred: {
+        "prediction": pred, "references": _answers_of(doc),
+    },
+    aggregate=_caption_agg,
+))
+
+register(Task(
+    name="detailcaps",
+    # tasks/detailcaps/detailcaps.yaml: long-form description; CAPTURE
+    # metric needs its own parser model — BLEU/ROUGE/CIDEr reported here
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 512},
+    dataset_path="foundation-multimodal-models/DetailCaps-4870",
+    test_split="test",
+    doc_mapper=lambda d: {
+        **d, "text": "Describe this image in detail.",
+    },
+    score_doc=lambda doc, pred: {
+        "prediction": pred, "references": _answers_of(doc),
+    },
+    aggregate=_caption_agg,
+))
+
+
+# ---------------------------------------------------------------------------
+# hallucination (HallusionBench, NaturalBench)
+# ---------------------------------------------------------------------------
+
+def _hallusion_score(doc: dict, pred: str) -> dict:
+    """Yes/no grade. Reference grades with GPT (utils.py
+    evaluate_by_chatgpt); zero-egress fallback is the same string rule the
+    GPT prompt encodes: does the answer express yes / no."""
+    p = M.yes_no_match(pred, str(doc.get("target", "")))
+    return {
+        "correct": p,
+        "category": doc.get("category", ""),
+        "subcategory": doc.get("subcategory", ""),
+        "set_id": str(doc.get("set_id", "")),
+        "figure_id": str(doc.get("figure_id", "")),
+        "question_id": str(doc.get("question_id", doc.get("id", ""))),
+    }
+
+
+def _hallusion_agg(rows: list[dict]) -> dict:
+    """aAcc (per answer), qAcc (per question pair over figures), fAcc (per
+    figure over questions) — reference utils.py get_eval_all/
+    get_eval_pair_all/get_eval_fig grouping keys."""
+    def grouped(keyfn):
+        groups: dict[str, list[float]] = {}
+        for r in rows:
+            groups.setdefault(keyfn(r), []).append(r["correct"])
+        return sum(all(v == 1.0 for v in g) for g in groups.values()) \
+            / max(len(groups), 1)
+
+    a_acc = sum(r["correct"] for r in rows) / max(len(rows), 1)
+    q_acc = grouped(lambda r: "_".join(
+        [r["category"], r["subcategory"], r["set_id"], r["question_id"]]))
+    f_acc = grouped(lambda r: "_".join(
+        [r["category"], r["subcategory"], r["set_id"], r["figure_id"]]))
+    return {"aAcc": a_acc, "qAcc": q_acc, "fAcc": f_acc}
+
+
+register(Task(
+    name="hallusion_bench_image",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 128},
+    dataset_path="lmms-lab/HallusionBench",
+    test_split="image",
+    score_doc=_hallusion_score,
+    aggregate=_hallusion_agg,
+))
+
+
+def _naturalbench_agg(rows: list[dict]) -> dict:
+    """NaturalBench grouped metrics (tasks/naturalbench/utils.py): samples
+    come in groups of four (q0i0, q0i1, q1i0, q1i1); Q-Acc needs both
+    images right for a question, I-Acc both questions right for an image,
+    G-Acc all four."""
+    acc = [r["correct"] for r in rows]
+    n4 = len(acc) // 4
+    q_acc = i_acc = g_acc = 0.0
+    for g in range(n4):
+        a = acc[4 * g: 4 * g + 4]
+        q_acc += (a[0] and a[1]) + (a[2] and a[3])
+        i_acc += (a[0] and a[2]) + (a[1] and a[3])
+        g_acc += all(a)
+    return {
+        "ACC": sum(acc) / max(len(acc), 1),
+        "Q_ACC": q_acc / max(2 * n4, 1),
+        "I_ACC": i_acc / max(2 * n4, 1),
+        "G_ACC": g_acc / max(n4, 1),
+    }
+
+
+register(Task(
+    name="naturalbench",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 16},
+    dataset_path="BaiqiL/NaturalBench-lmms-eval",
+    test_split="test",
+    score_doc=lambda doc, pred: {
+        "correct": (M.yes_no_match(pred, str(doc["target"]))
+                    if str(doc.get("target", "")).lower() in ("yes", "no")
+                    else _mc_letter_score(doc, pred)["acc"]),
+    },
+    aggregate=_naturalbench_agg,
+))
+
+
+# ---------------------------------------------------------------------------
+# math reasoning (MathVista / MathVerse / MathVision)
+# ---------------------------------------------------------------------------
+
+def _mathvista_map(doc: dict) -> dict:
+    # tasks/mathvista/utils.py builds `query` upstream and ships it in the
+    # doc; fall back to question + options
+    if doc.get("query"):
+        doc["text"] = doc["query"]
+    elif doc.get("choices"):
+        doc = _interp_choices(doc)
+    return doc
+
+
+def _mathvista_score(doc: dict, pred: str) -> dict:
+    """Rule-based extraction (the reference's quick_extract / fallback
+    path in mathvista_evals.py — its primary path asks GPT; the regexes
+    here mirror normalize_extracted_answer)."""
+    ext = F.extract_final_answer(pred)
+    ans = F.normalize_math_answer(
+        ext, doc.get("choices"),
+        question_type=str(doc.get("question_type", "free_form")),
+        answer_type=str(doc.get("answer_type", "text")),
+        precision=doc.get("precision"),
+    )
+    gold = str(doc.get("target", doc.get("answer", ""))).strip()
+    return {"acc": float(str(ans).strip().lower() == gold.lower())}
+
+
+for _name, _split in (("mathvista_testmini", "testmini"),
+                      ("mathvista_test", "test")):
+    register(Task(
+        name=_name,
+        post_prompt="",
+        generation_kwargs={"max_new_tokens": 1024},
+        dataset_path="AI4Math/MathVista",
+        test_split=_split,
+        doc_mapper=_mathvista_map,
+        score_doc=_mathvista_score,
+        aggregate=_mean_agg("acc"),
+    ))
+
+register(Task(
+    name="mathverse_testmini",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 1024},
+    dataset_path="AI4Math/MathVerse",
+    dataset_name="testmini",
+    test_split="testmini",
+    doc_mapper=_mathvista_map,
+    score_doc=_mathvista_score,
+    aggregate=_mean_agg("acc"),
+))
+
+register(Task(
+    name="mathvision_test",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 1024},
+    dataset_path="MathLLMs/MathVision",
+    test_split="test",
+    doc_mapper=_mathvista_map,
+    score_doc=_mathvista_score,
+    aggregate=_mean_agg("acc"),
+))
+
+
+# ---------------------------------------------------------------------------
+# GPT-judged free-form benchmarks: exact model-side protocol; offline
+# rule-based scoring + samples for an external judge
+# ---------------------------------------------------------------------------
+
+def _judge_free_score(doc: dict, pred: str) -> dict:
+    """Containment/overlap heuristic standing in for the GPT judge:
+    reports word-F1 against the gold answer so corpus numbers move in the
+    right direction; the samples log carries everything a real judge
+    needs."""
+    return {
+        "heuristic_f1": M.squad_f1(pred, _answers_of(doc)),
+        "prediction": pred,
+        "id": doc.get("id"),
+    }
+
+
+register(Task(
+    name="mmvet",
+    # tasks/mmvet/mmvet.yaml: CoT pre-prompt, 1024 tokens, temperature 0.2
+    pre_prompt="First please perform reasoning, and think step by step to "
+               "provide best answer to the following question: \n\n",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 1024, "temperature": 0.2},
+    dataset_path="lmms-lab/MMVet",
+    test_split="test",
+    score_doc=_judge_free_score,
+    aggregate=_mean_agg("heuristic_f1"),
+))
+
+register(Task(
+    name="llava_in_the_wild",
+    # tasks/llava-in-the-wild/llava-in-the-wild.yaml (GPT pairwise vs
+    # gpt-4 reference answers, 1024 tokens, temperature 0)
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 1024},
+    dataset_path="lmms-lab/llava-bench-in-the-wild",
+    test_split="train",
+    score_doc=_judge_free_score,
+    aggregate=_mean_agg("heuristic_f1"),
+))
+
+register(Task(
+    name="llava_bench_coco",
+    # tasks/llava-bench-coco/llava-bench-coco.yaml
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 1024},
+    dataset_path="lmms-lab/llava-bench-coco",
+    test_split="train",
+    score_doc=_judge_free_score,
+    aggregate=_mean_agg("heuristic_f1"),
+))
+
+register(Task(
+    name="wild_vision_bench",
+    # tasks/wild_vision_bench/wild_vision_bench0617.yaml (pairwise GPT
+    # judge vs claude-3-5-sonnet baseline answers)
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 4096},
+    dataset_path="WildVision/wildvision-bench",
+    dataset_name="vision_bench_0617",
+    test_split="test500",
+    score_doc=_judge_free_score,
+    aggregate=_mean_agg("heuristic_f1"),
+))
+
+register(Task(
+    name="vibe_eval",
+    # tasks/vibe_eval/vibe_eval.yaml (Reka judge upstream)
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 1024},
+    dataset_path="RekaAI/VibeEval",
+    test_split="test",
+    score_doc=_judge_free_score,
+    aggregate=_mean_agg("heuristic_f1"),
+))
+
+register(Task(
+    name="mia_bench",
+    # tasks/mia_bench/mia_bench.yaml (instruction-adherence GPT judge)
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 1024},
+    dataset_path="lmms-lab/MIA-Bench",
+    test_split="test",
+    score_doc=_judge_free_score,
+    aggregate=_mean_agg("heuristic_f1"),
+))
+
+
+# ---------------------------------------------------------------------------
+# video suites (frames through data/video.py; multi-image pad mode)
+# ---------------------------------------------------------------------------
+
+_VIDEO_MC_POST = ("\nAnswer with the option's letter from the given "
+                  "choices directly.")
+
+
+def _videomme_map(doc: dict) -> dict:
+    # tasks/videomme/utils.py videomme_doc_to_text: bespoke option prompt
+    opts = doc.get("options")
+    if opts is not None:
+        doc["text"] = (
+            "Select the best answer to the following multiple-choice "
+            "question based on the video and the subtitles. Respond with "
+            "only the letter (A, B, C, or D) of the correct option.\n"
+            f"{doc['text']}\n" + "\n".join(str(o) for o in opts)
+            + "\nThe best answer is:"
+        )
+        doc["choices"] = [str(o) for o in opts]
+    return doc
+
+
+register(Task(
+    name="videomme",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 16},
+    dataset_path="lmms-lab/Video-MME",
+    test_split="test",
+    doc_mapper=_videomme_map,
+    score_doc=_mc_letter_score,
+    aggregate=_mean_agg("acc"),
+))
+
+# tasks/egoschema/egoschema.yaml
+_mc_task("egoschema", "lmms-lab/egoschema", "test", post=_VIDEO_MC_POST)
+# tasks/nextqa (MC split)
+_mc_task("nextqa_mc_test", "lmms-lab/NExTQA", "MC", post=_VIDEO_MC_POST)
+# tasks/mvbench (20 subtask configs upstream share one protocol)
+_mc_task("mvbench", "OpenGVLab/MVBench", "train", post=_VIDEO_MC_POST)
+# tasks/longvideobench
+_mc_task("longvideobench_val_v", "longvideobench/LongVideoBench",
+         "validation", post=_VIDEO_MC_POST)
+# tasks/perceptiontest (MC val)
+_mc_task("perceptiontest_val_mc", "lmms-lab/PerceptionTest", "validation",
+         post=_VIDEO_MC_POST)
+# tasks/tempcompass multi-choice split
+_mc_task("tempcompass_multi_choice", "lmms-lab/TempCompass",
+         "multi_choice", post=_VIDEO_MC_POST)
+# tasks/mlvu
+_mc_task("mlvu", "MLVU/MVLU", "test", post=_VIDEO_MC_POST)
+
+# tasks/activitynetqa (GPT-judged yes/no QA; offline containment rule)
+register(Task(
+    name="activitynetqa",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 64},
+    dataset_path="lmms-lab/ActivityNetQA",
+    test_split="test",
+    score_doc=lambda doc, pred: {
+        "acc": max(
+            (M.yes_no_match(pred, t)
+             if t.lower() in ("yes", "no")
+             else float(t.lower() in pred.lower()))
+            for t in map(str, _answers_of(doc))
+        ),
+    },
+    aggregate=_mean_agg("acc"),
+))
+
+# tasks/videochatgpt (GPT-judged generic/temporal/consistency)
+register(Task(
+    name="videochatgpt_gen",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 256},
+    dataset_path="lmms-lab/VideoChatGPT",
+    dataset_name="Generic",
+    test_split="test",
+    score_doc=_judge_free_score,
+    aggregate=_mean_agg("heuristic_f1"),
+))
+
+# tasks/video_detail_description (GPT-judged detailed captions)
+register(Task(
+    name="video_detail_description",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 512},
+    dataset_path="lmms-lab/VideoDetailCaption",
+    test_split="test",
+    score_doc=_judge_free_score,
+    aggregate=_mean_agg("heuristic_f1"),
+))
+
+# tasks/vatex + youcook2: video captioning, standard caption metrics
+for _name, _path, _split in (
+    ("vatex_test", "lmms-lab/vatex", "test"),
+    ("youcook2_val", "lmms-lab/YouCook2", "val"),
+):
+    register(Task(
+        name=_name,
+        post_prompt="",
+        generation_kwargs={"max_new_tokens": 64},
+        dataset_path=_path,
+        test_split=_split,
+        doc_mapper=lambda d: {
+            **d,
+            "text": "Provide a one-sentence caption for the provided "
+                    "video.",
+        },
+        score_doc=lambda doc, pred: {
+            "prediction": pred, "references": _answers_of(doc),
+        },
+        aggregate=_caption_agg,
+    ))
+
+
+# ---------------------------------------------------------------------------
+# text-only LM benchmarks (the reference inherits these from lm-eval;
+# tasks/{gsm8k,mmlu,mmlu_pro,arc,hellaswag,gpqa})
+# ---------------------------------------------------------------------------
+
+register(Task(
+    name="gsm8k",
+    # tasks/gsm8k/gsm8k.yaml doc_to_text + strict regex filter chain
+    pre_prompt="Given the following problem, reason and give a final "
+               "answer to the problem.\nProblem: ",
+    post_prompt="\nYour response should end with \"The final answer is "
+                "[answer]\" where [answer] is the response to the "
+                "problem.\n",
+    generation_kwargs={"max_new_tokens": 256},
+    dataset_path="gsm8k",
+    dataset_name="main",
+    test_split="test",
+    filter_ensemble=F.FilterEnsemble("strict-match", [F.RegexFilter(
+        r"The final answer is ((-?[$0-9.,]{2,})|(-?[0-9]+))"),
+        F.TakeFirst()]),
+    score_doc=lambda doc, pred: {
+        "exact_match": float(
+            F.normalize_number(pred)
+            == F.normalize_number(str(doc["target"]).split("####")[-1])),
+    },
+    aggregate=_mean_agg("exact_match"),
+))
+
+
+def _mmlu_map(doc: dict) -> dict:
+    if "choices" in doc and isinstance(doc.get("target"), int):
+        doc["target"] = _letters(len(doc["choices"]))[doc["target"]]
+    return _interp_choices(doc)
+
+
+_mc_task("mmlu", "hails/mmlu_no_train", "test", subset="all",
+         mapper=_mmlu_map)
+_mc_task("mmlu_pro", "TIGER-Lab/MMLU-Pro", "test", mapper=_mmlu_map)
+_mc_task("arc_easy", "allenai/ai2_arc", "test", subset="ARC-Easy",
+         mapper=_mmlu_map)
+_mc_task("arc_challenge", "allenai/ai2_arc", "test", subset="ARC-Challenge",
+         mapper=_mmlu_map)
+_mc_task("gpqa_main", "Idavidrein/gpqa", "train", subset="gpqa_main",
+         mapper=_mmlu_map)
+
+
+def _hellaswag_map(doc: dict) -> dict:
+    # loglikelihood protocol: rank the four endings (reference
+    # tasks/hellaswag semantics — lm-eval chooses by max loglikelihood)
+    doc["text"] = doc.get("ctx", doc.get("text", ""))
+    doc["choices"] = doc.get("endings", doc.get("choices", []))
+    if isinstance(doc.get("label", None), (int, str)) \
+            and str(doc.get("label", "")).isdigit():
+        doc["target"] = doc["choices"][int(doc["label"])]
+    return doc
+
+
+register(Task(
+    name="hellaswag",
+    output_type="loglikelihood",
+    dataset_path="hellaswag",
+    test_split="validation",
+    doc_mapper=_hellaswag_map,
+    score_doc=lambda doc, pred: {
+        "acc": float(str(pred) == str(doc.get("target", ""))),
+    },
+    aggregate=_mean_agg("acc"),
+))

@@ -1,0 +1,245 @@
+"""Round-2 breadth tranche: task registrations, new metrics, filter
+wiring, and per-family scoring behavior (reference
+eval/lmms_eval/tasks/* semantics; citations in tasks_ext.py)."""
+
+from lavida_mod_tpu.eval import filters as F
+from lavida_mod_tpu.eval import metrics as M
+from lavida_mod_tpu.eval.tasks import Task, get_task, list_tasks
+
+
+def test_breadth_tasks_registered():
+    expected = [
+        # MC image suites
+        "mmbench_cn_dev", "mmt_val", "muirbench", "mme_realworld",
+        "mme_realworld_lite", "hrbench_4k", "hrbench_8k",
+        "illusionvqa_comprehension", "ii_bench", "qbench_dev", "abench_dev",
+        "iconqa_val", "mmmu_pro_standard", "mmmu_pro_vision", "cmmmu_val",
+        "seedbench_2", "mirb",
+        # doc/OCR
+        "stvqa", "multidocvqa_val", "websrc_val", "synthdog_en",
+        "vcr_wiki_en_easy", "vcr_wiki_en_hard",
+        # grounding
+        "screenspot_rec_test", "screenspot_reg_test",
+        # captions
+        "textcaps_val", "detailcaps",
+        # hallucination
+        "hallusion_bench_image", "naturalbench",
+        # math
+        "mathvista_testmini", "mathvista_test", "mathverse_testmini",
+        "mathvision_test",
+        # GPT-judged free-form (offline heuristic + samples log)
+        "mmvet", "llava_in_the_wild", "llava_bench_coco",
+        "wild_vision_bench", "vibe_eval", "mia_bench",
+        # video
+        "videomme", "egoschema", "nextqa_mc_test", "mvbench",
+        "longvideobench_val_v", "perceptiontest_val_mc",
+        "tempcompass_multi_choice", "mlvu", "activitynetqa",
+        "videochatgpt_gen", "video_detail_description", "vatex_test",
+        "youcook2_val",
+        # text-only
+        "gsm8k", "mmlu", "mmlu_pro", "arc_easy", "arc_challenge",
+        "gpqa_main", "hellaswag",
+    ]
+    names = list_tasks()
+    missing = [n for n in expected if n not in names]
+    assert not missing, missing
+    assert len(names) >= 80
+
+
+def test_squad_f1():
+    assert M.squad_f1("the cat sat", ["the cat sat"]) == 1.0
+    assert M.squad_f1("cat", ["the cat sat"]) > 0.0
+    assert M.squad_f1("dog", ["the cat sat"]) == 0.0
+    # articles normalized away (SQuAD normalize_answer)
+    assert M.squad_f1("a cat", ["the cat"]) == 1.0
+
+
+def test_norm_edit_similarity():
+    assert M.norm_edit_similarity("abc", "abc") == 1.0
+    assert abs(M.norm_edit_similarity("abc", "abd") - 2 / 3) < 1e-9
+    assert M.norm_edit_similarity("", "") == 1.0
+    assert M.norm_edit_similarity("xyz", "abc") == 0.0
+
+
+def test_jaccard_word():
+    assert M.jaccard_word("a b c", "a b c") == 1.0
+    assert abs(M.jaccard_word("covered text", "the covered texts")
+               - 1 / 3) < 1e-9
+
+
+def test_bbox_parsing_and_scoring():
+    assert M.parse_bbox("The box is [10, 20, 30, 40].") == (10, 20, 30, 40)
+    assert M.parse_bbox("0.1,0.2,0.5,0.6") == (0.1, 0.2, 0.5, 0.6)
+    assert M.parse_bbox("no box here") is None
+    assert M.bbox_iou((0, 0, 2, 2), (0, 0, 2, 2)) == 1.0
+    assert M.bbox_iou((0, 0, 1, 1), (2, 2, 3, 3)) == 0.0
+    assert M.center_in_bbox((0, 0, 2, 2), (0.5, 0.5, 3, 3)) == 1.0
+    assert M.center_in_bbox(None, (0, 0, 1, 1)) == 0.0
+
+    t = get_task("screenspot_rec_test")
+    row = t.score_doc({"bbox": [0, 0, 100, 100], "id": 0},
+                      "[10, 10, 90, 90]")
+    assert row["acc@0.5"] == 1.0 and row["center_acc"] == 1.0
+
+
+def test_mathvista_rule_extraction():
+    # multi-choice: letter -> option text (normalize_extracted_answer)
+    ext = F.extract_final_answer(
+        "Reasoning...\nThe answer is B")
+    ans = F.normalize_math_answer(
+        ext, ["red", "blue", "green"],
+        question_type="multi_choice", answer_type="text")
+    assert ans == "blue"
+    # numeric with precision
+    ext = F.extract_final_answer("So the total is 3.14159. Final answer: "
+                                 "3.14159")
+    assert F.normalize_math_answer(ext, None, answer_type="float",
+                                   precision=2) == "3.14"
+    # integer
+    assert F.normalize_math_answer("42.0", None,
+                                   answer_type="integer") == "42"
+    # falls back to last number
+    assert F.extract_final_answer("first 3 then 7") == "7"
+
+    t = get_task("mathvista_testmini")
+    doc = {"target": "blue", "choices": ["red", "blue"], "id": 0,
+           "question_type": "multi_choice", "answer_type": "text"}
+    assert t.score_doc(doc, "I think the answer is B")["acc"] == 1.0
+    assert t.score_doc(doc, "The answer is A")["acc"] == 0.0
+
+
+def test_gsm8k_filter_chain():
+    t = get_task("gsm8k")
+    doc = {"target": "reasoning #### 1,234", "id": 0}
+    pred = t.apply_filters(
+        "Let me think. 617*2 = 1234. The final answer is 1,234", doc)
+    assert pred == "1,234"
+    assert t.score_doc(doc, pred)["exact_match"] == 1.0
+    # fallback token when nothing matches
+    assert t.apply_filters("no idea", doc) == "[invalid]"
+    assert F.normalize_number("$1,234.") == "1234"
+
+
+def test_hallusion_aggregation():
+    t = get_task("hallusion_bench_image")
+
+    def row(set_id, fig, q, correct):
+        return {"correct": correct, "category": "VD", "subcategory": "x",
+                "set_id": set_id, "figure_id": fig, "question_id": q}
+
+    rows = [row("0", "0", "0", 1.0), row("0", "1", "0", 1.0),
+            row("0", "0", "1", 1.0), row("0", "1", "1", 0.0)]
+    agg = t.aggregate(rows)
+    assert agg["aAcc"] == 0.75
+    # qAcc: question 0 pair right (figs 0+1), question 1 pair wrong
+    assert agg["qAcc"] == 0.5
+    # fAcc: figure 0 all right, figure 1 has a miss
+    assert agg["fAcc"] == 0.5
+    # scoring path: yes/no grade
+    r = t.score_doc({"target": "yes", "category": "VD", "subcategory": "s",
+                     "set_id": 1, "figure_id": 2, "question_id": 3,
+                     "id": 0}, "Yes, it is.")
+    assert r["correct"] == 1.0 and r["set_id"] == "1"
+
+
+def test_naturalbench_grouped_metrics():
+    t = get_task("naturalbench")
+    rows = [{"correct": 1.0}, {"correct": 1.0},
+            {"correct": 1.0}, {"correct": 0.0}]
+    agg = t.aggregate(rows)
+    assert agg["ACC"] == 0.75
+    assert agg["Q_ACC"] == 0.5   # q0 both imgs right, q1 not
+    assert agg["I_ACC"] == 0.5   # i0 both qs right, i1 not
+    assert agg["G_ACC"] == 0.0
+
+
+def test_seedbench2_mapping_and_grouping():
+    t = get_task("seedbench_2")
+    doc = {"text": "What is shown?", "choice_a": "cat", "choice_b": "dog",
+           "choice_c": "bird", "choice_d": "fish", "answer": "B",
+           "data_type": "Single Image", "id": 0}
+    doc = t.doc_mapper(doc)
+    assert "A. cat" in doc["text"] and "D. fish" in doc["text"]
+    row = t.score_doc(doc, "B. dog")
+    assert row["acc"] == 1.0 and row["data_type"] == "Single_Image"
+    agg = t.aggregate([row, {**row, "acc": 0.0, "data_type": "Video"}])
+    assert agg["seed_Single_Image"] == 1.0 and agg["seed_Video"] == 0.0
+    assert agg["seed_all"] == 0.5
+
+
+def test_mc_letter_score_with_option_text_gold():
+    t = get_task("mirb")
+    assert t.score_doc({"target": "42", "id": 0}, "42")["acc"] == 1.0
+    t2 = get_task("mmt_val")
+    doc = {"target": "C", "choices": ["one", "two", "three"], "id": 0,
+           "text": "q"}
+    assert t2.score_doc(doc, "C")["acc"] == 1.0
+    # >5 words triggers the option-content containment branch
+    # (mmmu/utils.py parse_multi_choice_response)
+    assert t2.score_doc(
+        doc, "I believe the correct answer should be three")["acc"] == 1.0
+
+
+def test_videomme_prompt_construction():
+    t = get_task("videomme")
+    doc = {"text": "What happens?", "options": ["A. runs", "B. sits"],
+           "target": "A", "id": 0}
+    doc = t.doc_mapper(doc)
+    assert "Select the best answer" in doc["text"]
+    assert doc["text"].rstrip().endswith("The best answer is:")
+    assert t.score_doc(doc, "A")["acc"] == 1.0
+
+
+def test_synthdog_gt_parse():
+    t = get_task("synthdog_en")
+    doc = t.doc_mapper({"ground_truth":
+                        '{"gt_parse": {"text_sequence": "hello world"}}',
+                        "id": 0})
+    assert doc["target"] == "hello world"
+    assert t.score_doc(doc, "hello world")["ned_acc"] == 1.0
+
+
+def test_vcr_and_websrc_scoring():
+    t = get_task("vcr_wiki_en_easy")
+    r = t.score_doc({"target": "the hidden text", "id": 0},
+                    "hidden text")
+    assert r["jaccard"] == 1.0  # articles normalized away
+    w = get_task("websrc_val")
+    assert w.score_doc({"target": "42 dollars", "id": 0},
+                       "42 dollars")["websrc_squad_f1"] == 1.0
+
+
+def test_hellaswag_loglikelihood_protocol():
+    t = get_task("hellaswag")
+    assert t.output_type == "loglikelihood"
+    doc = t.doc_mapper({"ctx": "He picks up the guitar",
+                        "endings": ["and plays", "and eats it"],
+                        "label": "0", "id": 0})
+    assert doc["target"] == "and plays"
+    assert t.score_doc(doc, "and plays")["acc"] == 1.0
+
+
+def test_filter_ensemble_wired_through_evaluate():
+    """The evaluator applies task.filter_ensemble before scoring."""
+    from lavida_mod_tpu.eval.evaluator import evaluate
+
+    class FakeModel:
+        avg_latency = 0.0
+
+        def generate_until(self, text, images, kwargs):
+            return "blah blah The final answer is 7"
+
+    t = get_task("gsm8k")
+    out = evaluate(FakeModel(), t,
+                   [{"text": "3+4?", "target": "#### 7", "images": [],
+                     "id": 0}],
+                   progress=False)
+    assert out["results"]["exact_match"] == 1.0
+
+
+def test_mmerealworld_post_prompt():
+    t = get_task("mme_realworld")
+    assert "(A, B, C, D, or E)" in t.post_prompt
+    doc = {"text": "q", "choices": ["x", "y", "z", "w", "v"],
+           "target": "E", "id": 0}
+    assert t.score_doc(doc, "E")["acc"] == 1.0
