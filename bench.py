@@ -31,10 +31,17 @@ def main():
                     help="throughput mode: decode N images per dispatch "
                          "(decode is weight-bandwidth-bound, so batching "
                          "amortizes the weight reads)")
-    ap.add_argument("--int4", action="store_true",
-                    help="grouped-int4 LM weights via the Pallas kernel "
-                         "(half the weight memory; quality must be "
-                         "evaluated per checkpoint)")
+    ap.add_argument("--int4", action="store_true", default=True,
+                    help="W4A8 serving layout (grouped-int4 LM weights "
+                         "through the Pallas bitcast kernel, per-token "
+                         "int8 activations): the DEFAULT — fastest "
+                         "measured config and half the LM weight HBM. "
+                         "~1%% logit rel-err vs f32 (tests/test_pallas_w4)"
+                         "; gate per checkpoint with "
+                         "scripts/verify_checkpoint.py")
+    ap.add_argument("--int8", dest="int4", action="store_false",
+                    help="conservative weight-only int8 LM (per-channel, "
+                         "near-lossless) instead of W4A8")
     ap.add_argument("--no-flash-prefill", action="store_true",
                     help="disable the 128-bucketed Pallas flash prefill "
                          "(falls back to dense prefill attention)")
@@ -160,7 +167,7 @@ def main():
         "metric": (
             (f"s_per_image_{tag}_hd" if B == 1
              else f"s_per_image_{tag}_hd_batch{B}")
-            + ("_int4" if args.int4 else "")
+            + ("_w4a8" if args.int4 else "_int8")
             + (f"_dllm{args.dllm}" if args.dllm else "")
         ),
         "value": round(s_per_image, 4),

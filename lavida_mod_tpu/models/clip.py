@@ -99,8 +99,9 @@ def forward(
     ).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"][None]
-    x = layer_norm(x, params["pre_ln"]["weight"], params["pre_ln"]["bias"],
-                   cfg.layer_norm_eps)
+    if params.get("pre_ln") is not None:  # imagebind's trunk has no ln_pre
+        x = layer_norm(x, params["pre_ln"]["weight"],
+                       params["pre_ln"]["bias"], cfg.layer_norm_eps)
 
     L = cfg.num_hidden_layers
     n_run = L + select_layer + 1 if select_layer < 0 else select_layer

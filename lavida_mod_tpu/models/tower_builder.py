@@ -13,10 +13,13 @@ Name-based dispatch, mirroring the reference's live branches:
     the checkpoint's config.json model_type to the matching
     implementation above (see hf_vision_tower).
 
-eva_clip / open_clip / imagebind remain loud unsupported entries: EVA is
-commented out of the reference's own builder, and open_clip/imagebind
-require their respective runtimes (open_clip_torch, imagebind) which are
-not in this environment; configuration errors stay explicit.
+  - "open_clip" — ViT-H-14-378-quickgelu visual trunk with the fused
+    in_proj converter (open_clip_encoder.py:1-163);
+  - "imagebind" — imagebind_huge vision trunk, CLS dropped
+    (imagebind.py:1-73).
+
+eva_clip stays a loud unsupported entry: EVA is commented out of the
+reference's own builder (builder.py:21-24).
 """
 
 from __future__ import annotations
@@ -43,11 +46,21 @@ def build_vision_tower(name: str, **kw) -> tuple[object, Callable]:
 
         cfg = kw.pop("cfg", None) or mlcd.mlcd_vit_l_config()
         return cfg, mlcd.forward
-    if any(t in lname for t in ("eva", "open_clip", "imagebind")):
+    if "open_clip" in lname:
+        from . import open_clip
+
+        cfg = kw.pop("cfg", None) or open_clip.open_clip_vit_h14_378_config()
+        return cfg, open_clip.forward
+    if "imagebind" in lname:
+        from . import open_clip
+
+        cfg = kw.pop("cfg", None) or open_clip.imagebind_huge_vision_config()
+        return cfg, open_clip.imagebind_forward
+    if "eva" in lname:
         raise NotImplementedError(
-            f"tower family '{name}' is registered but not implemented in "
-            "this build (EVA is commented out of the reference's own "
-            "builder; open_clip/imagebind need runtimes absent here)"
+            f"tower family '{name}' is registered but not implemented: "
+            "EVA is commented out of the reference's own builder "
+            "(builder.py:21-24)"
         )
     if "clip" in lname:
         from . import clip

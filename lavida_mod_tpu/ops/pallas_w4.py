@@ -153,8 +153,17 @@ def w4_matmul_grouped(
     sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
     x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
 
-    block_t = min(T, 256)
-    block_k = min(K2, 1024)
+    # Block choice (v5e sweep, scripts/probes/_w4a8_prefill_tune.py):
+    # k-blocks of 2048 packed rows beat 1024 by ~6% (fewer accumulator
+    # round-trips), and at prefill shapes a t-block of 288 divides the
+    # 1152-token HD prefix exactly (t=256 would pad to 1280 and re-convert
+    # the weights 5x instead of 4x).  Decode (T<=256) keeps block_t=T.
+    if T <= 256:
+        block_t = T
+    else:
+        block_t = next((t for t in (288, 384, 256, 512)
+                        if T % t == 0), 288)
+    block_k = min(K2, 2048)
     Tp = -(-T // block_t) * block_t
     if Tp != T:
         x8 = jnp.pad(x8, ((0, Tp - T), (0, 0)))
