@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--int8", dest="int4", action="store_false",
                     help="conservative weight-only int8 LM (per-channel, "
                          "near-lossless) instead of W4A8")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused QKV + gate/up weight layout "
+                         "(to_fused_layout): 4 instead of 7 Pallas kernel "
+                         "dispatches per layer on the int4 path")
     ap.add_argument("--no-flash-prefill", action="store_true",
                     help="disable the 128-bucketed Pallas flash prefill "
                          "(falls back to dense prefill attention)")
@@ -73,10 +77,22 @@ def main():
         from lavida_mod_tpu.models import llada as _lm
         from lavida_mod_tpu.models import multimodal as _mm
 
+        lm_cfg = cfg.llada
+
         def build(k):
             p = _mm.init_params(cfg, k, jnp.bfloat16)
             p["llada"] = _lm.unstack_blocks(p["llada"])
+            if args.fused:
+                p["llada"], _ = _lm.to_fused_layout(p["llada"], cfg.llada)
             return p
+
+        if args.fused:
+            # the fused cfg is a pure function of the base cfg
+            # (to_fused_layout, models/llada.py:530-534)
+            lm_cfg = cfg.llada.replace(
+                block_type="sequential", activation="swiglu",
+                mlp_hidden_size=2 * cfg.llada.hidden_size,
+            )
 
         shapes = _jax.eval_shape(build, _jax.random.PRNGKey(0))
 
@@ -108,6 +124,7 @@ def main():
             for k, v in shapes.items()
         }
     else:
+        lm_cfg = cfg.llada
         params = LaViDa.zero_init(cfg, jnp.bfloat16, quantized=True).params
 
     # HD anyres input: base + 4 tiles (the square (768,768) pinpoint);
@@ -145,7 +162,7 @@ def main():
                  jnp.zeros((B, len(ids), D), jnp.bfloat16)], axis=1
             )
         out = diffusion.generate(
-            params["llada"], cfg.llada, prefix, gen,
+            params["llada"], lm_cfg, prefix, gen,
             use_flash_prefill=not args.no_flash_prefill,
             dllm_cache=args.dllm,
         )

@@ -127,3 +127,136 @@ def make_dpo_train_step(
         return params, opt_state, metrics
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# trl-exact AR DPO (for the causal AR baselines)
+#
+# The reference trains DPO through its vendored trl
+# (trl/trainer/dpo_trainer.py): sequence log-probs over shifted labels
+# (get_batch_logps, :797-836), the four loss types with label smoothing
+# (dpo_loss, :731-795), and the fork's dpo_alpha/gamma SFT mixing
+# (get_batch_loss_metrics, :946-959).  This section reproduces those
+# semantics exactly for AR models, giving the diffusion-ELBO variant
+# above a parity anchor.
+# ---------------------------------------------------------------------------
+
+def ar_batch_logps(
+    logits: jax.Array,      # [B, L, V]
+    labels: jax.Array,      # [B, L], -100 = ignore
+    *,
+    average_log_prob: bool = False,
+    label_pad_token_id: int = -100,
+) -> jax.Array:
+    """trl get_batch_logps (dpo_trainer.py:797-836): shift labels left /
+    logits right, gather per-token log-probs, sum (or mean) over
+    non-padded positions."""
+    labels = labels[:, 1:]
+    logits = logits[:, :-1, :]
+    loss_mask = labels != label_pad_token_id
+    tgt = jnp.where(loss_mask, labels, 0)
+    logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    per_tok = jnp.take_along_axis(logps, tgt[..., None], axis=-1)[..., 0]
+    summed = (per_tok * loss_mask).sum(-1)
+    if average_log_prob:
+        return summed / jnp.maximum(loss_mask.sum(-1), 1)
+    return summed
+
+
+def ar_dpo_loss(
+    policy_chosen_logps: jax.Array,
+    policy_rejected_logps: jax.Array,
+    reference_chosen_logps: jax.Array,
+    reference_rejected_logps: jax.Array,
+    *,
+    beta: float = 0.1,
+    label_smoothing: float = 0.0,
+    loss_type: str = "sigmoid",
+    reference_free: bool = False,
+):
+    """trl dpo_loss (dpo_trainer.py:731-795).  Returns (per-example
+    losses, chosen_rewards, rejected_rewards)."""
+    pi_logratios = policy_chosen_logps - policy_rejected_logps
+    ref_logratios = jnp.where(
+        reference_free, 0.0,
+        reference_chosen_logps - reference_rejected_logps)
+    logits = pi_logratios - ref_logratios
+    if loss_type == "sigmoid":
+        losses = (-jax.nn.log_sigmoid(beta * logits) * (1 - label_smoothing)
+                  - jax.nn.log_sigmoid(-beta * logits) * label_smoothing)
+    elif loss_type == "hinge":
+        losses = jax.nn.relu(1 - beta * logits)
+    elif loss_type == "ipo":
+        losses = (logits - 1 / (2 * beta)) ** 2
+    elif loss_type == "kto_pair":
+        chosen_kl = jnp.clip(
+            (policy_chosen_logps - reference_chosen_logps).mean(), 0, None)
+        rejected_kl = jnp.clip(
+            (policy_rejected_logps - reference_rejected_logps).mean(),
+            0, None)
+        chosen_lr = policy_chosen_logps - reference_chosen_logps
+        rejected_lr = policy_rejected_logps - reference_rejected_logps
+        losses = jnp.concatenate([
+            1 - jax.nn.sigmoid(beta * (chosen_lr - rejected_kl)),
+            1 - jax.nn.sigmoid(beta * (chosen_kl - rejected_lr)),
+        ], axis=0)
+    else:
+        raise ValueError(f"Unknown loss type: {loss_type}")
+    chosen_rewards = jax.lax.stop_gradient(
+        beta * (policy_chosen_logps - reference_chosen_logps))
+    rejected_rewards = jax.lax.stop_gradient(
+        beta * (policy_rejected_logps - reference_rejected_logps))
+    return losses, chosen_rewards, rejected_rewards
+
+
+def ar_dpo_batch_loss(
+    forward_fn,               # params, ids -> logits [B, L, V]
+    params,
+    ref_params,
+    batch: dict,              # chosen_ids/chosen_labels/rejected_*  [B, L]
+    *,
+    beta: float = 0.1,
+    dpo_alpha: float = 1.0,
+    gamma: float = 0.0,
+    loss_type: str = "sigmoid",
+    label_smoothing: float = 0.0,
+):
+    """Full trl batch objective: dpo_alpha * DPO + gamma * SFT-CE on the
+    chosen response (dpo_trainer.py:946-959)."""
+    avg = loss_type == "ipo"  # trl passes average_log_prob for IPO (:877)
+
+    def lp(p, ids, labels):
+        logits = forward_fn(p, ids)
+        return ar_batch_logps(logits, labels, average_log_prob=avg), logits
+
+    pc, chosen_logits = lp(params, batch["chosen_ids"],
+                           batch["chosen_labels"])
+    pr, _ = lp(params, batch["rejected_ids"], batch["rejected_labels"])
+    rc, _ = lp(ref_params, batch["chosen_ids"], batch["chosen_labels"])
+    rr, _ = lp(ref_params, batch["rejected_ids"],
+               batch["rejected_labels"])
+    rc, rr = jax.lax.stop_gradient(rc), jax.lax.stop_gradient(rr)
+
+    losses, chosen_rw, rejected_rw = ar_dpo_loss(
+        pc, pr, rc, rr, beta=beta, label_smoothing=label_smoothing,
+        loss_type=loss_type)
+
+    # SFT CE over shifted chosen labels (get_sft_loss, :838-850)
+    labels = batch["chosen_labels"][:, 1:]
+    logits = chosen_logits[:, :-1].astype(jnp.float32)
+    mask = labels != -100
+    tgt = jnp.where(mask, labels, 0)
+    logps = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logps, tgt[..., None], axis=-1)[..., 0]
+    sft = (ce * mask).sum() / jnp.maximum(mask.sum(), 1)
+
+    loss = dpo_alpha * losses.mean() + gamma * sft
+    metrics = {
+        "dpo_loss": losses.mean(),
+        "sft_loss": sft,
+        "rewards_chosen": chosen_rw.mean(),
+        "rewards_rejected": rejected_rw.mean(),
+        "reward_acc": (chosen_rw > rejected_rw).mean(),
+        "reward_margin": (chosen_rw - rejected_rw).mean(),
+    }
+    return loss, metrics
