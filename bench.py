@@ -161,11 +161,19 @@ def main():
                 [feats.reshape(B, 5 * feats.shape[1], D),
                  jnp.zeros((B, len(ids), D), jnp.bfloat16)], axis=1
             )
-        out = diffusion.generate(
-            params["llada"], lm_cfg, prefix, gen,
-            use_flash_prefill=not args.no_flash_prefill,
-            dllm_cache=args.dllm,
-        )
+        if B > 4 and args.dllm is None:
+            # the monolithic B=8 prefill graph blows the XLA compile
+            # budget; prefill in 4-row chunks (one compile), decode merged
+            out = diffusion.generate_chunked_prefill(
+                params["llada"], lm_cfg, prefix, gen, chunk=4,
+                use_flash_prefill=not args.no_flash_prefill,
+            )
+        else:
+            out = diffusion.generate(
+                params["llada"], lm_cfg, prefix, gen,
+                use_flash_prefill=not args.no_flash_prefill,
+                dllm_cache=args.dllm,
+            )
         jax.block_until_ready(out)
         return out
 

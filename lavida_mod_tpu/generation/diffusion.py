@@ -236,6 +236,59 @@ _denoise_scan_cached = jax.jit(
 )
 
 
+_prefill_jit = jax.jit(prefill, static_argnames=("cfg", "use_flash"))
+
+
+def generate_chunked_prefill(
+    params,
+    cfg: LLaDAConfig,
+    prefix_embeds: jax.Array,   # [B, P, D]
+    gen: GenerationConfig,
+    *,
+    chunk: int = 4,
+    prefix_valid: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    use_flash_prefill: bool = False,
+):
+    """Large-batch serving: prefill in fixed `chunk`-size slices (ONE
+    compile, reused; the monolithic B=8 prefill graph blows XLA's compile
+    budget on v5e), then run the denoise scan over the MERGED batch.
+    Decode is weight-read-bound, so only the batched denoise amortizes —
+    chunking the compute-bound prefill costs nothing.  The reference has
+    no batched serving path at all (its eval adapter loops batch=1,
+    llava_llada.py:556-650)."""
+    B, P, _ = prefix_embeds.shape
+    assert B % chunk == 0, (B, chunk)
+    G = gen.max_new_tokens
+    mask_id = cfg.mask_token_id
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    caches = []
+    for lo in range(0, B, chunk):
+        caches.append(_prefill_jit(
+            params, cfg, prefix_embeds[lo:lo + chunk],
+            prefix_valid[lo:lo + chunk] if prefix_valid is not None
+            else None,
+            use_flash=use_flash_prefill))
+    # cache leaves are [L, chunk, P, H, hd] -> concat on the batch axis
+    cache = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *caches)
+
+    x = jnp.full((B, G), mask_id, jnp.int32)
+    k_table, block_end = build_control_table(
+        np.asarray(x), 0, G, gen, mask_id)
+    if k_table.shape[0] == 0:
+        return x
+    positions = jnp.arange(P, P + G, dtype=jnp.int32)
+    return _denoise_scan_cached(
+        params, cfg, x, cache,
+        jnp.asarray(k_table), jnp.asarray(block_end), positions,
+        prefix_valid, key,
+        temperature=gen.temperature, remasking=gen.remasking,
+        use_flash=False,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "temperature", "remasking", "use_flash"),
