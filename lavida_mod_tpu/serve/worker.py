@@ -23,6 +23,76 @@ import numpy as np
 HEART_BEAT_INTERVAL = 15
 
 
+class DecodeBatcher:
+    """Micro-batching for concurrent requests: the denoise loop is
+    weight-read-bound (8B weights per step regardless of batch), so
+    merging requests that arrive within a small window amortizes the
+    weight reads (measured: B=4 is 1.30x per-image vs B=1 on v5e).  The
+    reference worker has no batching at all (model_worker.py wraps
+    single-request generate).
+
+    Requests are grouped by identical gen_kwargs (one compiled shape per
+    group); each group is served through the adapter's
+    generate_until_batch (bucket-padded prefixes, merged decode)."""
+
+    def __init__(self, eval_model, max_batch: int = 4,
+                 window_ms: float = 20.0):
+        self.eval_model = eval_model
+        self.max_batch = max_batch
+        self.window = window_ms / 1e3
+        self._cv = threading.Condition()
+        self._queue: list[dict] = []
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, text: str, images: list, gen_kwargs: dict) -> str:
+        item = {
+            "text": text, "images": images, "gen_kwargs": gen_kwargs,
+            "done": threading.Event(), "result": None, "error": None,
+        }
+        with self._cv:
+            self._queue.append(item)
+            self._cv.notify()
+        item["done"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    @staticmethod
+    def _key(item: dict) -> str:
+        return json.dumps(item["gen_kwargs"], sort_keys=True)
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+            time.sleep(self.window)  # let concurrent arrivals accumulate
+            with self._cv:
+                key = self._key(self._queue[0])
+                batch = [it for it in self._queue
+                         if self._key(it) == key][: self.max_batch]
+                for it in batch:
+                    self._queue.remove(it)
+            try:
+                if len(batch) == 1:
+                    preds = [self.eval_model.generate_until(
+                        batch[0]["text"], batch[0]["images"],
+                        batch[0]["gen_kwargs"])]
+                else:
+                    preds = self.eval_model.generate_until_batch(
+                        [it["text"] for it in batch],
+                        [it["images"] for it in batch],
+                        batch[0]["gen_kwargs"])
+                for it, pred in zip(batch, preds):
+                    it["result"] = pred
+            except Exception as e:  # noqa: BLE001
+                for it in batch:
+                    it["error"] = e
+            for it in batch:
+                it["done"].set()
+
+
 class ModelWorker:
     def __init__(
         self,
@@ -31,13 +101,21 @@ class ModelWorker:
         controller_addr: Optional[str] = None,
         worker_addr: Optional[str] = None,
         limit_concurrency: int = 2,
+        decode_batch: int = 0,           # >1 enables micro-batching
+        batch_window_ms: float = 20.0,
     ):
         self.eval_model = eval_model
         self.model_name = model_name
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
-        self.semaphore = threading.Semaphore(limit_concurrency)
+        self.semaphore = threading.Semaphore(
+            max(limit_concurrency, decode_batch))
         self.queue_length = 0
+        self.batcher = (
+            DecodeBatcher(eval_model, max_batch=decode_batch,
+                          window_ms=batch_window_ms)
+            if decode_batch > 1 else None
+        )
         if controller_addr and worker_addr:
             self.register()
             t = threading.Thread(target=self._heartbeat_loop, daemon=True)
@@ -97,7 +175,11 @@ class ModelWorker:
                 text = params.get("prompt", "")
                 gen_kwargs = params.get("gen_kwargs", {})
                 t0 = time.perf_counter()
-                out = self.eval_model.generate_until(text, images, gen_kwargs)
+                if self.batcher is not None:
+                    out = self.batcher.submit(text, images, gen_kwargs)
+                else:
+                    out = self.eval_model.generate_until(
+                        text, images, gen_kwargs)
                 return {
                     "text": out,
                     "error_code": 0,
@@ -192,3 +274,84 @@ class ModelWorker:
         server = ThreadingHTTPServer((host, port), Handler)
         print(f"[worker] {self.model_name} listening on {host}:{port}")
         server.serve_forever()
+
+
+def main():
+    """`python -m lavida_mod_tpu.serve.worker` — the reference's
+    `python -m llava.serve.model_worker` analogue (model_worker.py CLI:
+    --host/--port/--controller-address/--worker-address/--model-path/
+    --limit-model-concurrency), plus TPU micro-batching flags."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=21002)
+    ap.add_argument("--controller-address", default=None)
+    ap.add_argument("--worker-address", default=None)
+    ap.add_argument("--model-path", default=None)
+    ap.add_argument("--model-name", default="lavida-llada")
+    ap.add_argument("--conv-template", default="llada")
+    ap.add_argument("--limit-model-concurrency", type=int, default=2)
+    ap.add_argument("--decode-batch", type=int, default=0,
+                    help=">1 merges concurrent requests into one batched "
+                         "denoise (weight reads amortize; B=4 measured "
+                         "1.30x per-image on v5e)")
+    ap.add_argument("--batch-window-ms", type=float, default=20.0)
+    ap.add_argument("--tiny", action="store_true",
+                    help="random tiny model (no checkpoint; smoke/dev)")
+    args = ap.parse_args()
+
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from ..config import LaViDaConfig, VisionConfig, tiny_llada_config, \
+        tiny_siglip_config
+    from ..eval.adapter import LavidaEvalModel
+    from ..models.lavida import LaViDa
+
+    if args.tiny or not args.model_path:
+        cfg = LaViDaConfig(
+            llada=tiny_llada_config(),
+            vision=VisionConfig(
+                siglip=tiny_siglip_config(), mm_hidden_size=32,
+                grid_pinpoints=((56, 112), (112, 56), (112, 112)),
+            ),
+        )
+        model = LaViDa.random_init(cfg, 0, jnp.float32)
+        tokenizer = None
+        print("[worker] tiny random model (no checkpoint)")
+    else:
+        from ..models import llada as llada_model
+
+        model = LaViDa.load(args.model_path)
+        # serving layout: int8 LM + unrolled layers (predict.py:103-108)
+        model.params["llada"] = llada_model.quantize_params(
+            llada_model.unstack_blocks(model.params["llada"]))
+        tokenizer = None
+        tok_file = os.path.join(args.model_path, "tokenizer.json")
+        if os.path.exists(tok_file):
+            from ..data.tokenizer import load_tokenizer
+
+            tokenizer = load_tokenizer(args.model_path)
+
+    eval_model = LavidaEvalModel(model, tokenizer,
+                                 conv_template=args.conv_template)
+    worker = ModelWorker(
+        eval_model, args.model_name,
+        controller_addr=args.controller_address,
+        worker_addr=args.worker_address,
+        limit_concurrency=args.limit_model_concurrency,
+        decode_batch=args.decode_batch,
+        batch_window_ms=args.batch_window_ms,
+    )
+    worker.serve(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
