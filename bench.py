@@ -20,7 +20,8 @@ import time
 
 import numpy as np
 
-BASELINE_S = 1.32  # A100 LaViDa-LLaDA s/image, len 32, 16 steps
+BASELINE_S = 1.32        # A100 LaViDa-LLaDA s/image, len 32, 16 steps
+BASELINE_DREAM_S = 1.13  # A100 LaViDa-Dream (README.md:62-68)
 
 
 def main():
@@ -46,6 +47,10 @@ def main():
                     help="fused QKV + gate/up weight layout "
                          "(to_fused_layout): 4 instead of 7 Pallas kernel "
                          "dispatches per layer on the int4 path")
+    ap.add_argument("--dream", action="store_true",
+                    help="LaViDa-Dream family (7B Qwen2 geometry, "
+                         "topk_margin sampler per run_dream.sh) instead "
+                         "of LaViDa-LLaDA; reference baseline 1.13 s/image")
     ap.add_argument("--no-flash-prefill", action="store_true",
                     help="disable the 128-bucketed Pallas flash prefill "
                          "(falls back to dense prefill attention)")
@@ -69,6 +74,12 @@ def main():
     from lavida_mod_tpu.models.lavida import LaViDa
 
     cfg = LaViDaConfig()
+    if args.dream:
+        from lavida_mod_tpu.config import DreamGenerationConfig
+        from lavida_mod_tpu.generation.dream_sampler import dream_generate
+        from lavida_mod_tpu.models.dream import dream_7b_config
+
+        cfg = LaViDaConfig(llada=dream_7b_config())
     # Serving layout: int8 weight-only LM, unrolled layers, zero weights
     # (latency is weight-value independent; see LaViDa.zero_init docstring)
     if args.int4:
@@ -104,10 +115,19 @@ def main():
             if isinstance(d, dict):
                 if "kernel" in d and len(d["kernel"].shape) == 2:
                     K, N = d["kernel"].shape
-                    out = {
-                        "kernel_p4": jnp.zeros((K // 2, N), jnp.int8),
-                        "scales4": jnp.zeros((K // 128, N), jnp.float32),
-                    }
+                    if N % 512 == 0:
+                        out = {
+                            "kernel_p4": jnp.zeros((K // 2, N), jnp.int8),
+                            "scales4": jnp.zeros((K // 128, N),
+                                                 jnp.float32),
+                        }
+                    else:
+                        # kernel block_n constraint (e.g. Dream's 151936
+                        # vocab head): weight-only int8 for this matmul
+                        out = {
+                            "kernel_q": jnp.zeros((K, N), jnp.int8),
+                            "scale": jnp.zeros((N,), jnp.float32),
+                        }
                     if "bias" in d:
                         out["bias"] = jnp.zeros(
                             d["bias"].shape, d["bias"].dtype
@@ -161,7 +181,13 @@ def main():
                 [feats.reshape(B, 5 * feats.shape[1], D),
                  jnp.zeros((B, len(ids), D), jnp.bfloat16)], axis=1
             )
-        if B > 4 and args.dllm is None:
+        if args.dream:
+            dgen = DreamGenerationConfig(
+                max_new_tokens=args.gen_len, steps=args.steps,
+                alg="topk_margin", prefix_lm=True,  # run_dream.sh:13
+            )
+            out = dream_generate(params["llada"], lm_cfg, prefix, dgen)
+        elif B > 4 and args.dllm is None:
             # the monolithic B=8 prefill graph blows the XLA compile
             # budget; prefill in 4-row chunks (one compile), decode merged
             out = diffusion.generate_chunked_prefill(
@@ -193,11 +219,14 @@ def main():
             (f"s_per_image_{tag}_hd" if B == 1
              else f"s_per_image_{tag}_hd_batch{B}")
             + ("_w4a8" if args.int4 else "_int8")
+            + ("_dream" if args.dream else "")
             + (f"_dllm{args.dllm}" if args.dllm else "")
         ),
         "value": round(s_per_image, 4),
         "unit": "s",
-        "vs_baseline": round(BASELINE_S / s_per_image, 3),
+        "vs_baseline": round(
+            (BASELINE_DREAM_S if args.dream else BASELINE_S)
+            / s_per_image, 3),
     }))
 
 

@@ -68,7 +68,10 @@ class Task:
                     if limit is not None and i >= limit:
                         break
                     d = json.loads(line)
-                    docs.append(self._load_images(d, base, i))
+                    doc = _normalize_doc(self._load_images(d, base, i), i)
+                    if self.doc_mapper:
+                        doc = self.doc_mapper(doc)
+                    docs.append(doc)
             return docs
         from datasets import load_dataset
 

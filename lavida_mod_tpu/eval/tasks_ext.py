@@ -833,3 +833,112 @@ register(Task(
     },
     aggregate=_mean_agg("acc"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# referring expressions (refcoco / refcoco+ / refcocog)
+#
+# tasks/refcoco/_default_template_bbox_rec_yaml + utils_rec.py: bbox
+# normalized to [0,1] (x1,y1,x2,y2); metrics IoU, ACC@{.1,.3,.5,.7,.9},
+# Center_ACC.  The REG direction (bbox -> description) scores CIDEr like
+# the caption tasks (utils.py).
+# ---------------------------------------------------------------------------
+
+_REC_PROMPT = (
+    "Bounding box coordinates are specified in the format (top-left x, "
+    "top-left y, bottom-right x, bottom-right y). All values are floating "
+    "point numbers bounded between 0 and 1. Please provide the bounding "
+    "box coordinate of the region this sentence describes: ")
+
+
+def _refcoco_rec_map(doc: dict) -> dict:
+    # dataset bbox ships as COCO (x, y, w, h) in pixels; the reference
+    # normalizes by image size and converts to corners
+    # (utils_rec.py:12-22)
+    bbox = doc.get("bbox")
+    img = doc.get("images") or []
+    if bbox is not None and len(bbox) == 4 and img:
+        w, h = img[0].width, img[0].height
+        x, y, bw, bh = bbox
+        if max(bbox) > 1.5:  # pixel-space -> normalize
+            doc["bbox"] = [x / w, y / h, (x + bw) / w, (y + bh) / h]
+    ans = doc.get("answer", doc.get("target", ""))
+    if isinstance(ans, list):
+        ans = ans[0] if ans else ""
+    doc["text"] = f"{_REC_PROMPT}{ans}"
+    return doc
+
+
+def _rec_full_score(doc: dict, pred: str) -> dict:
+    gt = tuple(float(v) for v in doc["bbox"])
+    box = M.parse_bbox(pred)
+    iou = M.bbox_iou(box, gt) if box else 0.0
+    row = {"IoU": iou, "Center_ACC": M.center_in_bbox(box, gt)}
+    for th in (0.1, 0.3, 0.5, 0.7, 0.9):
+        row[f"ACC@{th}"] = float(iou >= th)
+    return row
+
+
+def _rec_agg(rows: list[dict]) -> dict:
+    keys = ["IoU", "ACC@0.1", "ACC@0.3", "ACC@0.5", "ACC@0.7", "ACC@0.9",
+            "Center_ACC"]
+    return {k: sum(r[k] for r in rows) / max(len(rows), 1) for k in keys}
+
+
+for _ds, _name in (("lmms-lab/RefCOCO", "refcoco"),
+                   ("lmms-lab/RefCOCOplus", "refcoco+"),
+                   ("lmms-lab/RefCOCOg", "refcocog")):
+    register(Task(
+        name=f"{_name}_bbox_rec_val",
+        post_prompt="",
+        generation_kwargs={"max_new_tokens": 32},
+        dataset_path=_ds,
+        test_split="val",
+        doc_mapper=_refcoco_rec_map,
+        score_doc=_rec_full_score,
+        aggregate=_rec_agg,
+    ))
+    register(Task(
+        name=f"{_name}_bbox_val",
+        # REG: describe the region (utils.py doc_to_text); caption metrics
+        post_prompt="",
+        generation_kwargs={"max_new_tokens": 32},
+        dataset_path=_ds,
+        test_split="val",
+        doc_mapper=lambda d: {
+            **d, "text": "Provide a short description for this region.",
+        },
+        score_doc=lambda doc, pred: {
+            "prediction": pred, "references": _answers_of(doc),
+        },
+        aggregate=_caption_agg,
+    ))
+
+
+# a few remaining MC families (same shared pipeline)
+# tasks/mmupd (unsolvable-problem detection; MC with a none-of-the-above
+# convention), tasks/vmcbench, tasks/egothink, tasks/mmworld,
+# tasks/videommmu, tasks/cvrr
+_mc_task("mmupd_base", "MM-UPD/MM-UPD", "mmaad_base")
+_mc_task("vmcbench", "suyc21/VMCBench", "test")
+_mc_task("egothink", "EgoThink/EgoThink", "test",
+         post=SINGLE_WORD)
+_mc_task("mmworld", "MMWorld/MMWorld", "test")
+_mc_task("videommmu", "lmms-lab/VideoMMMU", "test")
+_mc_task("cvrr", "MBZUAI/CVRR", "test", post=SINGLE_WORD)
+
+
+# tasks/ifeval: instruction-following eval with the verifier registry
+# (strict + loose protocols; see eval/ifeval.py)
+from . import ifeval as _ifeval  # noqa: E402
+
+register(Task(
+    name="ifeval",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 1280},
+    dataset_path="wis-k/instruction-following-eval",
+    test_split="train",
+    doc_mapper=lambda d: {**d, "text": d.get("prompt", d.get("text", ""))},
+    score_doc=_ifeval.score_ifeval,
+    aggregate=_ifeval.aggregate_ifeval,
+))

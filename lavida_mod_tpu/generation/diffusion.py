@@ -238,6 +238,14 @@ _denoise_scan_cached = jax.jit(
 
 _prefill_jit = jax.jit(prefill, static_argnames=("cfg", "use_flash"))
 
+# cache is donated: the denoise scan pads it to [P+G] once, and at 8B/B=8
+# the prefix cache is ~5GB — holding both copies OOMs the chip
+_denoise_scan_cached_donate = jax.jit(
+    _denoise_scan_cached_body,
+    static_argnames=("cfg", "temperature", "remasking", "use_flash"),
+    donate_argnums=(3,),
+)
+
 
 def generate_chunked_prefill(
     params,
@@ -271,8 +279,11 @@ def generate_chunked_prefill(
             prefix_valid[lo:lo + chunk] if prefix_valid is not None
             else None,
             use_flash=use_flash_prefill))
-    # cache leaves are [L, chunk, P, H, hd] -> concat on the batch axis
+    # cache leaves are [L, chunk, P, H, hd] -> concat on the batch axis;
+    # free the per-chunk buffers before the denoise allocates its padded
+    # copy (at 8B/B=8 the cache is ~5GB a copy)
     cache = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *caches)
+    del caches
 
     x = jnp.full((B, G), mask_id, jnp.int32)
     k_table, block_end = build_control_table(
@@ -280,7 +291,7 @@ def generate_chunked_prefill(
     if k_table.shape[0] == 0:
         return x
     positions = jnp.arange(P, P + G, dtype=jnp.int32)
-    return _denoise_scan_cached(
+    return _denoise_scan_cached_donate(
         params, cfg, x, cache,
         jnp.asarray(k_table), jnp.asarray(block_end), positions,
         prefix_valid, key,

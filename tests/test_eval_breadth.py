@@ -39,6 +39,9 @@ def test_breadth_tasks_registered():
         # text-only
         "gsm8k", "mmlu", "mmlu_pro", "arc_easy", "arc_challenge",
         "gpqa_main", "hellaswag",
+        # referring expressions
+        "refcoco_bbox_rec_val", "refcoco+_bbox_rec_val",
+        "refcocog_bbox_rec_val", "refcoco_bbox_val",
     ]
     names = list_tasks()
     missing = [n for n in expected if n not in names]
@@ -243,3 +246,79 @@ def test_mmerealworld_post_prompt():
     doc = {"text": "q", "choices": ["x", "y", "z", "w", "v"],
            "target": "E", "id": 0}
     assert t.score_doc(doc, "E")["acc"] == 1.0
+
+
+def test_refcoco_rec_pipeline():
+    from PIL import Image
+
+    t = get_task("refcoco_bbox_rec_val")
+    img = Image.new("RGB", (200, 100))
+    doc = t.doc_mapper({"bbox": [20, 10, 60, 40], "images": [img],
+                        "answer": ["the red car"], "id": 0})
+    # pixel (x,y,w,h) -> normalized corners (utils_rec.py:12-22)
+    assert doc["bbox"] == [0.1, 0.1, 0.4, 0.5]
+    assert doc["text"].endswith("describes: the red car")
+    row = t.score_doc(doc, "[0.1, 0.1, 0.4, 0.5]")
+    assert row["ACC@0.9"] == 1.0 and row["Center_ACC"] == 1.0
+    row = t.score_doc(doc, "no box")
+    assert row["IoU"] == 0.0 and row["ACC@0.1"] == 0.0
+    agg = t.aggregate([t.score_doc(doc, "[0.1, 0.1, 0.4, 0.5]"),
+                       t.score_doc(doc, "no box")])
+    assert agg["IoU"] == 0.5 and agg["ACC@0.5"] == 0.5
+
+
+def test_ifeval_verifiers():
+    from lavida_mod_tpu.eval import ifeval as IF
+
+    assert IF.check_instruction("punctuation:no_comma", "no commas here",
+                                {})
+    assert not IF.check_instruction("punctuation:no_comma", "a, b", {})
+    assert IF.check_instruction("detectable_format:title",
+                                "<<My Great Title>>\nbody", {})
+    assert IF.check_instruction(
+        "keywords:existence", "the cat and the dog",
+        {"keywords": ["cat", "dog"]})
+    assert not IF.check_instruction(
+        "keywords:forbidden_words", "the cat", {"forbidden_words": ["cat"]})
+    assert IF.check_instruction(
+        "length_constraints:number_words", "one two three",
+        {"num_words": 3, "relation": "at least"})
+    assert IF.check_instruction(
+        "length_constraints:number_paragraphs", "a\n***\nb\n***\nc",
+        {"num_paragraphs": 3})
+    assert IF.check_instruction("detectable_format:json_format",
+                                '```json\n{"a": 1}\n```', {})
+    assert IF.check_instruction("change_case:english_lowercase",
+                                "all lower case.", {})
+    assert IF.check_instruction("startend:quotation", '"quoted"', {})
+    assert IF.check_instruction(
+        "combination:two_responses", "yes\n******\nno", {})
+    assert IF.check_instruction(
+        "detectable_content:postscript",
+        "body\nP.S. remember this", {"postscript_marker": "P.S."})
+    assert IF.check_instruction(
+        "length_constraints:nth_paragraph_first_word",
+        "First para here\n\nSecond para here",
+        {"num_paragraphs": 2, "nth_paragraph": 2, "first_word": "second"})
+
+
+def test_ifeval_strict_vs_loose():
+    from lavida_mod_tpu.eval import ifeval as IF
+
+    doc = {"instruction_id_list": ["change_case:english_lowercase"],
+           "kwargs": [{}]}
+    # a wrapper first line breaks strict; loose drops it and passes
+    resp = "Sure! Here it is:\nall lower from here on."
+    row = IF.score_ifeval(doc, resp)
+    assert row["prompt_level_strict_acc"] == 0.0
+    assert row["prompt_level_loose_acc"] == 1.0
+    agg = IF.aggregate_ifeval([row, row])
+    assert agg["inst_level_loose_acc"] == 1.0
+
+    t = get_task("ifeval")
+    doc2 = t.doc_mapper({"prompt": "Write in lowercase.",
+                         "instruction_id_list":
+                             ["change_case:english_lowercase"],
+                         "kwargs": [{}], "id": 0})
+    assert doc2["text"] == "Write in lowercase."
+    assert t.score_doc(doc2, "fine.")["prompt_level_strict_acc"] == 1.0

@@ -106,5 +106,7 @@ def test_tower_builder_dispatch(tmp_path):
 
     import pytest as _pytest
 
+    # open_clip is implemented as of round 2 (models/open_clip.py);
+    # eva remains the loud-unsupported entry (reference builder.py:21-24)
     with _pytest.raises(NotImplementedError):
-        build_vision_tower("open_clip_vit_g")
+        build_vision_tower("eva_clip_g")
