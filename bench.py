@@ -163,7 +163,42 @@ def main():
 
     B = args.batch
 
-    def one_batch(i):
+    # single-image path: ONE dispatch for the whole
+    # vision->merge->splice->prefill->denoise chain (the eager
+    # merge/splice ops each cost a tunnel round-trip; the gather-plan
+    # twin is equivalence-tested, models/multimodal.py::build_gather_plan)
+    if B == 1 and not args.dream and args.dllm is None:
+        import functools as _ft
+
+        gather_idx, text_ids_p, valid, _ = multimodal.build_gather_plan(
+            cfg, [ids], [[5]], [[image_size]])
+        gather_idx = jnp.asarray(gather_idx)
+        text_ids_p = jnp.asarray(text_ids_p)
+        mask_id = lm_cfg.mask_token_id
+        x0 = np.full((1, args.gen_len), mask_id, np.int32)
+        k_table, block_end = diffusion.build_control_table(
+            x0, 0, args.gen_len, gen, mask_id)
+        k_table = jnp.asarray(k_table)
+        block_end = jnp.asarray(block_end)
+
+        @_ft.partial(jax.jit, static_argnames=("flash",))
+        def serve_fused(params, views, key, flash):
+            prefix = multimodal.multimodal_embeds(
+                params, cfg, views, text_ids_p, gather_idx)
+            x = jnp.full((1, args.gen_len), mask_id, jnp.int32)
+            return diffusion._generate_cached_fused_body(
+                params["llada"], lm_cfg, x, prefix, k_table, block_end,
+                None, key, temperature=gen.temperature,
+                remasking=gen.remasking, use_flash=False,
+                use_flash_prefill=flash)
+
+        def one_batch(i):
+            views = jnp.full((5, 3, 384, 384), 0.001 * i, jnp.bfloat16)
+            out = serve_fused(params, views, jax.random.PRNGKey(i),
+                              not args.no_flash_prefill)
+            return int(jnp.sum(out))
+
+    def one_batch_multi(i):
         views = jnp.full((5 * B, 3, 384, 384), 0.001 * i, jnp.bfloat16)
         feats = multimodal._encode_views_jit(params, cfg, views, False, True)
         D = feats.shape[-1]
@@ -200,8 +235,13 @@ def main():
                 use_flash_prefill=not args.no_flash_prefill,
                 dllm_cache=args.dllm,
             )
-        jax.block_until_ready(out)
-        return out
+        # the axon tunnel executes async: block_until_ready alone can
+        # return before remote completion — force a host fetch of a
+        # checksum (CLAUDE.md timing protocol)
+        return int(jnp.sum(out))
+
+    if not (B == 1 and not args.dream and args.dllm is None):
+        one_batch = one_batch_multi
 
     # warmup / compile
     one_batch(0)

@@ -238,6 +238,18 @@ _denoise_scan_cached = jax.jit(
 
 _prefill_jit = jax.jit(prefill, static_argnames=("cfg", "use_flash"))
 
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"),
+                   donate_argnums=(0,))
+def _prefill_into(buf, params, cfg, embeds, valid, lo, use_flash):
+    """Prefill one chunk and write its cache into the merged buffer at
+    batch offset `lo` (traced: one compile serves every chunk)."""
+    part = prefill(params, cfg, embeds, valid, use_flash)
+    return jax.tree.map(
+        lambda b, p: jax.lax.dynamic_update_slice_in_dim(
+            b, p.astype(b.dtype), lo, axis=1),
+        buf, part)
+
 # cache is donated: the denoise scan pads it to [P+G] once, and at 8B/B=8
 # the prefix cache is ~5GB — holding both copies OOMs the chip
 _denoise_scan_cached_donate = jax.jit(
@@ -272,18 +284,24 @@ def generate_chunked_prefill(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    caches = []
+    # prefill each chunk and write it into the merged buffer in place
+    # (buffer donated per call): peak extra memory is ONE chunk cache,
+    # not the full per-chunk list + concat copy (at 8B/B=8 the merged
+    # cache is ~5GB; the list+concat peak OOMed the chip)
+    shapes = jax.eval_shape(
+        lambda p, e, v: prefill(p, cfg, e, v,
+                                use_flash=use_flash_prefill),
+        params, prefix_embeds[:chunk],
+        prefix_valid[:chunk] if prefix_valid is not None else None)
+    cache = jax.tree.map(
+        lambda s: jnp.zeros(s.shape[:1] + (B,) + s.shape[2:], s.dtype),
+        shapes)
     for lo in range(0, B, chunk):
-        caches.append(_prefill_jit(
-            params, cfg, prefix_embeds[lo:lo + chunk],
+        cache = _prefill_into(
+            cache, params, cfg, prefix_embeds[lo:lo + chunk],
             prefix_valid[lo:lo + chunk] if prefix_valid is not None
             else None,
-            use_flash=use_flash_prefill))
-    # cache leaves are [L, chunk, P, H, hd] -> concat on the batch axis;
-    # free the per-chunk buffers before the denoise allocates its padded
-    # copy (at 8B/B=8 the cache is ~5GB a copy)
-    cache = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *caches)
-    del caches
+            jnp.int32(lo), use_flash_prefill)
 
     x = jnp.full((B, G), mask_id, jnp.int32)
     k_table, block_end = build_control_table(

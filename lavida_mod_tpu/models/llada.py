@@ -589,14 +589,20 @@ def unstack_blocks(params: Params) -> Params:
 def quantize_params(params: Params, bits: int = 8,
                     group: int = 128) -> Params:
     """Quantize every linear kernel (ops/quant.py); norms, embeddings and
-    biases stay bf16.  bits=8: per-channel int8 (near-lossless serving
-    default).  bits=4: grouped int4 via the Pallas kernel — half the weight
-    memory at ~equal speed; quality must be evaluated per checkpoint
-    (NOTES_ROUND2.md).  int4 requires unstacked blocks."""
+    biases stay bf16.  bits=8: per-channel int8 (near-lossless).  bits=4:
+    the W4A8 serving layout (grouped int4 through the Pallas bitcast
+    kernel, per-token int8 activations) — half the weight memory and the
+    fastest measured config (bench.py default); ~1% logit rel-err, gate
+    per checkpoint with scripts/verify_checkpoint.py.  int4 requires
+    unstacked blocks; kernels whose out-dim isn't a multiple of the
+    kernel's 512-column block (e.g. Dream's 151936-vocab head) fall back
+    to int8 per-kernel."""
     from ..ops.quant import quantize_linear4
 
-    quant_one = (quantize_linear if bits == 8
-                 else (lambda d: quantize_linear4(d, group)))
+    def quant_one(d):
+        if bits == 8 or d["kernel"].shape[-1] % 512 != 0:
+            return quantize_linear(d)
+        return quantize_linear4(d, group)
 
     def quant_tree(d):
         if isinstance(d, (list, tuple)):

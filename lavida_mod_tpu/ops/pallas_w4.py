@@ -163,7 +163,12 @@ def w4_matmul_grouped(
     else:
         block_t = next((t for t in (288, 384, 256, 512)
                         if T % t == 0), 288)
-    block_k = min(K2, 2048)
+    # Largest power-of-two k-block (<=2048 rows) dividing K2: 2048 for
+    # the 4096/12288 LLaDA dims, 256 for Dream's 18944 FFN (K2 = 2^8*37).
+    # Power-of-two only — a 2368-row block (37 unrolled group dots)
+    # explodes Mosaic compile time (>9 min, measured).
+    block_k = next(b for b in (2048, 1024, 512, 256, 128, 64, g2)
+                   if K2 % b == 0 and b % g2 == 0)
     Tp = -(-T // block_t) * block_t
     if Tp != T:
         x8 = jnp.pad(x8, ((0, Tp - T), (0, 0)))
@@ -171,6 +176,14 @@ def w4_matmul_grouped(
     assert K2 % block_k == 0 and block_k % g2 == 0
     gb = block_k // g2
     nk = K2 // block_k
+    # Mosaic requires a block's second-to-last dim be a multiple of 8 (or
+    # full): pad each k-step's scale rows up to gb8 (gb=4 at Dream's
+    # K2=2^8*37 FFN -> 8); the LLaDA dims (gb 16/32) pass through as-is
+    gb8 = -(-gb // 8) * 8
+    if gb8 != gb:
+        scales = jnp.pad(
+            scales.reshape(nk, gb, N), ((0, 0), (0, gb8 - gb), (0, 0))
+        ).reshape(nk * gb8, N)
 
     def kernel(x_ref, sx_ref, p_ref, s_ref, o_ref, acc_ref):
         ki = pl.program_id(2)
@@ -208,7 +221,7 @@ def w4_matmul_grouped(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_k, block_n), lambda t, i, k: (k, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, block_n), lambda t, i, k: (k, i),
+            pl.BlockSpec((gb8, block_n), lambda t, i, k: (k, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_t, block_n), lambda t, i, k: (t, i),

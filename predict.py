@@ -41,6 +41,12 @@ def main():
                     help="SHIRG-Fovea 2-view token selection instead of anyres")
     ap.add_argument("--shirg-method", default="base")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--int4", action="store_true",
+                    help="W4A8 serving layout (grouped-int4 weights + "
+                         "per-token int8 activations; bench.py default): "
+                         "fastest config, half the LM weight HBM, ~1% "
+                         "logit rel-err — gate quality per checkpoint "
+                         "with scripts/verify_checkpoint.py")
     ap.add_argument("--no-quant", action="store_true",
                     help="keep bf16 LM weights (full 8B won't fit one v5e)")
     ap.add_argument("--dtype", default="bfloat16")
@@ -105,7 +111,8 @@ def main():
         from lavida_mod_tpu.models import llada as llada_model
 
         model.params["llada"] = llada_model.quantize_params(
-            llada_model.unstack_blocks(model.params["llada"])
+            llada_model.unstack_blocks(model.params["llada"]),
+            bits=4 if args.int4 else 8,
         )
 
     conv = get_conv_template(args.conv_template)

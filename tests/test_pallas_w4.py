@@ -142,3 +142,44 @@ def test_w4a8_kernel_matches_cpu_fallback():
     fallback = np.asarray(_linear_w4(x, p), np.float32)
     scale = np.abs(fallback).max() + 1e-9
     assert np.abs(kern - fallback).max() / scale < 0.02
+
+
+def test_w4_matmul_grouped_nonpow2_k(interpret=True):
+    """Dream-geometry K (18944 -> K2 = 2^8*37): block_k must pick a
+    divisor of K2 (here 4736 -> K2=2368), not the 2048 default that broke
+    the bench --dream path."""
+    import numpy as np
+    from lavida_mod_tpu.ops.pallas_w4 import (
+        dequant_w4_grouped, quantize_w4_grouped, w4_matmul_grouped)
+
+    rng = np.random.default_rng(0)
+    T, K, N, group = 16, 4736, 256, 128
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.02
+    packed, scales = quantize_w4_grouped(w, group=group)
+    x = rng.standard_normal((T, K)).astype(np.float32) * 0.5
+    out = np.asarray(w4_matmul_grouped(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(packed),
+        jnp.asarray(scales), group=group, block_n=128, interpret=True))
+    ref = x @ dequant_w4_grouped(packed, scales, group)
+    err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.02, err
+
+
+def test_quantize_params_int4_vocab_fallback():
+    """Dream's 151936-vocab head is not a multiple of the kernel's
+    512-column block: quantize_params(bits=4) must fall back to int8 for
+    that kernel while 512-multiple kernels go int4."""
+    import numpy as np
+    from lavida_mod_tpu.models.llada import quantize_params
+
+    rng = np.random.default_rng(0)
+    params = {"blocks": [{
+        "a": {"kernel": jnp.asarray(
+            rng.standard_normal((256, 512)), jnp.float32)},
+        "odd_head": {"kernel": jnp.asarray(
+            rng.standard_normal((256, 384)), jnp.float32)},
+    }]}
+    q = quantize_params(params, bits=4)
+    blk = q["blocks"][0]
+    assert "kernel_p4" in blk["a"] and "scales4" in blk["a"]
+    assert "kernel_q" in blk["odd_head"] and "scale" in blk["odd_head"]
