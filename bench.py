@@ -167,7 +167,7 @@ def main():
     # vision->merge->splice->prefill->denoise chain (the eager
     # merge/splice ops each cost a tunnel round-trip; the gather-plan
     # twin is equivalence-tested, models/multimodal.py::build_gather_plan)
-    if B == 1 and not args.dream and args.dllm is None:
+    if B == 1 and args.dllm is None:
         import functools as _ft
 
         gather_idx, text_ids_p, valid, _ = multimodal.build_gather_plan(
@@ -185,6 +185,14 @@ def main():
         def serve_fused(params, views, key, flash):
             prefix = multimodal.multimodal_embeds(
                 params, cfg, views, text_ids_p, gather_idx)
+            if args.dream:
+                dgen = DreamGenerationConfig(
+                    max_new_tokens=args.gen_len, steps=args.steps,
+                    alg="topk_margin", prefix_lm=True,  # run_dream.sh:13
+                )
+                return dream_generate(
+                    params["llada"], lm_cfg, prefix, dgen, key=key,
+                    use_flash_prefill=flash)
             x = jnp.full((1, args.gen_len), mask_id, jnp.int32)
             return diffusion._generate_cached_fused_body(
                 params["llada"], lm_cfg, x, prefix, k_table, block_end,
@@ -240,7 +248,7 @@ def main():
         # checksum (CLAUDE.md timing protocol)
         return int(jnp.sum(out))
 
-    if not (B == 1 and not args.dream and args.dllm is None):
+    if not (B == 1 and args.dllm is None):
         one_batch = one_batch_multi
 
     # warmup / compile

@@ -121,13 +121,23 @@ class LavidaEvalModel:
         )
         input_ids, views, sizes, model = self._build_inputs(text, images)
         t0 = time.perf_counter()
-        out = model.generate(
-            input_ids, views, sizes, gen,
-            prefix_bucket=(
-                self.prefix_bucket
-                if not isinstance(gen, DreamGenerationConfig) else None
-            ),
-        )
+        if not isinstance(gen, DreamGenerationConfig) and gen.prefix_lm:
+            # single-dispatch serving path (vision+splice+prefill+denoise
+            # in one executable; eager merge/splice each cost a device
+            # round-trip — measured ~45ms/image on the v5e tunnel);
+            # token-exact vs generate() (tests/test_bucketing.py)
+            out = model.generate_fused(
+                input_ids, views, sizes, gen,
+                prefix_bucket=self.prefix_bucket,
+            )
+        else:
+            out = model.generate(
+                input_ids, views, sizes, gen,
+                prefix_bucket=(
+                    self.prefix_bucket
+                    if not isinstance(gen, DreamGenerationConfig) else None
+                ),
+            )
         dt = time.perf_counter() - t0
         self.latencies.append(dt)
         from ..data.conversation import get_conv_template

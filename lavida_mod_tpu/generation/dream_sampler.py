@@ -130,7 +130,7 @@ def build_dream_schedule(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "gen_length", "alg", "alg_temp", "temperature",
-                     "top_p", "top_k", "use_flash"),
+                     "top_p", "top_k", "use_flash", "use_flash_prefill"),
 )
 def _dream_fused(
     params,
@@ -146,14 +146,17 @@ def _dream_fused(
     top_p: Optional[float],
     top_k: Optional[int],
     use_flash: bool,
+    use_flash_prefill: bool = False,
 ):
     B, P, D = prefix_embeds.shape
     G = gen_length
     mask_id = cfg.mask_token_id
 
+    # flash for the compute-bound prefill only; the cached decode keeps
+    # the dense/write-index path like the LLaDA sampler (diffusion.py)
     logits_last, cache = llada_model.forward(
         params, cfg, prefix_embeds, use_cache=True,
-        last_logits_only=True, use_flash=use_flash,
+        last_logits_only=True, use_flash=use_flash or use_flash_prefill,
     )
     first = jnp.argmax(logits_last[:, -1], axis=-1).astype(jnp.int32)  # [B]
     x = jnp.full((B, G), mask_id, jnp.int32)
@@ -211,6 +214,7 @@ def dream_generate(
     *,
     key: Optional[jax.Array] = None,
     use_flash: bool = False,
+    use_flash_prefill: bool = False,
 ):
     """Generate via the Dream sampler. Returns [B, max_new_tokens] ids."""
     assert gen.prefix_lm, "Dream non-cached path: use prefix_lm=True (the "\
@@ -229,4 +233,5 @@ def dream_generate(
         jnp.asarray(ks, jnp.int32), jnp.asarray(p_transfer), key, G,
         alg=gen.alg, alg_temp=gen.alg_temp, temperature=gen.temperature,
         top_p=gen.top_p, top_k=gen.top_k, use_flash=use_flash,
+        use_flash_prefill=use_flash_prefill,
     )

@@ -87,7 +87,8 @@ def convert_lavida_state_dict(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "gen_length", "temperature", "remasking"),
+    static_argnames=("cfg", "gen_length", "temperature", "remasking",
+                     "use_flash_prefill"),
 )
 def _fused_predict(
     params,
@@ -101,6 +102,8 @@ def _fused_predict(
     gen_length: int,
     temperature: float,
     remasking: str,
+    prefix_valid: Optional[jax.Array] = None,
+    use_flash_prefill: bool = False,
 ):
     from ..generation.diffusion import _generate_cached_fused_body
     from . import multimodal as mm
@@ -111,7 +114,8 @@ def _fused_predict(
     x = jnp.full((1, gen_length), cfg.llada.mask_token_id, jnp.int32)
     return _generate_cached_fused_body(
         params["llada"], cfg.llada, x, prefix, k_table, block_end,
-        None, key, temperature, remasking, False,
+        prefix_valid, key, temperature, remasking, False,
+        use_flash_prefill=use_flash_prefill,
     )
 
 
@@ -256,10 +260,16 @@ class LaViDa:
         image_sizes: Sequence[tuple[int, int]] = (),
         gen: Optional[GenerationConfig] = None,
         key: Optional[jax.Array] = None,
+        prefix_bucket: Optional[int] = None,
+        use_flash_prefill: bool = False,
     ) -> np.ndarray:
         """Single-executable inference: vision encode + gather-splice +
         prefill + denoise scan all in one dispatch (the serving hot path —
-        eliminates per-executable transport/dispatch overhead)."""
+        eliminates per-executable transport/dispatch overhead).
+
+        prefix_bucket: front-pad the splice plan to a multiple of this
+        length (masked via prefix_valid) so varying prompt lengths reuse
+        O(1) compiled executables — same contract as generate()."""
         import jax.numpy as jnp
 
         from ..generation.diffusion import build_control_table
@@ -272,6 +282,16 @@ class LaViDa:
             self.cfg, [np.asarray(input_ids)], n_views,
             [list(image_sizes)],
         )
+        prefix_valid = None
+        if prefix_bucket:
+            P = gather_idx.shape[1]
+            Pb = -(-P // prefix_bucket) * prefix_bucket
+            if Pb > P:
+                gather_idx, text_ids, valid, _ = mm.build_gather_plan(
+                    self.cfg, [np.asarray(input_ids)], n_views,
+                    [list(image_sizes)], pad_to=Pb, pad_front=True,
+                )
+                prefix_valid = jnp.asarray(valid)
         G = gen.max_new_tokens
         x0 = np.full((1, G), self.cfg.llada.mask_token_id, np.int64)
         k_table, block_end = build_control_table(
@@ -290,7 +310,8 @@ class LaViDa:
             jnp.asarray(block_end),
             key if key is not None else jax.random.PRNGKey(0),
             gen_length=G, temperature=gen.temperature,
-            remasking=gen.remasking,
+            remasking=gen.remasking, prefix_valid=prefix_valid,
+            use_flash_prefill=use_flash_prefill,
         )
         return np.asarray(out)[0]
 

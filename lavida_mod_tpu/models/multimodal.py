@@ -245,6 +245,7 @@ def build_gather_plan(
     batch_image_sizes: Sequence[Sequence[tuple[int, int]]],
     batch_labels: Optional[Sequence[np.ndarray]] = None,
     pad_to: Optional[int] = None,
+    pad_front: bool = False,
 ):
     """Host-side splice planning for the jitted multimodal path.
 
@@ -316,10 +317,20 @@ def build_gather_plan(
     )
     for b, r in enumerate(rows):
         n = min(len(r), T)
-        gather_idx[b, :n] = r[:n]
-        valid[b, :n] = True
-        if out_labels is not None:
-            out_labels[b, :n] = row_labels[b][:n]
+        if pad_front:
+            # serving/bucketing convention: pad at the FRONT so the gen
+            # region stays position-contiguous with the real prefix tail
+            # (matches LaViDa.generate's prefix_bucket padding; pad
+            # positions are masked out via `valid`)
+            gather_idx[b, T - n:] = r[:n]
+            valid[b, T - n:] = True
+            if out_labels is not None:
+                out_labels[b, T - n:] = row_labels[b][:n]
+        else:
+            gather_idx[b, :n] = r[:n]
+            valid[b, :n] = True
+            if out_labels is not None:
+                out_labels[b, :n] = row_labels[b][:n]
     return gather_idx, text_ids, valid, out_labels
 
 

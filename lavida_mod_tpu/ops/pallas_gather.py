@@ -126,7 +126,11 @@ def gather_rows_auto(table: jax.Array, idx: jax.Array) -> jax.Array:
     if (
         jax.default_backend() == "tpu"
         and table.ndim == 2
-        and table.shape[1] % 128 == 0
+        # the kernel views a row as [D//128, 128]; Mosaic's VMEM slice
+        # needs the sublane dim (D//128) to be a multiple of 8 too —
+        # 4096 (LLaDA) qualifies, 3584 (Dream/Qwen2) does not (measured:
+        # tpu_compile_helper crash on the memref_slice)
+        and table.shape[1] % 1024 == 0
         and idx.ndim == 1
     ):
         return gather_rows_ad(table, idx)

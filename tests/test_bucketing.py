@@ -103,3 +103,29 @@ def test_generate_fused_matches_generate(model):
     a = model.generate(ids, [views], [(100, 60)], gen)
     b = model.generate_fused(ids, [views], [(100, 60)], gen)
     np.testing.assert_array_equal(a, b)
+
+
+def test_generate_fused_bucketed_matches(model):
+    """Front-padded fused plan (prefix_bucket) == unpadded fused ==
+    generate(prefix_bucket): the pad rows are masked via prefix_valid so
+    the splice-level bucketing is semantics-free, and two prompt lengths
+    in the same bucket share one compiled executable."""
+    from lavida_mod_tpu.data.anyres import anyres_grid_shape
+
+    rng = np.random.default_rng(2)
+    nw, nh = anyres_grid_shape(
+        (100, 60), model.cfg.vision.grid_pinpoints, 56
+    )
+    views = rng.standard_normal((1 + nw * nh, 3, 56, 56)).astype(np.float32)
+    gen = GenerationConfig(max_new_tokens=16, block_length=8,
+                           prefix_lm=True, schedule="shift",
+                           schedule_shift=0.33)
+    for ids in (np.array([5, 6, -200, 7, 8, 9]),
+                np.array([5, 6, -200, 7, 8, 9, 10, 11, 12])):
+        plain = model.generate_fused(ids, [views], [(100, 60)], gen)
+        bucketed = model.generate_fused(
+            ids, [views], [(100, 60)], gen, prefix_bucket=64)
+        np.testing.assert_array_equal(plain, bucketed)
+        unfused = model.generate(ids, [views], [(100, 60)], gen,
+                                 prefix_bucket=64)
+        np.testing.assert_array_equal(unfused, bucketed)
