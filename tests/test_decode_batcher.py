@@ -43,7 +43,7 @@ def _submit_concurrent(batcher, reqs):
 
 def test_concurrent_requests_merge():
     ev = FakeEval()
-    b = DecodeBatcher(ev, max_batch=4, window_ms=50)
+    b = DecodeBatcher(ev, max_batch=4, window_ms=300)
     kw = {"max_new_tokens": 8}
     res = _submit_concurrent(b, [(f"q{i}", kw) for i in range(4)])
     assert sorted(res) == [f"batch:q{i}" for i in range(4)]
@@ -53,7 +53,7 @@ def test_concurrent_requests_merge():
 
 def test_mismatched_kwargs_split_groups():
     ev = FakeEval()
-    b = DecodeBatcher(ev, max_batch=4, window_ms=50)
+    b = DecodeBatcher(ev, max_batch=4, window_ms=300)
     res = _submit_concurrent(b, [
         ("a", {"max_new_tokens": 8}),
         ("b", {"max_new_tokens": 8}),
@@ -88,7 +88,7 @@ def test_error_propagates():
 
 def test_worker_routes_through_batcher():
     ev = FakeEval()
-    w = ModelWorker(ev, "m", decode_batch=4, batch_window_ms=30)
+    w = ModelWorker(ev, "m", decode_batch=4, batch_window_ms=300)
     out = [None, None]
 
     def call(i):
