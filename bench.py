@@ -22,6 +22,8 @@ import numpy as np
 
 BASELINE_S = 1.32        # A100 LaViDa-LLaDA s/image, len 32, 16 steps
 BASELINE_DREAM_S = 1.13  # A100 LaViDa-Dream (README.md:62-68)
+# cache-off protocol rows (README.md:87-93): 50% NFE 3.57s, 100% 6.65s
+BASELINE_NOCACHE = {0.5: 3.57, 1.0: 6.65}
 
 
 def main():
@@ -58,6 +60,11 @@ def main():
                     help="generation length (headline protocol: 32)")
     ap.add_argument("--steps", type=int, default=16,
                     help="denoising steps (headline protocol: 16)")
+    ap.add_argument("--no-cache", action="store_true",
+                    help="prefix KV cache OFF (full-sequence recompute "
+                         "per denoise step) — the reference's cache-off "
+                         "protocol rows (BASELINE.md: 6.65s at 100%% NFE, "
+                         "3.57s at 50%%)")
     ap.add_argument("--dllm", type=int, default=None,
                     help="dLLM-cache partial recompute size (tokens "
                          "re-forwarded per step; cached K/V + logits for "
@@ -158,7 +165,7 @@ def main():
     gen = GenerationConfig(
         max_new_tokens=args.gen_len, block_length=args.gen_len,
         steps=None, step_per_block=args.steps,
-        prefix_lm=True, remasking="low_confidence",
+        prefix_lm=not args.no_cache, remasking="low_confidence",
     )
 
     B = args.batch
@@ -167,7 +174,7 @@ def main():
     # vision->merge->splice->prefill->denoise chain (the eager
     # merge/splice ops each cost a tunnel round-trip; the gather-plan
     # twin is equivalence-tested, models/multimodal.py::build_gather_plan)
-    if B == 1 and args.dllm is None:
+    if B == 1 and args.dllm is None and not args.no_cache:
         import functools as _ft
 
         gather_idx, text_ids_p, valid, _ = multimodal.build_gather_plan(
@@ -248,7 +255,7 @@ def main():
         # checksum (CLAUDE.md timing protocol)
         return int(jnp.sum(out))
 
-    if not (B == 1 and args.dllm is None):
+    if not (B == 1 and args.dllm is None and not args.no_cache):
         one_batch = one_batch_multi
 
     # warmup / compile
@@ -267,13 +274,16 @@ def main():
             (f"s_per_image_{tag}_hd" if B == 1
              else f"s_per_image_{tag}_hd_batch{B}")
             + ("_w4a8" if args.int4 else "_int8")
+            + ("_nocache" if args.no_cache else "")
             + ("_dream" if args.dream else "")
             + (f"_dllm{args.dllm}" if args.dllm else "")
         ),
         "value": round(s_per_image, 4),
         "unit": "s",
         "vs_baseline": round(
-            (BASELINE_DREAM_S if args.dream else BASELINE_S)
+            (BASELINE_NOCACHE.get(args.steps / args.gen_len, 3.57)
+             if args.no_cache
+             else BASELINE_DREAM_S if args.dream else BASELINE_S)
             / s_per_image, 3),
     }))
 
