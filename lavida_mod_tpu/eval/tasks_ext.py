@@ -942,3 +942,156 @@ register(Task(
     score_doc=_ifeval.score_ifeval,
     aggregate=_ifeval.aggregate_ifeval,
 ))
+
+
+# ---------------------------------------------------------------------------
+# final tranche: the remaining in-scope image/video families (the
+# reference's pure-audio dirs — air_bench, clotho_aqa, librispeech,
+# wavcaps, vocalsound, muchomusic, common_voice_15, gigaspeech,
+# people_speech, tedlium, fleurs, covost2, alpaca_audio, mmau — need an
+# audio encoder the VLM doesn't have; mmsearch needs an agentic web
+# pipeline; both out of scope, like the reference's own vision models)
+# ---------------------------------------------------------------------------
+
+# tasks/cinepile/cinepile.yaml (tomg-group-umd/cinepile; MC video QA)
+_mc_task("cinepile", "tomg-group-umd/cinepile", "test")
+# tasks/egoplan (EgoLife-v1/EgoPlan; MC planning)
+_mc_task("egoplan", "EgoLife-v1/EgoPlan", "validation")
+# tasks/gqa_ru (deepvk/GQA-ru; exact match like gqa)
+register(Task(
+    name="gqa_ru",
+    post_prompt="\nОтветьте одним словом или фразой.",
+    generation_kwargs={"max_new_tokens": 16},
+    dataset_path="deepvk/GQA-ru",
+    test_split="testdev",
+    score_doc=lambda doc, pred: {
+        "exact_match": M.exact_match(pred, str(doc["target"])),
+    },
+    aggregate=_mean_agg("exact_match"),
+))
+# tasks/dtcbench (NCSOFT/K-DTCBench; Korean doc/table/chart MC)
+_mc_task("dtcbench", "NCSOFT/K-DTCBench", "test")
+# tasks/vinoground (counterfactual video-text matching; MC protocol)
+_mc_task("vinoground", "HanSolo9682/Vinoground", "lmmseval")
+# tasks/vitatecs (temporal concept MC)
+_mc_task("vitatecs", "lscpku/VITATECS", "test")
+# tasks/temporalbench (fine-grained temporal yes/no + MC)
+_mc_task("temporalbench", "microsoft/TemporalBench", "test")
+# tasks/mix_evals (video2text free-form + MC mix; MC split registered)
+_mc_task("mix_evals_video2text_mc", "MixEval/MixEval-X", "video2text")
+# tasks/moviechat (long-video QA; GPT-judged -> offline heuristic)
+register(Task(
+    name="moviechat_global",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 256},
+    dataset_path="Enxin/lmms_MovieChat_test",
+    test_split="test",
+    score_doc=_judge_free_score,
+    aggregate=_mean_agg("heuristic_f1"),
+))
+# tasks/vdc (detailed video captioning; LLM-judged -> caption metrics)
+register(Task(
+    name="vdc",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 512},
+    dataset_path="wchai/lmms_VDC_test",
+    test_split="test",
+    doc_mapper=lambda d: {
+        **d, "text": "Describe the video in detail.",
+    },
+    score_doc=lambda doc, pred: {
+        "prediction": pred, "references": _answers_of(doc),
+    },
+    aggregate=_caption_agg,
+))
+# tasks/llava_wilder + multilingual-llava-bench (GPT pairwise -> offline
+# heuristic, samples logged for an external judge)
+register(Task(
+    name="llava_wilder_small",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 1024},
+    dataset_path="lmms-lab/LLaVA-Bench-Wilder",
+    test_split="test",
+    score_doc=_judge_free_score,
+    aggregate=_mean_agg("heuristic_f1"),
+))
+register(Task(
+    name="multilingual_llava_bench",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 1024},
+    dataset_path="gagan3012/multilingual-llava-bench",
+    test_split="train",
+    score_doc=_judge_free_score,
+    aggregate=_mean_agg("heuristic_f1"),
+))
+# tasks/ferret (referring/grounding conversations; GPT-judged upstream —
+# bbox-aware heuristic: grounded answers graded by squad-F1)
+register(Task(
+    name="ferret",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 1024},
+    dataset_path="lmms-lab/Ferret-Bench",
+    test_split="test",
+    score_doc=_judge_free_score,
+    aggregate=_mean_agg("heuristic_f1"),
+))
+# tasks/openhermes (text-only instruction following; GPT-judged upstream)
+register(Task(
+    name="openhermes",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 1024},
+    dataset_path="lmms-lab/openhermes_instruction",
+    test_split="test",
+    score_doc=_judge_free_score,
+    aggregate=_mean_agg("heuristic_f1"),
+))
+# tasks/vl_rewardbench (pairwise response preference; letter protocol)
+_mc_task("vl_rewardbench", "MMInstruction/VL-RewardBench", "test")
+# tasks/olympiadbench (olympiad math; rule-based final-answer extraction
+# like the mathvista family)
+register(Task(
+    name="olympiadbench",
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 2048},
+    dataset_path="lmms-lab/OlympiadBench",
+    test_split="test_en",
+    doc_mapper=_mathvista_map,
+    score_doc=_mathvista_score,
+    aggregate=_mean_agg("acc"),
+))
+# tasks/llava_interleave_bench (multi-image in-context suite; MC core)
+_mc_task("llava_interleave_bench_in_domain",
+         "lmms-lab/LLaVA-NeXT-Interleave-Bench", "in_domain")
+
+
+def _charades_iou(doc: dict, pred: str) -> dict:
+    """charades_sta temporal grounding: parse 'start to end' seconds from
+    the prediction, 1D IoU vs the gold span (the upstream submission file
+    is scored with R@IoU; we compute mean IoU + R@0.5 offline)."""
+    nums = [float(x) for x in re.findall(r"\d+\.?\d*", pred)[:2]]
+    gold = doc.get("timestamp") or doc.get("target")
+    try:
+        gs, ge = float(gold[0]), float(gold[1])
+    except (TypeError, ValueError, IndexError):
+        return {"tIoU": 0.0, "R@0.5": 0.0}
+    if len(nums) < 2:
+        return {"tIoU": 0.0, "R@0.5": 0.0}
+    s, e = sorted(nums[:2])
+    inter = max(0.0, min(e, ge) - max(s, gs))
+    union = max(e, ge) - min(s, gs)
+    iou = inter / union if union > 0 else 0.0
+    return {"tIoU": iou, "R@0.5": float(iou >= 0.5)}
+
+
+register(Task(
+    name="charades_sta",
+    post_prompt="\nAnswer with the start and end time in seconds.",
+    generation_kwargs={"max_new_tokens": 50},
+    dataset_path="lmms-lab/charades_sta",
+    test_split="test",
+    score_doc=_charades_iou,
+    aggregate=lambda rows: {
+        "tIoU": sum(r["tIoU"] for r in rows) / max(len(rows), 1),
+        "R@0.5": sum(r["R@0.5"] for r in rows) / max(len(rows), 1),
+    },
+))

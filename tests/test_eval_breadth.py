@@ -322,3 +322,25 @@ def test_ifeval_strict_vs_loose():
                          "kwargs": [{}], "id": 0})
     assert doc2["text"] == "Write in lowercase."
     assert t.score_doc(doc2, "fine.")["prompt_level_strict_acc"] == 1.0
+
+
+def test_final_tranche_registered():
+    for name in ("cinepile", "egoplan", "gqa_ru", "dtcbench", "vinoground",
+                 "vitatecs", "temporalbench", "mix_evals_video2text_mc",
+                 "moviechat_global", "vdc", "llava_wilder_small",
+                 "multilingual_llava_bench", "ferret", "openhermes",
+                 "vl_rewardbench", "olympiadbench",
+                 "llava_interleave_bench_in_domain", "charades_sta"):
+        assert name in list_tasks(), name
+    assert len(list_tasks()) >= 110
+
+
+def test_charades_temporal_iou():
+    t = get_task("charades_sta")
+    r = t.score_doc({"timestamp": [2.0, 8.0], "id": 0},
+                    "The action happens from 4 to 8 seconds.")
+    assert abs(r["tIoU"] - 4 / 6) < 1e-9 and r["R@0.5"] == 1.0
+    assert t.score_doc({"timestamp": [2.0, 8.0], "id": 0},
+                       "around 20 to 30")["tIoU"] == 0.0
+    agg = t.aggregate([r, {"tIoU": 0.0, "R@0.5": 0.0}])
+    assert abs(agg["tIoU"] - 1 / 3) < 1e-9 and agg["R@0.5"] == 0.5
