@@ -80,8 +80,16 @@ def sample_tokens(
         x0 = jnp.argmax(logits, axis=-1)
         confidence = jnp.max(probs, axis=-1)
     if margin_confidence:
-        top2 = jax.lax.top_k(probs, 2)[0]
-        confidence = top2[..., 0] - top2[..., 1]
+        # top-2 margin without lax.top_k: a k=2 top_k over Dream's 152k
+        # vocab lowers to an expensive sort per step; two O(V) max passes
+        # (mask exactly ONE argmax instance, like torch.topk) are
+        # equivalent and measured materially faster on v5e
+        i1 = jnp.argmax(probs, axis=-1)
+        m1 = jnp.take_along_axis(probs, i1[..., None], axis=-1)[..., 0]
+        masked = probs - jax.nn.one_hot(
+            i1, probs.shape[-1], dtype=probs.dtype) * 2.0
+        m2 = jnp.max(masked, axis=-1)
+        confidence = m1 - m2
     if neg_entropy:
         confidence = jnp.sum(probs * jnp.log(probs + 1e-10), axis=-1)
     return confidence, x0
