@@ -53,9 +53,17 @@ def remasking_confidence(
         logp = jnp.log(p + 1e-10)
         return jnp.sum(p * logp, axis=-1)  # negative entropy
     if remasking == "margin":
+        # top-2 margin without lax.top_k (a k=2 top_k over the 126k
+        # vocab lowers to a per-step sort; two O(V) max passes with
+        # exactly one argmax instance masked match torch.topk — same
+        # rewrite as the Dream sampler, dream_sampler.py::sample_tokens)
         p = jax.nn.softmax(logits, axis=-1)
-        top2 = jax.lax.top_k(p, 2)[0]
-        return top2[..., 0] - top2[..., 1]
+        i1 = jnp.argmax(p, axis=-1)
+        m1 = jnp.take_along_axis(p, i1[..., None], axis=-1)[..., 0]
+        m2 = jnp.max(
+            p - jax.nn.one_hot(i1, p.shape[-1], dtype=p.dtype) * 2.0,
+            axis=-1)
+        return m1 - m2
     raise NotImplementedError(remasking)
 
 
