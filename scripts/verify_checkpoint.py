@@ -40,6 +40,14 @@ def main() -> int:
                     help="max |logit delta| tolerance (bf16 8B band)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (parity, not speed)")
+    ap.add_argument("--quant-check", action="store_true",
+                    help="also gate the W4A8 serving layout: quantize the "
+                         "loaded weights to grouped int4 and compare "
+                         "logits + greedy tokens vs the f32 forward")
+    ap.add_argument("--quant-rtol", type=float, default=0.03,
+                    help="max relative logit error for the W4A8 gate")
+    ap.add_argument("--quant-agree", type=float, default=0.95,
+                    help="min greedy-token agreement for the W4A8 gate")
     args = ap.parse_args()
 
     import jax
@@ -115,6 +123,24 @@ def main() -> int:
           f"mean|Δ| = {delta.mean():.6f}   argmax agreement = {agree:.3f}")
     ok = delta.max() <= args.atol and agree == 1.0
     print("[verify] PASS" if ok else "[verify] FAIL")
+
+    if args.quant_check and ok:
+        # W4A8 serving-layout quality gate on the REAL weights: logit
+        # error + greedy-token agreement vs the f32 reference forward
+        # (this is the per-checkpoint gate the bench default's ~1%
+        # rel-err claim defers to)
+        qparams = jl.quantize_params(jl.unstack_blocks(params), bits=4)
+        qlogits, _ = jl.forward(
+            qparams, lcfg, jl.embed_tokens(qparams, jnp.asarray(ids)))
+        qlogits = np.asarray(qlogits, np.float32)
+        rel = np.abs(qlogits - logits).max() / (np.abs(logits).max() + 1e-9)
+        qagree = (qlogits.argmax(-1) == top_ours).mean()
+        print(f"[verify:w4a8] rel|Δlogit| = {rel:.4f}   "
+              f"greedy-token agreement = {qagree:.3f}")
+        q_ok = rel <= args.quant_rtol and qagree >= args.quant_agree
+        print("[verify:w4a8] PASS" if q_ok else
+              "[verify:w4a8] FAIL — serve with --int8 for this checkpoint")
+        ok = ok and q_ok
     return 0 if ok else 1
 
 
