@@ -24,6 +24,7 @@ BASELINE_S = 1.32        # A100 LaViDa-LLaDA s/image, len 32, 16 steps
 BASELINE_DREAM_S = 1.13  # A100 LaViDa-Dream (README.md:62-68)
 # cache-off protocol rows (README.md:87-93): 50% NFE 3.57s, 100% 6.65s
 BASELINE_NOCACHE = {0.5: 3.57, 1.0: 6.65}
+BASELINE_AR_S = 1.67    # LLaVA-1.6-7B AR COCO row (README.md:93)
 
 
 def main():
@@ -53,6 +54,11 @@ def main():
                     help="LaViDa-Dream family (7B Qwen2 geometry, "
                          "topk_margin sampler per run_dream.sh) instead "
                          "of LaViDa-LLaDA; reference baseline 1.13 s/image")
+    ap.add_argument("--ar", action="store_true",
+                    help="autoregressive LLaVA-1.6-7B-geometry baseline "
+                         "(vicuna-7b causal LM, 32-token cached decode) — "
+                         "the reference's AR comparison row (COCO table: "
+                         "1.67 s/image, README.md:93)")
     ap.add_argument("--no-flash-prefill", action="store_true",
                     help="disable the 128-bucketed Pallas flash prefill "
                          "(falls back to dense prefill attention)")
@@ -81,6 +87,17 @@ def main():
     from lavida_mod_tpu.models.lavida import LaViDa
 
     cfg = LaViDaConfig()
+    if args.ar:
+        from lavida_mod_tpu.config import LLaDAConfig
+        from lavida_mod_tpu.generation.ar_sampler import ar_generate_fused
+
+        # vicuna-7b geometry (the LLaVA-1.6-7B backbone)
+        vicuna = LLaDAConfig(
+            vocab_size=32000, d_model=4096, n_layers=32, n_heads=32,
+            n_kv_heads=32, mlp_hidden_size=11008, block_type="llama",
+            activation="silu", max_sequence_length=4096,
+        )
+        cfg = LaViDaConfig(llada=vicuna)
     if args.dream:
         from lavida_mod_tpu.config import DreamGenerationConfig
         from lavida_mod_tpu.generation.dream_sampler import dream_generate
@@ -174,7 +191,8 @@ def main():
     # vision->merge->splice->prefill->denoise chain (the eager
     # merge/splice ops each cost a tunnel round-trip; the gather-plan
     # twin is equivalence-tested, models/multimodal.py::build_gather_plan)
-    if B == 1 and args.dllm is None and not args.no_cache:
+    if (B == 1 and args.dllm is None and not args.no_cache
+            and not args.ar):
         import functools as _ft
 
         gather_idx, text_ids_p, valid, _ = multimodal.build_gather_plan(
@@ -231,7 +249,11 @@ def main():
                 [feats.reshape(B, 5 * feats.shape[1], D),
                  jnp.zeros((B, len(ids), D), jnp.bfloat16)], axis=1
             )
-        if args.dream:
+        if args.ar:
+            out = ar_generate_fused(
+                params["llada"], lm_cfg, prefix,
+                jax.random.PRNGKey(i), max_new_tokens=args.gen_len)
+        elif args.dream:
             dgen = DreamGenerationConfig(
                 max_new_tokens=args.gen_len, steps=args.steps,
                 alg="topk_margin", prefix_lm=True,  # run_dream.sh:13
@@ -255,7 +277,8 @@ def main():
         # checksum (CLAUDE.md timing protocol)
         return int(jnp.sum(out))
 
-    if not (B == 1 and args.dllm is None and not args.no_cache):
+    if not (B == 1 and args.dllm is None and not args.no_cache
+            and not args.ar):
         one_batch = one_batch_multi
 
     # warmup / compile
@@ -276,6 +299,7 @@ def main():
             + ("_w4a8" if args.int4 else "_int8")
             + ("_nocache" if args.no_cache else "")
             + ("_dream" if args.dream else "")
+            + ("_ar" if args.ar else "")
             + (f"_dllm{args.dllm}" if args.dllm else "")
         ),
         "value": round(s_per_image, 4),
@@ -283,6 +307,7 @@ def main():
         "vs_baseline": round(
             (BASELINE_NOCACHE.get(args.steps / args.gen_len, 3.57)
              if args.no_cache
+             else BASELINE_AR_S if args.ar
              else BASELINE_DREAM_S if args.dream else BASELINE_S)
             / s_per_image, 3),
     }))

@@ -45,11 +45,20 @@ def ar_generate_fused(
         params, cfg, prefix_embeds, causal=True, use_cache=True,
         last_logits_only=True,
     )
-    pad_width = ((0, 0), (0, 0), (0, G), (0, 0), (0, 0))
-    cache = {
-        "k": jnp.pad(cache["k"], pad_width),
-        "v": jnp.pad(cache["v"], pad_width),
-    }
+    if isinstance(params["blocks"], (list, tuple)):
+        # unrolled serving layout: forward returns (and expects) a
+        # per-layer list cache on the write-index decode path
+        pw = ((0, 0), (0, G), (0, 0), (0, 0))
+        cache = [
+            (jnp.pad(cache["k"][li], pw), jnp.pad(cache["v"][li], pw))
+            for li in range(cache["k"].shape[0])
+        ]
+    else:
+        pad_width = ((0, 0), (0, 0), (0, G), (0, 0), (0, 0))
+        cache = {
+            "k": jnp.pad(cache["k"], pad_width),
+            "v": jnp.pad(cache["v"], pad_width),
+        }
 
     def sample(logits, k):
         logits = logits.astype(jnp.float32)

@@ -85,3 +85,25 @@ def test_ar_temperature_sampling_runs(tiny):
     )
     assert out.shape == (1, 8)
     assert int(out.max()) < cfg.vocab_size
+
+
+def test_ar_fused_unrolled_params_match():
+    """The unrolled (serving) layout's list cache must produce the same
+    tokens as the stacked layout through ar_generate_fused."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lavida_mod_tpu.config import tiny_llada_config
+    from lavida_mod_tpu.generation.ar_sampler import ar_generate_fused
+    from lavida_mod_tpu.models import llada as jl
+
+    cfg = tiny_llada_config().replace(block_type="llama")
+    params = jl.init_params(cfg, jax.random.PRNGKey(3))
+    prefix = jl.embed_tokens(params, jnp.arange(5, 13)[None])
+    a = np.asarray(ar_generate_fused(
+        params, cfg, prefix, jax.random.PRNGKey(0), max_new_tokens=12))
+    params_u = jl.unstack_blocks(params)
+    b = np.asarray(ar_generate_fused(
+        params_u, cfg, prefix, jax.random.PRNGKey(0), max_new_tokens=12))
+    np.testing.assert_array_equal(a, b)
