@@ -262,8 +262,9 @@ def main():
         elif B > 4 and args.dllm is None:
             # the monolithic B=8 prefill graph blows the XLA compile
             # budget; prefill in 4-row chunks (one compile), decode merged
+            chunk = next(c for c in (4, 3, 2, 1) if B % c == 0)
             out = diffusion.generate_chunked_prefill(
-                params["llada"], lm_cfg, prefix, gen, chunk=4,
+                params["llada"], lm_cfg, prefix, gen, chunk=chunk,
                 use_flash_prefill=not args.no_flash_prefill,
             )
         else:

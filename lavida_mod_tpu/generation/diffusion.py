@@ -250,13 +250,10 @@ def _prefill_into(buf, params, cfg, embeds, valid, lo, use_flash):
             b, p.astype(b.dtype), lo, axis=1),
         buf, part)
 
-# cache is donated: the denoise scan pads it to [P+G] once, and at 8B/B=8
-# the prefix cache is ~5GB — holding both copies OOMs the chip
-_denoise_scan_cached_donate = jax.jit(
-    _denoise_scan_cached_body,
-    static_argnames=("cfg", "temperature", "remasking", "use_flash"),
-    donate_argnums=(3,),
-)
+# NOTE on memory at large B: the denoise scan pads the cache to [P+G],
+# which cannot alias the input buffer (shape grows), so donation is a
+# no-op there; the OOM headroom comes from _prefill_into writing chunk
+# caches into ONE merged buffer in place (donated, same-shape).
 
 
 def generate_chunked_prefill(
@@ -309,7 +306,7 @@ def generate_chunked_prefill(
     if k_table.shape[0] == 0:
         return x
     positions = jnp.arange(P, P + G, dtype=jnp.int32)
-    return _denoise_scan_cached_donate(
+    return _denoise_scan_cached(
         params, cfg, x, cache,
         jnp.asarray(k_table), jnp.asarray(block_end), positions,
         prefix_valid, key,
