@@ -68,6 +68,9 @@ def step_cost(G, remasking, n=5):
     return (run(32) - run(16)) / 16
 
 
-for G, rm in ((32, "low_confidence"), (32, "random"), (8, "random")):
+if __name__ == "__main__":
+    G = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    rm = sys.argv[2] if len(sys.argv) > 2 else "low_confidence"
     c = step_cost(G, rm)
-    print(f"G={G:3d} remask={rm:15s} per-step {c*1e3:6.2f} ms", flush=True)
+    print(f"G={G:3d} remask={rm:15s} per-step {c*1e3:6.2f} ms",
+          flush=True)
