@@ -209,18 +209,24 @@ def _levenshtein(a: str, b: str) -> int:
 
 
 def anls(prediction: str, answers: Iterable[str], threshold: float = 0.5) -> float:
-    """Average Normalized Levenshtein Similarity per docvqa protocol."""
-    p = prediction.strip().lower()
-    best = 0.0
+    """ANLS, matched exactly to the reference (api/metrics.py:298-321,
+    itself the Qwen-VL infographicsvqa_eval transcription; cross-checked
+    in tests/test_metrics_vs_reference.py). Reference quirks preserved:
+    internal whitespace collapses before the edit distance, but the
+    normalizer uses the RAW string lengths, and the 0.5 threshold zeroes
+    the FINAL best score (boundary kept at exactly 0.5)."""
+    answers = list(answers)
+    if not answers:
+        return 0.0
+    values = []
+    det = " ".join(prediction.strip().lower().split())
     for a in answers:
-        a = a.strip().lower()
-        if not a and not p:
-            best = max(best, 1.0)
-            continue
-        d = _levenshtein(p, a)
-        nl = d / max(len(p), len(a), 1)
-        best = max(best, 1.0 - nl if nl < threshold else 0.0)
-    return best
+        gt = " ".join(str(a).strip().lower().split())
+        d = _levenshtein(gt, det)
+        length = max(len(str(a)), len(prediction))
+        values.append(0.0 if length == 0 else d / length)
+    result = 1.0 - min(values)
+    return 0.0 if result < threshold else result
 
 
 # ---------------------------------------------------------------------------
@@ -228,15 +234,25 @@ def anls(prediction: str, answers: Iterable[str], threshold: float = 0.5) -> flo
 # ---------------------------------------------------------------------------
 
 def relaxed_accuracy(prediction: str, target: str, tol: float = 0.05) -> float:
-    p = prediction.strip().rstrip("%").strip()
-    t = target.strip().rstrip("%").strip()
-    try:
-        pf, tf = float(p), float(t)
-        if tf == 0.0:
-            return float(pf == 0.0)
+    """Official ChartQA relaxed correctness, matched to the reference
+    exactly (tasks/chartqa/utils.py:25-63, cross-checked in
+    tests/test_metrics_vs_reference.py): trailing '%' DIVIDES by 100
+    ('14%' != '14'), no comma/whitespace normalization, and a zero (or
+    unparseable) TARGET falls through to case-insensitive string
+    equality — quirks included, they shape the published numbers."""
+    def to_float(text: str):
+        try:
+            if text.endswith("%"):
+                return float(text.rstrip("%")) / 100.0
+            return float(text)
+        except ValueError:
+            return None
+
+    pf = to_float(prediction)
+    tf = to_float(target)
+    if pf is not None and tf:
         return float(abs(pf - tf) / abs(tf) <= tol)
-    except ValueError:
-        return float(normalize_answer(prediction) == normalize_answer(target))
+    return float(prediction.lower() == target.lower())
 
 
 # ---------------------------------------------------------------------------

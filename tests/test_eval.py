@@ -53,7 +53,10 @@ def test_anls():
 def test_relaxed_accuracy():
     assert M.relaxed_accuracy("102", "100") == 1.0     # within 5%
     assert M.relaxed_accuracy("110", "100") == 0.0
-    assert M.relaxed_accuracy("42%", "42") == 1.0
+    # official ChartQA semantics (chartqa/utils.py:46-52, cross-checked
+    # against the imported reference): '%' DIVIDES by 100
+    assert M.relaxed_accuracy("42%", "42") == 0.0
+    assert M.relaxed_accuracy("42%", "0.42") == 1.0
     assert M.relaxed_accuracy("blue", "Blue") == 1.0
 
 

@@ -1,0 +1,111 @@
+"""Metric parity vs the ACTUAL reference implementations (imported from
+/root/reference with service deps stubbed):
+
+- chartqa relaxed_correctness  (tasks/chartqa/utils.py:25)
+- EvalAI VQA answer processor   (tasks/_task_utils/vqa_eval_metric.py)
+- ANLS                          (api/metrics.py:298)
+- MME parse_pred_ans            (tasks/mme/utils.py)
+"""
+
+import importlib.util
+import sys
+import types
+
+import pytest
+
+from lavida_mod_tpu.eval import filters as F
+from lavida_mod_tpu.eval import metrics as M
+
+
+def _load(path, name, extra_stubs=()):
+    stubs = {}
+    loguru = types.ModuleType("loguru")
+    loguru.logger = types.SimpleNamespace(
+        info=lambda *a, **k: None, warning=lambda *a, **k: None,
+        error=lambda *a, **k: None, debug=lambda *a, **k: None)
+    stubs["loguru"] = loguru
+    fu = types.ModuleType("lmms_eval.tasks._task_utils.file_utils")
+    fu.generate_submission_file = lambda *a, **k: "/tmp/sub.json"
+    for mn in ("lmms_eval", "lmms_eval.tasks",
+               "lmms_eval.tasks._task_utils"):
+        stubs[mn] = types.ModuleType(mn)
+    stubs["lmms_eval.tasks._task_utils.file_utils"] = fu
+    for mn in extra_stubs:
+        stubs[mn] = types.ModuleType(mn)
+    if "lmms_eval.api.registry" in stubs:
+        reg = stubs["lmms_eval.api.registry"]
+        reg.register_aggregation = lambda *a, **k: (lambda f: f)
+        reg.register_metric = lambda *a, **k: (lambda f: f)
+    saved = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location(name, path)
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        return m
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+REF = "/root/reference/eval/lmms_eval"
+
+
+def test_relaxed_accuracy_matches_chartqa_reference():
+    ref = _load(f"{REF}/tasks/chartqa/utils.py", "ref_chartqa")
+    cases = [
+        ("12", "12"), ("12.0", "12"), ("12.5", "12"), ("12.7", "12"),
+        ("100", "104"), ("100", "106"), ("0.04", "0.0405"),
+        ("yes", "yes"), ("Yes", "yes"), ("yes", "no"),
+        ("14%", "14"), ("14", "14%"), ("-20", "-21"), ("0", "0"),
+        ("1,000", "1000"), ("3.50", "3.5 "),
+    ]
+    for pred, tgt in cases:
+        ours = M.relaxed_accuracy(pred, tgt)
+        theirs = float(ref.relaxed_correctness(pred, tgt))
+        assert ours == theirs, (pred, tgt, ours, theirs)
+
+
+def test_vqa_normalization_matches_evalai_processor():
+    ref = _load(f"{REF}/tasks/_task_utils/vqa_eval_metric.py", "ref_vqa")
+    proc = ref.EvalAIAnswerProcessor()
+    cases = [
+        "it's a cat", "Two.", "ten dogs", "a  lot of   people",
+        "isnt that right", "1,000,000", "semi-colon; test",
+        "don't know", "YES", "an apple", "the answer",
+    ]
+    for s in cases:
+        assert M.vqa_normalize(s) == proc(s), s
+
+
+def test_anls_matches_reference():
+    ref = _load(f"{REF}/api/metrics.py", "ref_metrics",
+                extra_stubs=("sacrebleu", "lmms_eval.api",
+                             "lmms_eval.api.registry"))
+    cases = [
+        (["forty two"], "forty two"),
+        (["forty two", "42"], "fourty two"),
+        (["hello world"], "helo world"),
+        (["abc"], "xyz"),
+        (["  spaced   out "], "spaced out"),
+        ([""], ""),
+        (["long answer here"], "short"),
+    ]
+    for refs, pred in cases:
+        ours = M.anls(pred, refs)
+        theirs = ref.anls(refs, [pred])["anls"]
+        assert abs(ours - theirs) < 1e-9, (refs, pred, ours, theirs)
+
+
+def test_mme_parse_matches_reference():
+    ref = _load(f"{REF}/tasks/mme/utils.py", "ref_mme")
+    cases = [
+        "yes", "Yes.", "no", "NO", "it is yes", "maybe",
+        "Yes, the image shows a cat.", "no it does not", "",
+        "The answer is no.",
+    ]
+    for s in cases:
+        assert F.mme_parse_pred_ans(s) == ref.parse_pred_ans(s), s
