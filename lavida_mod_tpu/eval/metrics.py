@@ -363,10 +363,9 @@ _VQA_PUNCT = [";", r"/", "[", "]", '"', "{", "}", "(", ")", "=", "+",
               "\\", "_", "-", ">", "<", "@", "`", ",", "?", "!"]
 
 
-def vqa_normalize(text: str) -> str:
-    """EvalAI answer normalization (vqa_eval_metric.py:178-211)."""
-    t = text.lower().replace(",", "").replace("?", "").replace("'s", " 's")
-    t = t.strip().replace("\n", " ").replace("\t", " ").strip()
+def _vqa_punct_digit(t: str) -> str:
+    """process_punctuation + process_digit_article
+    (vqa_eval_metric.py:183-208)."""
     out = t
     for p in _VQA_PUNCT:
         if (p + " " in t or " " + p in t) or _VQA_COMMA.search(t):
@@ -382,16 +381,28 @@ def vqa_normalize(text: str) -> str:
     return " ".join(words)
 
 
+def vqa_normalize(text: str) -> str:
+    """EvalAI answer normalization — the processor's full __call__
+    (vqa_eval_metric.py:178-211): word_tokenize, newline strip, then
+    punctuation + digit/article passes.  Cross-checked against the
+    imported reference in tests/test_metrics_vs_reference.py."""
+    t = text.lower().replace(",", "").replace("?", "").replace("'s", " 's")
+    t = t.strip().replace("\n", " ").replace("\t", " ").strip()
+    return _vqa_punct_digit(t)
+
+
 def vqa_accuracy(prediction: str, answers: Sequence[str]) -> float:
-    """Official VQA accuracy: leave-one-annotator-out mean of
-    min(1, matches/3) (vqav2/utils.py:17-47).  Normalization applies only
-    when annotators disagree, matching the reference."""
+    """Official VQA accuracy, matched to vqav2/utils.py:17-47 exactly:
+    the PREDICTION goes through the full EvalAI processor ALWAYS; ground
+    truths are newline-stripped, and only when annotators disagree do
+    gts AND the prediction get the punctuation+digit/article passes;
+    leave-one-annotator-out mean of min(1, matches/3)."""
+    pred = vqa_normalize(prediction)
     answers = [a.replace("\n", " ").replace("\t", " ").strip()
                for a in answers]
-    pred = prediction.replace("\n", " ").replace("\t", " ").strip()
     if len(set(answers)) > 1:
-        answers = [vqa_normalize(a) for a in answers]
-        pred = vqa_normalize(pred)
+        answers = [_vqa_punct_digit(a) for a in answers]
+        pred = _vqa_punct_digit(pred)
     accs = []
     for i in range(len(answers)):
         others = answers[:i] + answers[i + 1:]
@@ -400,16 +411,20 @@ def vqa_accuracy(prediction: str, answers: Sequence[str]) -> float:
 
 
 def pope_aggregate(rows: Sequence[dict]) -> dict:
-    """POPE: accuracy + precision/recall/F1 with 'yes' as positive
-    (reference tasks/pope/utils.py semantics)."""
+    """POPE: accuracy + precision/recall/F1 with 'yes' as positive, and
+    yes_ratio over the GROUND TRUTH labels (dataset balance), matching
+    tasks/pope/utils.py:29-87 exactly (fn counts only explicit 'no'
+    predictions on 'yes' gts, like the reference's elif)."""
     tp = sum(1 for r in rows if r["pred"] == "yes" and r["gt"] == "yes")
     fp = sum(1 for r in rows if r["pred"] == "yes" and r["gt"] == "no")
-    fn = sum(1 for r in rows if r["pred"] != "yes" and r["gt"] == "yes")
+    fn = sum(1 for r in rows if r["pred"] == "no" and r["gt"] == "yes")
     acc = sum(1 for r in rows if r["pred"] == r["gt"]) / max(len(rows), 1)
-    prec = tp / max(tp + fp, 1)
-    rec = tp / max(tp + fn, 1)
-    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
-    yes_ratio = sum(1 for r in rows if r["pred"] == "yes") / max(len(rows), 1)
+    prec = tp / (tp + fp) if tp + fp > 0 else 0
+    rec = tp / (tp + fn) if tp + fn > 0 else 0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0
+    n_gt = sum(1 for r in rows if r["gt"] in ("yes", "no"))
+    yes_ratio = (sum(1 for r in rows if r["gt"] == "yes") / n_gt
+                 if n_gt > 0 else 0)
     return {"accuracy": acc, "precision": prec, "recall": rec, "f1": f1,
             "yes_ratio": yes_ratio}
 

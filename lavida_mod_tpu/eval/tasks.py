@@ -449,9 +449,13 @@ for _name, _path, _split in (
 
 
 def _pope_score(doc: dict, pred: str) -> dict:
+    # reference POPE compares the RAW lowered/stripped prediction string
+    # (pope/utils.py:15-17) — no yes/no extraction; a verbose "Yes, it
+    # is." scores wrong upstream too, and the published numbers flow
+    # through that strictness
     return {
-        "pred": F.mme_parse_pred_ans(pred),
-        "gt": str(doc["target"]).lower().strip().replace(".", ""),
+        "pred": pred.lower().strip(),
+        "gt": str(doc["target"]).lower().strip(),
     }
 
 

@@ -553,8 +553,10 @@ def test_vqa_accuracy_and_new_tasks():
     answers = ["two", "2", "2", "two", "3", "2", "2", "two", "2", "2"]
     assert M.vqa_accuracy("2", answers) == 1.0
     assert M.vqa_accuracy("3", answers) < 0.5
-    # normalization only when annotators disagree
-    assert M.vqa_accuracy("Yes.", ["yes"] * 10) == 0.0  # unanimous: exact
+    # the PREDICTION always passes through the full EvalAI processor
+    # (vqav2/utils.py:20 — cross-checked vs the imported reference in
+    # tests/test_metrics_vs_reference.py)
+    assert M.vqa_accuracy("Yes.", ["yes"] * 10) == 1.0
     assert M.vqa_accuracy("yes", ["yes"] * 10) == 1.0
 
     rows = [{"pred": "yes", "gt": "yes"}, {"pred": "yes", "gt": "no"},

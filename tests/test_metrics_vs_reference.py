@@ -17,7 +17,7 @@ from lavida_mod_tpu.eval import filters as F
 from lavida_mod_tpu.eval import metrics as M
 
 
-def _load(path, name, extra_stubs=()):
+def _load(path, name, extra_stubs=(), extra_modules=None):
     stubs = {}
     loguru = types.ModuleType("loguru")
     loguru.logger = types.SimpleNamespace(
@@ -32,6 +32,7 @@ def _load(path, name, extra_stubs=()):
     stubs["lmms_eval.tasks._task_utils.file_utils"] = fu
     for mn in extra_stubs:
         stubs[mn] = types.ModuleType(mn)
+    stubs.update(extra_modules or {})
     if "lmms_eval.api.registry" in stubs:
         reg = stubs["lmms_eval.api.registry"]
         reg.register_aggregation = lambda *a, **k: (lambda f: f)
@@ -109,3 +110,50 @@ def test_mme_parse_matches_reference():
     ]
     for s in cases:
         assert F.mme_parse_pred_ans(s) == ref.parse_pred_ans(s), s
+
+
+def test_vqav2_accuracy_matches_reference():
+    vem = _load(f"{REF}/tasks/_task_utils/vqa_eval_metric.py",
+                "ref_vem")
+    ref = _load(
+        f"{REF}/tasks/vqav2/utils.py", "ref_vqav2",
+        extra_modules={
+            "lmms_eval.tasks._task_utils.vqa_eval_metric": vem})
+    cases = [
+        ("Yes.", ["yes"] * 10),
+        ("yes", ["yes"] * 10),
+        ("2", ["two", "2", "2", "two", "3", "2", "2", "two", "2", "2"]),
+        ("a cat", ["cat", "the cat", "cat", "cat", "dog", "cat", "cat",
+                   "cat", "cat", "kitten"]),
+        ("don't know", ["dont know", "no idea", "dont know", "dont know",
+                        "unknown", "dont know", "dont know", "dont know",
+                        "dont know", "dont know"]),
+        ("TEN", ["10"] * 10),
+    ]
+    for pred, answers in cases:
+        doc = {"question_id": 0,
+               "answers": [{"answer": a, "answer_id": i}
+                           for i, a in enumerate(answers)]}
+        theirs = ref.vqav2_process_results(doc, [pred])["exact_match"]
+        ours = M.vqa_accuracy(pred, answers)
+        assert abs(ours - theirs) < 1e-9, (pred, ours, theirs)
+
+
+def test_pope_scoring_matches_reference():
+    ref = _load(f"{REF}/tasks/pope/utils.py", "ref_pope")
+    from lavida_mod_tpu.eval.tasks import _pope_score
+
+    preds = ["yes", "Yes.", "no", "Yes, it is.", "NO", "maybe", "yes"]
+    gts = ["yes", "yes", "no", "no", "yes", "no", "no"]
+    ref_rows, our_rows = [], []
+    for qid, (p, g) in enumerate(zip(preds, gts)):
+        r = ref.pope_process_results(
+            {"question_id": qid, "answer": g}, [p])
+        ref_rows.append(r["pope_accuracy"])
+        our_rows.append(_pope_score({"target": g, "id": qid}, p))
+    agg = M.pope_aggregate(our_rows)
+    assert agg["accuracy"] == ref.pope_aggregate_accuracy(ref_rows)
+    assert agg["precision"] == ref.pope_aggregate_precision(ref_rows)
+    assert agg["recall"] == ref.pope_aggregate_recall(ref_rows)
+    assert agg["f1"] == ref.pope_aggregate_f1_score(ref_rows)
+    assert agg["yes_ratio"] == ref.pope_aggregate_yes_ratio(ref_rows)
