@@ -514,3 +514,17 @@ def center_in_bbox(pred, gt) -> float:
         return 0.0
     cx, cy = (pred[0] + pred[2]) / 2, (pred[1] + pred[3]) / 2
     return float(gt[0] <= cx <= gt[2] and gt[1] <= cy <= gt[3])
+
+
+def textvqa_accuracy(prediction: str, answers: Sequence[str]) -> float:
+    """TextVQA accuracy (tasks/textvqa/utils.py:19-39, cross-checked vs
+    the imported reference): like VQA leave-one-out but the FULL EvalAI
+    processor applies to the prediction AND every ground truth
+    unconditionally."""
+    pred = vqa_normalize(prediction)
+    norm = [vqa_normalize(a) for a in answers]
+    accs = []
+    for i in range(len(norm)):
+        others = norm[:i] + norm[i + 1:]
+        accs.append(min(1.0, sum(o == pred for o in others) / 3.0))
+    return sum(accs) / max(len(accs), 1)

@@ -350,14 +350,17 @@ register(Task(
     generation_kwargs={"max_new_tokens": 16},
     dataset_path="lmms-lab/textvqa",
     test_split="validation",
+    # official TextVQA protocol: leave-one-annotator-out accuracy with
+    # the full EvalAI processor on both sides (textvqa/utils.py:19-39,
+    # cross-checked in tests/test_metrics_vs_reference.py)
     score_doc=lambda doc, pred: {
-        "acc": max(
-            M.exact_match(pred, t)
-            for t in (doc["target"] if isinstance(doc["target"], list)
-                      else [doc["target"]])
-        ),
+        "exact_match": M.textvqa_accuracy(
+            pred,
+            [str(t) for t in (doc["target"]
+                              if isinstance(doc["target"], list)
+                              else [doc["target"]])]),
     },
-    aggregate=_mean_agg("acc"),
+    aggregate=_mean_agg("exact_match"),
 ))
 
 register(Task(

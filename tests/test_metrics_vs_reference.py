@@ -157,3 +157,27 @@ def test_pope_scoring_matches_reference():
     assert agg["recall"] == ref.pope_aggregate_recall(ref_rows)
     assert agg["f1"] == ref.pope_aggregate_f1_score(ref_rows)
     assert agg["yes_ratio"] == ref.pope_aggregate_yes_ratio(ref_rows)
+
+
+def test_textvqa_accuracy_matches_reference():
+    vem = _load(f"{REF}/tasks/_task_utils/vqa_eval_metric.py",
+                "ref_vem2")
+    ref = _load(
+        f"{REF}/tasks/textvqa/utils.py", "ref_textvqa",
+        extra_stubs=("yaml",),
+        extra_modules={
+            "lmms_eval.tasks._task_utils.vqa_eval_metric": vem})
+    cases = [
+        ("Yes.", ["yes"] * 10),
+        ("stop", ["stop", "stop sign", "stop", "stop", "sign", "stop",
+                  "stop", "stop", "stop", "stop"]),
+        ("two dogs", ["2 dogs"] * 10),
+        ("coca-cola", ["coca cola", "coke", "coca cola", "coca cola",
+                       "cocacola", "coca cola", "coca cola", "coca cola",
+                       "coca cola", "pepsi"]),
+    ]
+    for pred, answers in cases:
+        doc = {"question_id": 0, "answers": list(answers)}
+        theirs = ref.textvqa_process_results(doc, [pred])["exact_match"]
+        ours = M.textvqa_accuracy(pred, answers)
+        assert abs(ours - theirs) < 1e-9, (pred, ours, theirs)
