@@ -363,17 +363,61 @@ register(Task(
     aggregate=_mean_agg("exact_match"),
 ))
 
+def _mc_letter_acc(doc: dict, pred: str) -> float:
+    """MC-letter grade through the extraction cascade (mmmu/utils.py)."""
+    if doc.get("choices"):
+        index2ans, all_choices = F.get_multi_choice_info(doc["choices"])
+        parsed = F.parse_multi_choice_response(pred, all_choices, index2ans)
+    else:
+        parsed = M.parse_multi_choice(pred)
+    return float(parsed == str(doc["target"]).strip().upper())
+
+
+def _index_mc_map(doc: dict, hint_key: Optional[str] = None) -> dict:
+    """AI2D/ScienceQA doc mapping (ai2d/utils.py:7-37,
+    scienceqa/utils.py:1-31): choices interpolate as 'A. <text>' lines
+    and the integer answer index becomes the letter target."""
+    choices = doc.get("choices") or doc.get("options") or []
+    choices = [str(c) for c in _parse_options_field(choices)]
+    letters = [chr(ord("A") + i) for i in range(len(choices))]
+    block = "\n".join(f"{o}. {c}" for o, c in zip(letters, choices))
+    prefix = ""
+    if hint_key and doc.get(hint_key):
+        prefix = f"Context: {doc[hint_key]}\n"
+    doc["text"] = f"{prefix}{doc['text']}\n{block}"
+    doc["choices"] = choices
+    tgt = doc.get("target", doc.get("answer", 0))
+    if str(tgt).strip().isdigit():
+        doc["target"] = letters[int(tgt)]
+    return doc
+
+
+def _sqa_score(doc: dict, pred: str) -> dict:
+    """scienceqa/utils.py:34-44 transcribed exactly: lowered full-string
+    letter match ('I know this is weird, but it's how llava parse it');
+    the 'X.' prefix branch is dead upstream too (isupper() on an
+    already-lowered string), preserved for parity."""
+    target = str(doc["target"]).strip().lower()
+    p = pred.strip().lower()
+    if p == target:
+        return {"exact_match": 1.0}
+    if len(p) >= 2 and p[0].isupper() and p[1] == ".":
+        return {"exact_match": float(p[0] == target)}
+    return {"exact_match": 0.0}
+
+
 register(Task(
     name="ai2d",
     post_prompt=MC_LETTER,
     generation_kwargs={"max_new_tokens": 16},
     dataset_path="lmms-lab/ai2d",
+    doc_mapper=_index_mc_map,
+    # reference: flexible MC-regex filter then exact match vs the letter
+    # (ai2d.yaml:38-49) — the full extraction cascade approximates it
     score_doc=lambda doc, pred: {
-        "acc": float(
-            M.parse_multi_choice(pred) == str(doc["target"]).strip().upper()
-        ),
+        "exact_match": _mc_letter_acc(doc, pred),
     },
-    aggregate=_mean_agg("acc"),
+    aggregate=_mean_agg("exact_match"),
 ))
 
 register(Task(
@@ -382,12 +426,9 @@ register(Task(
     generation_kwargs={"max_new_tokens": 16},
     dataset_path="lmms-lab/ScienceQA",
     dataset_name="ScienceQA-IMG",
-    score_doc=lambda doc, pred: {
-        "acc": float(
-            M.parse_multi_choice(pred) == str(doc["target"]).strip().upper()
-        ),
-    },
-    aggregate=_mean_agg("acc"),
+    doc_mapper=lambda d: _index_mc_map(d, hint_key="hint"),
+    score_doc=_sqa_score,
+    aggregate=_mean_agg("exact_match"),
 ))
 
 register(Task(
@@ -407,10 +448,14 @@ register(Task(
     post_prompt=SINGLE_WORD,
     generation_kwargs={"max_new_tokens": 16},
     dataset_path="lmms-lab/RealWorldQA",
+    # realworldqa/utils.py:34-43 transcribed: lowered/stripped compare
+    # with only a trailing '.' removed from the prediction
     score_doc=lambda doc, pred: {
-        "acc": M.exact_match(pred, str(doc["target"])),
+        "exact_match": float(
+            pred.lower().strip().rstrip(".")
+            == str(doc["target"]).lower().strip()),
     },
-    aggregate=_mean_agg("acc"),
+    aggregate=_mean_agg("exact_match"),
 ))
 
 

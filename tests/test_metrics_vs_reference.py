@@ -181,3 +181,84 @@ def test_textvqa_accuracy_matches_reference():
         theirs = ref.textvqa_process_results(doc, [pred])["exact_match"]
         ours = M.textvqa_accuracy(pred, answers)
         assert abs(ours - theirs) < 1e-9, (pred, ours, theirs)
+
+
+def test_ai2d_scienceqa_doc_pipeline_matches_reference():
+    filt = types.ModuleType("lmms_eval.filters.extraction")
+
+    class _XRF:
+        def __init__(self, *a, **k):
+            pass
+    filt.ExtendedRegexFilter = _XRF
+    trans = types.ModuleType("lmms_eval.filters.transformation")
+
+    class _MF:
+        def __init__(self, *a, **k):
+            pass
+    trans.MapFilter = _MF
+    ref_ai2d = _load(
+        f"{REF}/tasks/ai2d/utils.py", "ref_ai2d",
+        extra_stubs=("lmms_eval.filters",),
+        extra_modules={"lmms_eval.filters.extraction": filt,
+                       "lmms_eval.filters.transformation": trans})
+    ref_sqa = _load(f"{REF}/tasks/scienceqa/utils.py", "ref_sqa")
+    from lavida_mod_tpu.eval.tasks import get_task
+
+    # ai2d: prompt interpolation + index->letter target
+    doc = {"question": "Which part is the root?",
+           "options": ["stem", "root", "leaf", "flower"], "answer": "1",
+           "id": 0, "text": "Which part is the root?"}
+    kwargs = {"pre_prompt": "", "post_prompt": "", "prompt_format": "mcq"}
+    ref_text = ref_ai2d.ai2d_doc_to_text(
+        {"question": doc["question"], "options": doc["options"]}, kwargs)
+    t = get_task("ai2d")
+    mapped = t.doc_mapper(dict(doc))
+    assert mapped["text"] == ref_text
+    assert mapped["target"] == ref_ai2d.ai2d_doc_to_target(
+        {"options": doc["options"], "answer": doc["answer"]}, "mcq")
+    assert t.score_doc(mapped, "B")["exact_match"] == 1.0
+    assert t.score_doc(mapped, "The answer is (B).")["exact_match"] == 1.0
+
+    # scienceqa: hint prefix + the reference's quirky lowered compare
+    sdoc = {"question": "What is H2O?", "choices": ["water", "salt"],
+            "answer": 0, "hint": "Think simple.", "id": 0,
+            "text": "What is H2O?"}
+    st = get_task("scienceqa_img")
+    smapped = st.doc_mapper(dict(sdoc))
+    assert smapped["target"] == ref_sqa.sqa_doc_to_target(
+        {"choices": sdoc["choices"], "answer": sdoc["answer"]})
+    for pred in ("A", "a", "B", "A. water", "water"):
+        theirs = ref_sqa.sqa_process_results(
+            {"choices": sdoc["choices"], "answer": sdoc["answer"]},
+            [pred])["exact_match"]
+        ours = st.score_doc(smapped, pred)["exact_match"]
+        assert ours == theirs, (pred, ours, theirs)
+
+
+def test_realworldqa_scoring_matches_reference():
+    filt = types.ModuleType("lmms_eval.filters.extraction")
+
+    class _XRF:
+        def __init__(self, *a, **k):
+            pass
+    filt.ExtendedRegexFilter = _XRF
+    trans = types.ModuleType("lmms_eval.filters.transformation")
+
+    class _MF:
+        def __init__(self, *a, **k):
+            pass
+    trans.MapFilter = _MF
+    ref = _load(
+        f"{REF}/tasks/realworldqa/utils.py", "ref_rwqa",
+        extra_stubs=("lmms_eval.filters",),
+        extra_modules={"lmms_eval.filters.extraction": filt,
+                       "lmms_eval.filters.transformation": trans})
+    from lavida_mod_tpu.eval.tasks import get_task
+
+    t = get_task("realworldqa")
+    for pred, gt in (("A.", "a"), ("two", "two"), ("Two.", "two"),
+                     ("2", "two"), ("b", "b"), ("yes!", "yes")):
+        theirs = ref.realworldqa_process_results(
+            {"answer": gt}, [pred])["exact_match"]
+        ours = t.score_doc({"target": gt, "id": 0}, pred)["exact_match"]
+        assert ours == theirs, (pred, gt, ours, theirs)
