@@ -248,14 +248,22 @@ register(Task(
 
 
 def _mmmu_map(doc: dict) -> dict:
-    """Interpolate the option block into the prompt (reference
-    construct_prompt, mmmu/utils.py:134-143) and keep the parsed choices
-    for answer extraction."""
+    """Full reference prompt construction (construct_prompt,
+    mmmu/utils.py:134-143 + mmmu_val.yaml:19-20, cross-checked in
+    tests/test_metrics_vs_reference.py): MC questions get the option
+    block + the letter instruction, open questions get the single-word
+    instruction — NOT the MC suffix."""
     if doc.get("choices") and str(doc.get("question_type",
                                           "multiple-choice")) \
             == "multiple-choice":
         doc["text"] = (f"{doc['text']}\n"
-                       f"{F.mmmu_parse_options(doc['choices'])}\n")
+                       f"{F.mmmu_parse_options(doc['choices'])}\n\n"
+                       "Answer with the option's letter from the given "
+                       "choices directly.")
+    else:
+        doc["text"] = (f"{doc['text']}\n\n"
+                       "Answer the question using a single word or "
+                       "phrase.")
     return doc
 
 
@@ -272,7 +280,7 @@ def _mmmu_score(doc: dict, pred: str) -> dict:
 
 register(Task(
     name="mmmu_val",
-    post_prompt=MC_LETTER,
+    post_prompt="",  # the mapper builds the full reference prompt
     generation_kwargs={"max_new_tokens": 16},
     dataset_path="lmms-lab/MMMU",
     test_split="validation",

@@ -262,3 +262,48 @@ def test_realworldqa_scoring_matches_reference():
             {"answer": gt}, [pred])["exact_match"]
         ours = t.score_doc({"target": gt, "id": 0}, pred)["exact_match"]
         assert ours == theirs, (pred, gt, ours, theirs)
+
+
+def test_mmmu_prompt_matches_reference_construct_prompt():
+    # construct_prompt (mmmu/utils.py:134-143) needs only ast + the
+    # parse_options helper; replicate its exact inputs
+    import ast as _ast
+    ref = _load(f"{REF}/tasks/mmmu/utils.py", "ref_mmmu_prompt",
+                extra_stubs=("requests",),
+                extra_modules={"openai": _openai_stub(),
+                               "yaml": __import__("yaml")})
+    from lavida_mod_tpu.eval.tasks import get_task
+
+    t = get_task("mmmu_val")
+    mc_prompt = "Answer with the option's letter from the given choices directly."
+    open_prompt = "Answer the question using a single word or phrase."
+
+    # multiple choice
+    rdoc = {"question": "What is shown in <image 1>?",
+            "question_type": "multiple-choice",
+            "options": "['a cat', 'a dog', 'a fox']"}
+    ref_text = ref.construct_prompt(rdoc, mc_prompt, open_prompt)
+    doc = t.doc_mapper({"text": rdoc["question"],
+                        "choices": _ast.literal_eval(rdoc["options"]),
+                        "question_type": "multiple-choice", "id": 0})
+    assert t.doc_to_text(doc) == ref_text
+
+    # open-ended
+    rdoc2 = {"question": "How many wheels?", "question_type": "open",
+             "options": "[]"}
+    ref_text2 = ref.construct_prompt(rdoc2, mc_prompt, open_prompt)
+    doc2 = t.doc_mapper({"text": rdoc2["question"],
+                         "question_type": "open", "id": 1})
+    assert t.doc_to_text(doc2) == ref_text2
+
+
+def _openai_stub():
+    import types as _t
+
+    class _Client:
+        def __init__(self, *a, **k):
+            pass
+    m = _t.ModuleType("openai")
+    m.AzureOpenAI = _Client
+    m.OpenAI = _Client
+    return m
