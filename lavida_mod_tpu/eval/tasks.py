@@ -289,16 +289,34 @@ register(Task(
     aggregate=_mean_agg("acc"),
 ))
 
+def _mmbench_map(doc: dict) -> dict:
+    """MMBench prompt construction (en_utils.py:43-66 +
+    mmbench_evals.py:22-30, cross-checked): options come from the A-E
+    COLUMNS, prefixed by 'There are several options:', hint prepended
+    with a space when present."""
+    options = {k: doc[k] for k in ("A", "B", "C", "D", "E")
+               if doc.get(k) not in (None, "", "nan")}
+    block = "There are several options:\n" + "\n".join(
+        f"{k}. {v}" for k, v in sorted(options.items()))
+    hint = doc.get("hint")
+    q = doc.get("question", doc.get("text", ""))
+    if hint not in (None, "", "nan"):
+        doc["text"] = f"{hint} {q} {block}"
+    else:
+        doc["text"] = f"{q} {block}"
+    doc["choices"] = [v for _, v in sorted(options.items())]
+    return doc
+
+
 register(Task(
     name="mmbench_en_dev",
     post_prompt=MC_LETTER,
     generation_kwargs={"max_new_tokens": 16},
     dataset_path="lmms-lab/MMBench_EN",
     test_split="dev",
+    doc_mapper=_mmbench_map,
     score_doc=lambda doc, pred: {
-        "acc": float(
-            M.parse_multi_choice(pred) == str(doc["target"]).strip().upper()
-        ),
+        "acc": _mc_letter_acc(doc, pred),
     },
     aggregate=_mean_agg("acc"),
 ))

@@ -94,8 +94,11 @@ def _mc_task(name: str, path: str, split: str, *, subset: str = None,
 # ---------------------------------------------------------------------------
 
 # tasks/mmbench/_default_template_mmbench_cn_yaml (dataset lmms-lab/
-# MMBench_CN, dev split; letter answer)
-_mc_task("mmbench_cn_dev", "lmms-lab/MMBench_CN", "dev")
+# MMBench_CN, dev split; letter answer; same A-E column prompt
+# construction as the EN split)
+from .tasks import _mmbench_map  # noqa: E402
+_mc_task("mmbench_cn_dev", "lmms-lab/MMBench_CN", "dev",
+         mapper=_mmbench_map)
 
 # tasks/mmt/_default_template_yaml + mmt_val.yaml: single character from
 # the given options, max_new_tokens 8

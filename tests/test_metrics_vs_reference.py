@@ -307,3 +307,26 @@ def _openai_stub():
     m.AzureOpenAI = _Client
     m.OpenAI = _Client
     return m
+
+
+def test_mmbench_prompt_matches_reference():
+    evals = _load(f"{REF}/tasks/mmbench/mmbench_evals.py", "ref_mmb_ev")
+
+    ev = evals.MMBench_Evaluator()
+    from lavida_mod_tpu.eval.tasks import get_task
+
+    t = get_task("mmbench_en_dev")
+    doc = {"question": "What is shown?", "hint": "A chart about pets.",
+           "A": "cats", "B": "dogs", "C": "birds", "D": None,
+           "answer": "B", "target": "B", "index": 1, "id": 1,
+           "text": "What is shown?"}
+    options_prompt, _ = ev.create_options_prompt(
+        {k: doc[k] for k in ("A", "B", "C", "D") if doc[k]},
+        ["A", "B", "C", "D", "E"])
+    ref_text = f"{doc['hint']} {doc['question']} {options_prompt}"
+    mapped = t.doc_mapper(dict(doc))
+    assert mapped["text"] == ref_text
+    assert t.score_doc(mapped, "B")["acc"] == 1.0
+    assert t.score_doc(
+        mapped, "I believe the picture clearly shows several dogs"
+    )["acc"] == 1.0
