@@ -50,15 +50,16 @@ def main():
                     help="fused QKV + gate/up weight layout "
                          "(to_fused_layout): 4 instead of 7 Pallas kernel "
                          "dispatches per layer on the int4 path")
-    ap.add_argument("--dream", action="store_true",
-                    help="LaViDa-Dream family (7B Qwen2 geometry, "
-                         "topk_margin sampler per run_dream.sh) instead "
-                         "of LaViDa-LLaDA; reference baseline 1.13 s/image")
-    ap.add_argument("--ar", action="store_true",
-                    help="autoregressive LLaVA-1.6-7B-geometry baseline "
-                         "(vicuna-7b causal LM, 32-token cached decode) — "
-                         "the reference's AR comparison row (COCO table: "
-                         "1.67 s/image, README.md:93)")
+    fam = ap.add_mutually_exclusive_group()
+    fam.add_argument("--dream", action="store_true",
+                     help="LaViDa-Dream family (7B Qwen2 geometry, "
+                          "topk_margin sampler per run_dream.sh) instead "
+                          "of LaViDa-LLaDA; reference baseline 1.13 s/image")
+    fam.add_argument("--ar", action="store_true",
+                     help="autoregressive LLaVA-1.6-7B-geometry baseline "
+                          "(vicuna-7b causal LM, 32-token cached decode) — "
+                          "the reference's AR comparison row (COCO table: "
+                          "1.67 s/image, README.md:93)")
     ap.add_argument("--no-flash-prefill", action="store_true",
                     help="disable the 128-bucketed Pallas flash prefill "
                          "(falls back to dense prefill attention)")
@@ -78,6 +79,14 @@ def main():
                          "measured 1.56x at --gen-len 256 --steps 32 "
                          "--dllm 64 on v5e")
     args = ap.parse_args()
+    if args.no_cache:
+        nfe = args.steps / args.gen_len
+        if nfe not in BASELINE_NOCACHE:
+            import sys
+            print(f"warning: --no-cache NFE ratio {nfe:.2f} has no "
+                  f"reference baseline row (rows: 0.5 -> 3.57 s, "
+                  f"1.0 -> 6.65 s); vs_baseline will use the 50% row",
+                  file=sys.stderr)
     import jax
     import jax.numpy as jnp
 

@@ -380,11 +380,12 @@ def normalize_math_answer(extraction: str, choices=None, *,
 
 
 def normalize_number(s: str) -> str:
-    """Canonical numeric string for exact-match (gsm8k strict-match
-    comparison after the regex filter): strip $ , and trailing dots."""
-    s = str(s).strip().strip(".").replace(",", "").replace("$", "")
-    try:
-        v = float(s)
-        return str(int(v)) if v == int(v) else str(v)
-    except ValueError:
-        return s.lower()
+    """gsm8k strict-match canonicalization: the reference scores with
+    exact_match under regexes_to_ignore [',', '\\$', '(?s).*#### ',
+    '\\.$'] and ignore_case (gsm8k-cot-llama.yaml:69-79).  Pure string
+    transforms — no float round-trip — so '42.0' does NOT match gold
+    '42', exactly as upstream."""
+    s = str(s)
+    for pat in (",", r"\$", r"(?s).*#### ", r"\.$"):
+        s = re.sub(pat, "", s)
+    return s.strip().lower()

@@ -37,25 +37,81 @@ def _words(text: str) -> list[str]:
     return re.findall(r"\w+", text)
 
 
+# Abbreviation-aware sentence splitter, ported from the reference's
+# instructions_util.py::split_into_sentences (itself the well-known
+# public-domain regex splitter).  Upstream number_sentences actually
+# counts via nltk punkt (instructions_util.py:1673-1678); punkt data is
+# unavailable offline, and this splitter — which upstream also ships and
+# uses at instructions.py:1013 — agrees with punkt on the IFEval corpus
+# style (it handles Dr./Mr./Ph.D./acronyms/decimals, the cases the naive
+# [.!?] split got wrong).
+_ALPHABETS = "([A-Za-z])"
+_PREFIXES = "(Mr|St|Mrs|Ms|Dr)[.]"
+_SUFFIXES = "(Inc|Ltd|Jr|Sr|Co)"
+_STARTERS = (r"(Mr|Mrs|Ms|Dr|Prof|Capt|Cpt|Lt|He\s|She\s|It\s|They\s|"
+             r"Their\s|Our\s|We\s|But\s|However\s|That\s|This\s|Wherever)")
+_ACRONYMS = "([A-Z][.][A-Z][.](?:[A-Z][.])?)"
+_WEBSITES = "[.](com|net|org|io|gov|edu|me)"
+_DIGITS = "([0-9])"
+_MULTIPLE_DOTS = r"\.{2,}"
+
+
 def _sentences(text: str) -> list[str]:
-    parts = re.split(r"[.!?]+(?:\s|$)", text)
-    return [p for p in parts if p.strip()]
+    text = " " + text + "  "
+    text = text.replace("\n", " ")
+    text = re.sub(_PREFIXES, "\\1<prd>", text)
+    text = re.sub(_WEBSITES, "<prd>\\1", text)
+    text = re.sub(_DIGITS + "[.]" + _DIGITS, "\\1<prd>\\2", text)
+    text = re.sub(_MULTIPLE_DOTS,
+                  lambda m: "<prd>" * len(m.group(0)) + "<stop>", text)
+    if "Ph.D" in text:
+        text = text.replace("Ph.D.", "Ph<prd>D<prd>")
+    text = re.sub(r"\s" + _ALPHABETS + "[.] ", " \\1<prd> ", text)
+    text = re.sub(_ACRONYMS + " " + _STARTERS, "\\1<stop> \\2", text)
+    text = re.sub(_ALPHABETS + "[.]" + _ALPHABETS + "[.]" + _ALPHABETS
+                  + "[.]", "\\1<prd>\\2<prd>\\3<prd>", text)
+    text = re.sub(_ALPHABETS + "[.]" + _ALPHABETS + "[.]",
+                  "\\1<prd>\\2<prd>", text)
+    text = re.sub(" " + _SUFFIXES + "[.] " + _STARTERS, " \\1<stop> \\2",
+                  text)
+    text = re.sub(" " + _SUFFIXES + "[.]", " \\1<prd>", text)
+    text = re.sub(" " + _ALPHABETS + "[.]", " \\1<prd>", text)
+    if "”" in text:
+        text = text.replace(".”", "”.")
+    if '"' in text:
+        text = text.replace('."', '".')
+    if "!" in text:
+        text = text.replace('!"', '"!')
+    if "?" in text:
+        text = text.replace('?"', '"?')
+    text = text.replace(".", ".<stop>")
+    text = text.replace("?", "?<stop>")
+    text = text.replace("!", "!<stop>")
+    text = text.replace("<prd>", ".")
+    sentences = [s.strip() for s in text.split("<stop>")]
+    if sentences and not sentences[-1]:
+        sentences = sentences[:-1]
+    return [s for s in sentences if s]
 
 
 # --- keywords ---------------------------------------------------------------
 
 def keywords_existence(t, keywords=None, **kw):
-    return all(re.search(rf"\b{re.escape(k)}\b", t, re.I)
-               for k in (keywords or []))
+    # instructions.py:721 — the keyword string IS the pattern: raw
+    # substring/regex search, no \b boundaries, no escaping
+    return all(re.search(k, t, re.I) for k in (keywords or []))
 
 
 def keywords_frequency(t, keyword=None, frequency=None, relation=None, **kw):
-    c = len(re.findall(rf"\b{re.escape(keyword or '')}\b", t, re.I))
+    # instructions.py:783 — raw re.findall(keyword, value, re.I)
+    c = len(re.findall(keyword or "", t, re.I))
     return _rel(c, frequency, relation)
 
 
 def keywords_forbidden(t, forbidden_words=None, **kw):
-    return not any(re.search(rf"\b{re.escape(k)}\b", t, re.I)
+    # instructions.py:1055 — forbidden words DO get \b boundaries (and
+    # no escaping), unlike existence/frequency
+    return not any(re.search(r"\b" + k + r"\b", t, re.I)
                    for k in (forbidden_words or []))
 
 

@@ -289,18 +289,26 @@ register(Task(
     aggregate=_mean_agg("acc"),
 ))
 
+def _is_none_opt(v) -> bool:
+    """Missing-option predicate matching the reference's is_none
+    (mmbench en_utils.py uses pd.isna): None, empty, the string 'nan',
+    and float NaN (v != v) are all 'missing'."""
+    return (v is None or v != v
+            or str(v).strip().lower() in ("", "nan", "none"))
+
+
 def _mmbench_map(doc: dict) -> dict:
     """MMBench prompt construction (en_utils.py:43-66 +
     mmbench_evals.py:22-30, cross-checked): options come from the A-E
     COLUMNS, prefixed by 'There are several options:', hint prepended
     with a space when present."""
     options = {k: doc[k] for k in ("A", "B", "C", "D", "E")
-               if doc.get(k) not in (None, "", "nan")}
+               if not _is_none_opt(doc.get(k))}
     block = "There are several options:\n" + "\n".join(
         f"{k}. {v}" for k, v in sorted(options.items()))
     hint = doc.get("hint")
     q = doc.get("question", doc.get("text", ""))
-    if hint not in (None, "", "nan"):
+    if not _is_none_opt(hint):
         doc["text"] = f"{hint} {q} {block}"
     else:
         doc["text"] = f"{q} {block}"

@@ -920,15 +920,39 @@ for _ds, _name in (("lmms-lab/RefCOCO", "refcoco"),
 
 # a few remaining MC families (same shared pipeline)
 # tasks/mmupd (unsolvable-problem detection; MC with a none-of-the-above
-# convention), tasks/vmcbench, tasks/egothink, tasks/mmworld,
-# tasks/videommmu, tasks/cvrr
+# convention), tasks/vmcbench, tasks/mmworld, tasks/videommmu
 _mc_task("mmupd_base", "MM-UPD/MM-UPD", "mmaad_base")
 _mc_task("vmcbench", "suyc21/VMCBench", "test")
-_mc_task("egothink", "EgoThink/EgoThink", "test",
-         post=SINGLE_WORD)
 _mc_task("mmworld", "MMWorld/MMWorld", "test")
 _mc_task("videommmu", "lmms-lab/VideoMMMU", "test")
-_mc_task("cvrr", "MBZUAI/CVRR", "test", post=SINGLE_WORD)
+
+# tasks/egothink and tasks/cvrr are open-ended GPT-judged suites
+# (egothink/utils.py and cvrr/utils.py both call the OpenAI judge), NOT
+# multiple-choice: route them through the same _judge_free_score
+# heuristic + samples log as mmvet / vibe_eval.
+register(Task(
+    name="egothink",
+    # egothink/egothink_activity.yaml: max_new_tokens 30, temperature
+    # 0.2, do_sample; dataset EgoLife-v1/Egothink
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 30, "temperature": 0.2},
+    dataset_path="EgoLife-v1/Egothink",
+    test_split="test",
+    score_doc=_judge_free_score,
+    aggregate=_mean_agg("heuristic_f1"),
+))
+register(Task(
+    name="cvrr",
+    # cvrr/_default_template_yaml (lmms-lab/CVRR-ES, video) — no
+    # generation_kwargs in the yaml, so the model default of 256 applies
+    # (llava_llada.py:587-588)
+    post_prompt="",
+    generation_kwargs={"max_new_tokens": 256},
+    dataset_path="lmms-lab/CVRR-ES",
+    test_split="test",
+    score_doc=_judge_free_score,
+    aggregate=_mean_agg("heuristic_f1"),
+))
 
 
 # tasks/ifeval: instruction-following eval with the verifier registry
