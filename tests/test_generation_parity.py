@@ -156,6 +156,31 @@ def test_verbose_history(tiny_pair):
     np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
 
 
+def test_verbose_matches_fused_at_temperature(tiny_pair):
+    """The verbose (history) debug path must reproduce the fused scan
+    trajectory token-for-token even when sampling actually consumes the
+    key: both advance the stream as key_{i+1}, sk_i = split(key_i), so
+    the per-step sample keys are identical.  Regression lock for the
+    'verbose reproduces the run' contract at temperature > 0 and under
+    the key-consuming remasking modes."""
+    _, cfg, params = tiny_pair
+    prompt = np.arange(5, 14)[None]
+    prefix_embeds = jl.embed_tokens(params, jnp.asarray(prompt))
+    for prefix_lm in (True, False):
+        for temp, remask in ((0.7, "random"), (0.9, "low_confidence")):
+            gen_cfg = GenerationConfig(
+                max_new_tokens=8, block_length=4, step_per_block=4,
+                prefix_lm=prefix_lm, temperature=temp, remasking=remask)
+            key = jax.random.PRNGKey(42)
+            x_fused = generate(params, cfg, prefix_embeds, gen_cfg, key=key)
+            x_verb, hist = generate(params, cfg, prefix_embeds, gen_cfg,
+                                    key=key, verbose=True)
+            np.testing.assert_array_equal(
+                np.asarray(x_fused), np.asarray(x_verb),
+                err_msg=f"prefix_lm={prefix_lm} temp={temp} {remask}")
+            np.testing.assert_array_equal(hist[-1], np.asarray(x_verb))
+
+
 def test_batched_parity(tiny_pair):
     """B=2 with different prompts: our per-row fixed-shape top-k must match
     the reference's python per-row topk loop (generate.py:304-311)."""
