@@ -85,6 +85,70 @@ def convert_lavida_state_dict(
     return params
 
 
+def _load_torch_bin(path: str) -> dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def _strip_peft_prefixes(state: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """non_lora_trainables key normalization (builder.py:106-108): drop
+    'base_model.' then a further 'model.' when keys start 'model.model.'."""
+    state = {(k[len("base_model."):] if k.startswith("base_model.") else k): v
+             for k, v in state.items()}
+    if any(k.startswith("model.model.") for k in state):
+        state = {(k[len("model."):] if k.startswith("model.") else k): v
+                 for k, v in state.items()}
+    return state
+
+
+def load_lora_adapter(path: str) -> tuple[dict[str, np.ndarray], float]:
+    """Read a peft adapter dir: (adapter state dict, alpha/r scale)."""
+    import json
+
+    with open(os.path.join(path, "adapter_config.json")) as f:
+        acfg = json.load(f)
+    scale = acfg["lora_alpha"] / acfg["r"]
+    st = os.path.join(path, "adapter_model.safetensors")
+    if os.path.exists(st):
+        from safetensors.numpy import load_file
+
+        return load_file(st), scale
+    return _load_torch_bin(os.path.join(path, "adapter_model.bin")), scale
+
+
+def merge_lora_state(
+    state: dict[str, np.ndarray],
+    adapter: dict[str, np.ndarray],
+    scale: float,
+) -> dict[str, np.ndarray]:
+    """Merge peft LoRA pairs into the torch-name state dict (the
+    merge_and_unload step of builder.py:117-121, done in numpy):
+    W <- W + scale * B @ A for each `<module>.lora_{A,B}.weight` pair.
+    peft names the target `base_model.model.<module>.lora_A.weight` (with
+    an optional '.default' infix); the dense weight is `<module>.weight`.
+    """
+    out = dict(state)
+    for k, a in adapter.items():
+        if ".lora_A." not in k:
+            continue
+        b_key = k.replace(".lora_A.", ".lora_B.")
+        if b_key not in adapter:
+            raise KeyError(f"unpaired LoRA weight: {k}")
+        mod = k.split(".lora_A.")[0]
+        for pref in ("base_model.model.", "base_model.", ""):
+            if mod.startswith(pref) and mod[len(pref):] + ".weight" in out:
+                w_key = mod[len(pref):] + ".weight"
+                break
+        else:
+            raise KeyError(f"no base weight for LoRA module {mod}")
+        delta = np.asarray(adapter[b_key], np.float32) @ np.asarray(a, np.float32)
+        out[w_key] = (np.asarray(out[w_key], np.float32)
+                      + scale * delta).astype(out[w_key].dtype)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "gen_length", "temperature", "remasking",
@@ -134,9 +198,39 @@ class LaViDa:
 
     @classmethod
     def load(cls, path: str, cfg: Optional[LaViDaConfig] = None,
-             dtype=jnp.bfloat16, lm_family: str = "llada") -> "LaViDa":
+             dtype=jnp.bfloat16, lm_family: str = "llada",
+             base: Optional[str] = None) -> "LaViDa":
+        """Load a checkpoint directory.  The reference's three load modes
+        (builder.py:62-170) map onto `base`:
+
+          - base=None: full checkpoint (all weights under `path`);
+          - base given + `path` holds `mm_projector.bin`: projector-only
+            delta — base weights overlaid with the projector tensors
+            (builder.py:160-165, the stage-1 pretrain artifact);
+          - base given + `path` holds a peft adapter
+            (adapter_config.json + adapter_model.*): LoRA checkpoint —
+            non_lora_trainables.bin overlaid, LoRA pairs merged into the
+            base weights (builder.py:102-121 merge_and_unload).
+        """
         cfg = cfg or LaViDaConfig()
-        state = load_state_shards(path)
+        if base is None:
+            state = load_state_shards(path)
+        else:
+            state = load_state_shards(base)
+            proj_bin = os.path.join(path, "mm_projector.bin")
+            if os.path.exists(os.path.join(path, "adapter_config.json")):
+                nlt = os.path.join(path, "non_lora_trainables.bin")
+                if os.path.exists(nlt):
+                    state.update(_strip_peft_prefixes(_load_torch_bin(nlt)))
+                adapter, scale = load_lora_adapter(path)
+                state = merge_lora_state(state, adapter, scale)
+            elif os.path.exists(proj_bin):
+                state.update(_load_torch_bin(proj_bin))
+            else:
+                raise FileNotFoundError(
+                    f"{path}: expected mm_projector.bin or a peft adapter "
+                    f"when base= is given (builder.py:62-170 load modes)"
+                )
         return cls(
             cfg, convert_lavida_state_dict(state, cfg, dtype, lm_family),
             lm_family,

@@ -133,6 +133,7 @@ def _block(
     kv_scatter_idx: Optional[jax.Array] = None,
     act_int8: bool = False,
     blockwise_args: Optional[dict] = None,
+    prefix_flash_args: Optional[dict] = None,
 ):
     """One transformer block. x: [B, T, D]. Returns (x, (k_rot, v))."""
     B, T, D = x.shape
@@ -188,7 +189,11 @@ def _block(
             k = jnp.concatenate([pk, k], axis=1)
             v = jnp.concatenate([pv, v], axis=1)
 
-    if blockwise_args is not None:
+    if prefix_flash_args is not None:
+        from .. ops.prefix_flash import prefix_flash_attention
+
+        att = prefix_flash_attention(q, k, v, **prefix_flash_args)
+    elif blockwise_args is not None:
         att = blockwise_attention(q, k, v, **blockwise_args)
     elif use_flash:
         att = flash_attention(q, k, v, q_segment_ids, kv_segment_ids)
@@ -350,11 +355,22 @@ def forward(
     else:
         mask_q_pos = jnp.arange(past_len, past_len + T, dtype=jnp.int32)
     blockwise_args = None
+    prefix_flash_args = None
     if attention_impl == "blockwise":
         assert not causal and not use_flash
         blockwise_args = dict(
             kv_valid=valid, prefix_lengths=prefix_lengths,
             q_positions=mask_q_pos, kv_block=kv_block,
+        )
+        bias = None
+    elif attention_impl == "prefix_flash":
+        # fused Pallas kernel computing the prefix-LM block mask in-VMEM
+        # (ops/prefix_flash.py); self-attention (no cache) training path
+        assert not causal and not use_flash and kv_cache is None
+        prefix_flash_args = dict(
+            prefix_lengths=(prefix_lengths if prefix_lengths is not None
+                            else jnp.zeros((B,), jnp.int32)),
+            kv_valid=valid,
         )
         bias = None
     else:
@@ -372,8 +388,9 @@ def forward(
     q_seg = kv_seg = None
     if use_flash:
         assert bias is None or prefix_lengths is None, (
-            "flash path expresses masking via segment ids; prefix-LM mask "
-            "requires the dense or splash path"
+            "flash path expresses masking via segment ids; use "
+            "attention_impl='prefix_flash' (Pallas kernel) or the dense "
+            "path for the prefix-LM mask"
         )
         if valid is not None:
             kv_seg = valid.astype(jnp.int32)
@@ -401,6 +418,7 @@ def forward(
                 kv_write_index=kv_write_index,
                 kv_scatter_idx=kv_scatter_idx, act_int8=act_int8,
                 blockwise_args=blockwise_args,
+                prefix_flash_args=prefix_flash_args,
             )
             if use_cache:
                 presents_list.append(present)
@@ -426,6 +444,7 @@ def forward(
                 kv_write_index=kv_write_index,
                 kv_scatter_idx=kv_scatter_idx, act_int8=act_int8,
                 blockwise_args=blockwise_args,
+                prefix_flash_args=prefix_flash_args,
             )
             return h, present if use_cache else None
 

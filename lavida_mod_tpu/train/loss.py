@@ -83,6 +83,7 @@ def diffusion_loss(
     pos_skip_range: int = 0,
     remat: bool = True,
     use_flash: bool = False,
+    attention_impl: str = "dense",
     batch_constraint=None,
 ):
     """Returns (loss, metrics dict). Batch is doubled internally.
@@ -142,6 +143,11 @@ def diffusion_loss(
         positions=positions,
         prefix_lengths=prefix_lengths,
         remat=remat, use_flash=use_flash,
+        # "prefix_flash": the fused Pallas kernel computing the prefix-LM
+        # block mask in-VMEM (ops/prefix_flash.py) — the TPU analogue of
+        # the reference's flex-attention training path
+        # (modeling_llada.py:685-710); parity-tested vs the dense bias.
+        attention_impl=attention_impl,
     )
 
     sup = labels2 != -100

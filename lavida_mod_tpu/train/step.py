@@ -107,6 +107,7 @@ def make_train_step(
     policy_args: Optional[dict] = None,
     remat: bool = True,
     use_flash: bool = False,
+    attention_impl: str = "dense",
     mesh=None,
     batch_axes: tuple = ("dp", "fsdp"),
 ):
@@ -126,6 +127,7 @@ def make_train_step(
             lm, cfg.llada, batch["inputs_embeds"], batch["labels"], key,
             prefix_lm=prefix_lm, policy=policy, policy_args=policy_args,
             remat=remat, use_flash=use_flash,
+            attention_impl=attention_impl,
             batch_constraint=_batch_constraint(mesh, batch_axes),
         )
 
@@ -155,6 +157,7 @@ def make_multimodal_train_step(
     fim_id: Optional[int] = None,
     remat: bool = True,
     use_flash: bool = False,
+    attention_impl: str = "dense",
     mesh=None,
     batch_axes: tuple = ("dp", "fsdp"),
 ):
@@ -179,6 +182,7 @@ def make_multimodal_train_step(
             params["llada"], cfg.llada, embeds, batch["labels"], key,
             prefix_lm=prefix_lm, policy=policy, policy_args=policy_args,
             fim_id=fim_id, remat=remat, use_flash=use_flash,
+            attention_impl=attention_impl,
             batch_constraint=_batch_constraint(mesh, batch_axes),
         )
 
