@@ -72,6 +72,11 @@ def main():
                          "per denoise step) — the reference's cache-off "
                          "protocol rows (BASELINE.md: 6.65s at 100%% NFE, "
                          "3.57s at 50%%)")
+    ap.add_argument("--kv8", action="store_true",
+                    help="int8 KV cache + fused Pallas decode attention "
+                         "(ops/kv8_attention.py): halves the per-step "
+                         "cache reads; quality-gate per checkpoint like "
+                         "W4A8")
     ap.add_argument("--dllm", type=int, default=None,
                     help="dLLM-cache partial recompute size (tokens "
                          "re-forwarded per step; cached K/V + logits for "
@@ -232,7 +237,7 @@ def main():
                 params["llada"], lm_cfg, x, prefix, k_table, block_end,
                 None, key, temperature=gen.temperature,
                 remasking=gen.remasking, use_flash=False,
-                use_flash_prefill=flash)
+                use_flash_prefill=flash, kv8=args.kv8)
 
         def one_batch(i):
             views = jnp.full((5, 3, 384, 384), 0.001 * i, jnp.bfloat16)
@@ -307,6 +312,7 @@ def main():
             (f"s_per_image_{tag}_hd" if B == 1
              else f"s_per_image_{tag}_hd_batch{B}")
             + ("_w4a8" if args.int4 else "_int8")
+            + ("_kv8" if args.kv8 else "")
             + ("_nocache" if args.no_cache else "")
             + ("_dream" if args.dream else "")
             + ("_ar" if args.ar else "")

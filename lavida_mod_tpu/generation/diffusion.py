@@ -121,6 +121,7 @@ def _generate_cached_fused_body(
     act_int8_prefill: bool = False,
     use_flash_prefill: bool = False,
     decode_params=None,
+    kv8: bool = False,
 ):
     """Prefill + full denoise loop as ONE executable: a single dispatch per
     image, no intermediate host round-trips (the reference pays a python
@@ -142,14 +143,14 @@ def _generate_cached_fused_body(
     return _denoise_scan_cached_body(
         decode_params if decode_params is not None else params,
         cfg, x, cache, k_table, block_end, positions,
-        prefix_valid, key, temperature, remasking, use_flash,
+        prefix_valid, key, temperature, remasking, use_flash, kv8=kv8,
     )
 
 
 _generate_cached_fused = jax.jit(
     _generate_cached_fused_body,
     static_argnames=("cfg", "temperature", "remasking", "use_flash",
-                     "act_int8_prefill", "use_flash_prefill"),
+                     "act_int8_prefill", "use_flash_prefill", "kv8"),
 )
 
 
@@ -166,6 +167,7 @@ def _denoise_scan_cached_body(
     temperature: float,
     remasking: str,
     use_flash: bool,
+    kv8: bool = False,
 ):
     mask_id = cfg.mask_token_id
     B, G = x.shape
@@ -176,13 +178,32 @@ def _denoise_scan_cached_body(
         # the whole 1056-row prefix per layer per step (~1.3GB/step of
         # pure memcpy at 8B scale).
         P = cache["k"].shape[2]
-        cache_l = [
-            (
-                jnp.pad(cache["k"][li], ((0, 0), (0, G), (0, 0), (0, 0))),
-                jnp.pad(cache["v"][li], ((0, 0), (0, G), (0, 0), (0, 0))),
-            )
-            for li in range(cache["k"].shape[0])
-        ]
+        if kv8 and cfg.n_heads == cfg.effective_n_kv_heads:
+            # int8 KV cache (serving): per-(head, position) symmetric
+            # quantization + the fused kv8 decode-attention kernel —
+            # halves the ~570 MB/step of cache reads (ops/kv8_attention)
+            from ..ops.kv8_attention import quantize_kv
+
+            def q8pad(a):
+                q, s = quantize_kv(a)
+                return (jnp.pad(q, ((0, 0), (0, 0), (0, G), (0, 0))),
+                        jnp.pad(s, ((0, 0), (0, 0), (0, 0), (0, G)),
+                                constant_values=1.0))
+            cache_l = []
+            for li in range(cache["k"].shape[0]):
+                k8, ks = q8pad(cache["k"][li])
+                v8, vs = q8pad(cache["v"][li])
+                cache_l.append((k8, ks, v8, vs))
+        else:
+            cache_l = [
+                (
+                    jnp.pad(cache["k"][li],
+                            ((0, 0), (0, G), (0, 0), (0, 0))),
+                    jnp.pad(cache["v"][li],
+                            ((0, 0), (0, G), (0, 0), (0, 0))),
+                )
+                for li in range(cache["k"].shape[0])
+            ]
         kv_valid = None
         if prefix_valid is not None:
             kv_valid = jnp.concatenate(
@@ -232,7 +253,8 @@ def _denoise_scan_cached_body(
 
 _denoise_scan_cached = jax.jit(
     _denoise_scan_cached_body,
-    static_argnames=("cfg", "temperature", "remasking", "use_flash"),
+    static_argnames=("cfg", "temperature", "remasking", "use_flash",
+                     "kv8"),
 )
 
 
@@ -479,6 +501,7 @@ def generate(
     use_flash_prefill: bool = False,
     dllm_cache: Optional[int] = None,
     verbose: bool = False,
+    kv8: bool = False,
 ):
     """Generate `gen.max_new_tokens` tokens after the given prefix embeddings.
 
@@ -530,7 +553,7 @@ def generate(
                 prefix_valid, key,
                 temperature=gen.temperature, remasking=gen.remasking,
                 use_flash=use_flash, act_int8_prefill=act_int8_prefill,
-                use_flash_prefill=use_flash_prefill,
+                use_flash_prefill=use_flash_prefill, kv8=kv8,
             )
         cache = prefill(params, cfg, prefix_embeds, prefix_valid,
                         use_flash or use_flash_prefill)

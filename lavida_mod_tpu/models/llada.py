@@ -134,6 +134,7 @@ def _block(
     act_int8: bool = False,
     blockwise_args: Optional[dict] = None,
     prefix_flash_args: Optional[dict] = None,
+    kv8_valid: Optional[jax.Array] = None,
 ):
     """One transformer block. x: [B, T, D]. Returns (x, (k_rot, v))."""
     B, T, D = x.shape
@@ -167,7 +168,18 @@ def _block(
         k = apply_rope(k, positions, sin, cos, cfg.rope_full_precision)
 
     present = (k, v)
-    if layer_past is not None:
+    kv8 = layer_past is not None and len(layer_past) == 4
+    if kv8:
+        # int8 KV decode (serving): cache = (k8, ks, v8, vs) in the
+        # head-major layout of ops/kv8_attention.py.  Quantize this
+        # step's rows in place, then run the fused Pallas kernel —
+        # halves the per-step KV HBM reads vs the bf16 cache.
+        from ..ops.kv8_attention import kv8_decode_attention, write_rows
+
+        assert kv_write_index is not None and not use_flash
+        present = write_rows(*layer_past, k, v, kv_write_index)
+        att = kv8_decode_attention(q, *present, kv_valid=kv8_valid)
+    elif layer_past is not None:
         pk, pv = layer_past
         if kv_scatter_idx is not None:
             # non-contiguous in-place cache update (dLLM-style partial
@@ -189,7 +201,9 @@ def _block(
             k = jnp.concatenate([pk, k], axis=1)
             v = jnp.concatenate([pv, v], axis=1)
 
-    if prefix_flash_args is not None:
+    if kv8:
+        pass  # att computed above
+    elif prefix_flash_args is not None:
         from .. ops.prefix_flash import prefix_flash_attention
 
         att = prefix_flash_attention(q, k, v, **prefix_flash_args)
@@ -303,8 +317,11 @@ def forward(
     """
     B, T, D = embeds.shape
     cache_is_list = isinstance(kv_cache, (list, tuple))
+    cache_is_kv8 = cache_is_list and len(kv_cache[0]) == 4
     if kv_cache is None:
         past_len = 0
+    elif cache_is_kv8:
+        past_len = kv_cache[0][0].shape[2]   # k8 [B, H, S, hd]
     elif cache_is_list:
         past_len = kv_cache[0][0].shape[1]
     else:
@@ -419,6 +436,7 @@ def forward(
                 kv_scatter_idx=kv_scatter_idx, act_int8=act_int8,
                 blockwise_args=blockwise_args,
                 prefix_flash_args=prefix_flash_args,
+                kv8_valid=valid if cache_is_kv8 else None,
             )
             if use_cache:
                 presents_list.append(present)

@@ -204,9 +204,13 @@ def test_synthdog_gt_parse():
 
 def test_vcr_and_websrc_scoring():
     t = get_task("vcr_wiki_en_easy")
+    # reference protocol (vcr_wiki/utils.py): a prediction SHORTER than
+    # the covered span has no length-n ngram -> 0, exactly as upstream
+    r = t.score_doc({"target": "the hidden text", "id": 0}, "hidden text")
+    assert r["jaccard"] == 0.0
     r = t.score_doc({"target": "the hidden text", "id": 0},
-                    "hidden text")
-    assert r["jaccard"] == 1.0  # articles normalized away
+                    "it says the hidden text")
+    assert r["jaccard"] == 1.0 and r["exact_match"] == 1.0
     w = get_task("websrc_val")
     assert w.score_doc({"target": "42 dollars", "id": 0},
                        "42 dollars")["websrc_squad_f1"] == 1.0
@@ -344,3 +348,102 @@ def test_charades_temporal_iou():
                        "around 20 to 30")["tIoU"] == 0.0
     agg = t.aggregate([r, {"tIoU": 0.0, "R@0.5": 0.0}])
     assert abs(agg["tIoU"] - 1 / 3) < 1e-9 and agg["R@0.5"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# round-3 long tail
+# ---------------------------------------------------------------------------
+
+def test_round3_families_registered():
+    import lavida_mod_tpu.eval.tasks_ext as TE
+    from lavida_mod_tpu.eval.tasks import _TASKS
+
+    for name in ("vcr_wiki_en_easy", "vcr_wiki_zh_hard", "conbench",
+                 "jmmmu", "livexiv_tqa", "livexiv_vqa", "av_odyssey",
+                 "cuva", "funqa", "megabench", "llava_in_the_wild_arabic",
+                 "llava_in_the_wild_urdu", "egothink", "cvrr"):
+        assert name in _TASKS, name
+    assert len(_TASKS) >= 131
+    # the N/A manifest covers the audio + live families explicitly
+    for name in ("librispeech", "air_bench", "live_bench", "mmsearch"):
+        assert name in TE.NOT_APPLICABLE_TASKS
+
+
+def test_vcr_scoring():
+    from lavida_mod_tpu.eval.tasks import _TASKS
+
+    t = _TASKS["vcr_wiki_en_easy"]
+    doc = {"crossed_text": ["hello world"], "target": "hello world"}
+    # exact restore inside a longer answer
+    row = t.score_doc(doc, "the covered text is hello world indeed")
+    assert row["exact_match"] == 1.0 and row["jaccard"] == 1.0
+    # refusal short-circuits to zero (fast_filter, utils.py:56-68)
+    row = t.score_doc(doc, "I cannot see the covered text, sorry")
+    assert row["exact_match"] == 0.0 and row["jaccard"] == 0.0
+    # partial overlap
+    row = t.score_doc(doc, "maybe hello there")
+    assert 0.0 < row["jaccard"] < 1.0
+
+
+def test_conbench_consistency_aggregate():
+    from lavida_mod_tpu.eval.tasks import _TASKS
+
+    t = _TASKS["conbench"]
+    rows = []
+    # image 1: all three question fields right -> consistent
+    rows.append(t.score_doc({"question_field": "N/Y", "answer": "yes",
+                             "image_id": 1}, "Yes, it is."))
+    rows.append(t.score_doc({"question_field": "Choices", "answer": "b",
+                             "image_id": 1}, " B"))
+    rows.append(t.score_doc({"question_field": "Q/A", "answer": "a cat",
+                             "image_id": 1}, "a cat"))
+    # image 2: one wrong -> not consistent
+    rows.append(t.score_doc({"question_field": "N/Y", "answer": "no",
+                             "image_id": 2}, "yes"))
+    rows.append(t.score_doc({"question_field": "Choices", "answer": "a",
+                             "image_id": 2}, "A"))
+    rows.append(t.score_doc({"question_field": "Q/A", "answer": "dog",
+                             "image_id": 2}, "dog"))
+    agg = t.aggregate(rows)
+    assert agg["ConScore_D"] == 0.5
+
+
+def test_livexiv_parse():
+    from lavida_mod_tpu.eval.tasks import _TASKS
+
+    t = _TASKS["livexiv_tqa"]
+    assert t.score_doc({"gt": "B"}, "B")["acc"] == 1.0
+    assert t.score_doc({"gt": "B"}, "The answer is B")["acc"] == 1.0
+    assert t.score_doc({"gt": "B"}, "Certainly!")["acc"] == 0.0
+    d = t.doc_mapper({"question": "Q?", "option_a": "w", "option_b": "x",
+                      "option_c": "y", "option_d": "z"})
+    assert "A. w" in d["text"] and "letter" in d["text"]
+
+
+def test_av_odyssey_parse_and_agg():
+    from lavida_mod_tpu.eval.tasks import _TASKS
+
+    t = _TASKS["av_odyssey"]
+    doc = {"options": ["A. red", "B. blue", "C. green", "D. gray"],
+           "answer": "B", "subfield": "timbre"}
+    r1 = t.score_doc(doc, "The answer is B.")
+    assert r1["acc"] == 1.0 and r1["category"] == "timbre"
+    r2 = t.score_doc(doc, "It looks blue to me and not like any other hue")
+    assert r2["acc"] == 1.0  # content containment
+    agg = t.aggregate([r1, {"acc": 0.0, "category": "other"}])
+    assert 0.0 < agg["acc"] < 1.0
+
+
+def test_jmmmu_prompt_construction():
+    from lavida_mod_tpu.eval.tasks import _TASKS
+
+    t = _TASKS["jmmmu"]
+    d = t.doc_mapper({"question": "<image1> これは何ですか？",
+                      "question_type": "multiple-choice",
+                      "options": "['犬', '猫']", "answer": "B"})
+    assert "<image 1>" in d["text"]
+    assert "A. 犬" in d["text"] and "アルファベット" in d["text"]
+    assert t.score_doc(d, "B")["acc"] == 1.0
+    d2 = t.doc_mapper({"question": "説明してください",
+                       "question_type": "open", "answer": "東京"})
+    assert "短いフレーズ" in d2["text"]
