@@ -295,6 +295,7 @@ def forward(
     attention_impl: str = "dense",
     kv_block: int = 1024,
     remat: "bool | str | int" = False,
+    mesh=None,
 ):
     """Run the transformer on input embeddings.
 
@@ -388,6 +389,7 @@ def forward(
             prefix_lengths=(prefix_lengths if prefix_lengths is not None
                             else jnp.zeros((B,), jnp.int32)),
             kv_valid=valid,
+            mesh=mesh,  # pjit: the Pallas call must be shard_map-wrapped
         )
         bias = None
     else:

@@ -326,11 +326,20 @@ def prefix_flash_attention(
     scale: float | None = None,
     block_q: int = 512,
     block_k: int = 512,
+    mesh=None,
+    batch_axes: tuple = ("dp", "fsdp"),
+    head_axis: str = "tp",
 ) -> jax.Array:
     """Fused prefix-LM flash attention; shapes as `dense_attention`.
 
     T and S are padded to the block size internally (pad kv rows masked
     via kv_valid; pad q rows sliced off).  Differentiable (custom VJP).
+
+    mesh: required under pjit/GSPMD — Mosaic kernels cannot be
+    auto-partitioned, so the call is wrapped in a shard_map with the
+    batch dim on `batch_axes` and heads on `head_axis` (matching the
+    qkv projections' tp sharding in parallel/sharding.py).  None = the
+    single-device path.
     """
     B, T, Hq, hd = q.shape
     S, Hkv = k.shape[1], k.shape[2]
@@ -353,7 +362,27 @@ def prefix_flash_attention(
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    o = _prefix_flash_core(
-        qt, kt, vt, prefix_lengths.astype(jnp.int32),
-        kv_valid.astype(jnp.int32)[:, None, :], scale, bq, bk)
+    plen32 = prefix_lengths.astype(jnp.int32)
+    kval32 = kv_valid.astype(jnp.int32)[:, None, :]
+
+    if mesh is None:
+        o = _prefix_flash_core(qt, kt, vt, plen32, kval32, scale, bq, bk)
+        return o.transpose(0, 2, 1, 3)[:, :T]
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    batch = tuple(a for a in batch_axes if a in mesh.axis_names)
+    head = head_axis if head_axis in mesh.axis_names else None
+    qkv_spec = P(batch, head, None, None)     # [B, H, T, hd]
+    wrapped = shard_map(
+        lambda a, b, c, d, e: _prefix_flash_core(a, b, c, d, e,
+                                                 scale, bq, bk),
+        mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, P(batch), P(batch, None,
+                                                           None)),
+        out_specs=qkv_spec,
+        check_rep=False,
+    )
+    o = wrapped(qt, kt, vt, plen32, kval32)
     return o.transpose(0, 2, 1, 3)[:, :T]

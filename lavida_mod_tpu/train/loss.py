@@ -84,6 +84,7 @@ def diffusion_loss(
     remat: bool = True,
     use_flash: bool = False,
     attention_impl: str = "dense",
+    mesh=None,
     batch_constraint=None,
 ):
     """Returns (loss, metrics dict). Batch is doubled internally.
@@ -148,6 +149,7 @@ def diffusion_loss(
         # the reference's flex-attention training path
         # (modeling_llada.py:685-710); parity-tested vs the dense bias.
         attention_impl=attention_impl,
+        mesh=mesh,
     )
 
     sup = labels2 != -100

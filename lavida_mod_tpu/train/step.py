@@ -127,7 +127,7 @@ def make_train_step(
             lm, cfg.llada, batch["inputs_embeds"], batch["labels"], key,
             prefix_lm=prefix_lm, policy=policy, policy_args=policy_args,
             remat=remat, use_flash=use_flash,
-            attention_impl=attention_impl,
+            attention_impl=attention_impl, mesh=mesh,
             batch_constraint=_batch_constraint(mesh, batch_axes),
         )
 
@@ -182,7 +182,7 @@ def make_multimodal_train_step(
             params["llada"], cfg.llada, embeds, batch["labels"], key,
             prefix_lm=prefix_lm, policy=policy, policy_args=policy_args,
             fim_id=fim_id, remat=remat, use_flash=use_flash,
-            attention_impl=attention_impl,
+            attention_impl=attention_impl, mesh=mesh,
             batch_constraint=_batch_constraint(mesh, batch_axes),
         )
 

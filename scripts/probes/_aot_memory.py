@@ -1,0 +1,120 @@
+"""AOT memory analysis of the REAL 8B stage-2 train step (no weights
+materialized): jit(train_step).lower(abstract args).compile() on the
+8-device CPU mesh, reporting XLA's buffer-assignment numbers per device.
+
+Stage-2 shapes from the reference cluster scripts
+(scripts/train/exps/cluster/llada-hd-llada-s2.sh): per-device batch 4,
+model_max_length 4096, gradient checkpointing on -> global batch 32 on
+an 8-chip slice; diffusion_loss doubles rows internally (complementary
+masking), exactly like the reference's forward.
+
+Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+     python scripts/probes/_aot_memory.py [--remat whole_layer]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+_TPU_TOPO = "--tpu-topo" in sys.argv
+if not _TPU_TOPO:
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+if not _TPU_TOPO:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lavida_mod_tpu.config import LaViDaConfig
+from lavida_mod_tpu.models import llada as jl
+from lavida_mod_tpu.parallel.mesh import make_mesh
+from lavida_mod_tpu.parallel.sharding import param_specs
+from lavida_mod_tpu.train.step import make_optimizer, make_train_step
+
+
+def analyze(dp, fsdp, tp, remat, L=4096, B_global=32, dtype=jnp.bfloat16,
+            attention_impl="dense", devices=None):
+    cfg = LaViDaConfig()  # full 8B llada geometry
+    mesh = make_mesh(dp=dp, fsdp=fsdp, tp=tp, devices=devices)
+
+    p_shapes = jax.eval_shape(
+        lambda k: jl.init_params(cfg.llada, k, dtype), jax.random.PRNGKey(0))
+    specs = param_specs(p_shapes)
+    p_abs = jax.tree.map(
+        lambda s, sp: jax.ShapeDtypeStruct(
+            s.shape, s.dtype, sharding=NamedSharding(mesh, sp)),
+        p_shapes, specs)
+
+    opt = make_optimizer(lr=1e-5, total_steps=100)
+    o_shapes = jax.eval_shape(opt.init, p_abs)
+
+    D = cfg.llada.d_model
+    batch_sh = NamedSharding(mesh, P(("dp", "fsdp"), None, None))
+    lab_sh = NamedSharding(mesh, P(("dp", "fsdp"), None))
+    batch_abs = {
+        "inputs_embeds": jax.ShapeDtypeStruct((B_global, L, D), dtype,
+                                              sharding=batch_sh),
+        "labels": jax.ShapeDtypeStruct((B_global, L), jnp.int32,
+                                       sharding=lab_sh),
+    }
+    key_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    step = make_train_step(cfg, opt, prefix_lm=True, remat=remat,
+                           mesh=mesh, attention_impl=attention_impl)
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+    lowered = jitted.lower(p_abs, o_shapes, batch_abs, key_abs)
+    compiled = lowered.compile()
+    ma = compiled.memory_analysis()
+    n = mesh.devices.size
+    gb = 1 << 30
+
+    def g(x):
+        return x / gb
+
+    print(f"mesh dp={dp} fsdp={fsdp} tp={tp} remat={remat} "
+          f"B={B_global} L={L} attn={attention_impl} "
+          f"backend={'tpu-topo' if devices is not None else 'cpu'}")
+    print(f"  args   {g(ma.argument_size_in_bytes):7.2f} GiB  "
+          f"(params+opt+batch at rest, per device)")
+    print(f"  output {g(ma.output_size_in_bytes):7.2f} GiB")
+    print(f"  temp   {g(ma.temp_size_in_bytes):7.2f} GiB  (activations/"
+          f"workspace peak)")
+    print(f"  alias  {g(ma.alias_size_in_bytes):7.2f} GiB  (donated)")
+    live = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+            + ma.output_size_in_bytes - ma.alias_size_in_bytes)
+    print(f"  peak ~= args+temp+out-alias = {g(live):.2f} GiB per device "
+          f"(v5e budget 15.75)")
+    return ma
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--remat", default="whole_layer")
+    ap.add_argument("--L", type=int, default=4096)
+    ap.add_argument("--B", type=int, default=32)
+    ap.add_argument("--configs", default="8,1;4,2")
+    ap.add_argument("--attn", default="dense")
+    ap.add_argument("--tpu-topo", action="store_true",
+                    help="AOT-compile against a detached v5e:2x4 topology "
+                         "(real TPU memory numbers, no chips needed)")
+    a = ap.parse_args()
+    devices = None
+    if a.tpu_topo:
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5e:2x4")
+        devices = list(topo.devices)
+    for part in a.configs.split(";"):
+        fsdp, dp = (int(x) for x in part.split(","))
+        try:
+            analyze(dp=dp, fsdp=fsdp, tp=1, remat=a.remat, L=a.L,
+                    B_global=a.B, attention_impl=a.attn, devices=devices)
+        except Exception as e:
+            print(f"fsdp={fsdp} dp={dp} FAILED: {str(e)[:300]}")

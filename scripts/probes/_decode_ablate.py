@@ -83,10 +83,14 @@ def main():
 
     n = 40
     for mode in ("nosample", "full", "nohead"):
-        float(jnp.sum(chain(params, cache, x0, 2, mode)))
-        t0 = time.perf_counter()
+        # warm up with the SAME static n — a different trip count is a
+        # different executable and its compile would land in the timing
         float(jnp.sum(chain(params, cache, x0, n, mode)))
-        dt = (time.perf_counter() - t0) / n
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            float(jnp.sum(chain(params, cache, x0, n, mode)))
+        dt = (time.perf_counter() - t0) / (n * reps)
         print(f"{mode}: {dt*1e3:.2f} ms/step", flush=True)
 
 
