@@ -118,6 +118,44 @@ def test_diffusion_loss_grads_match_dense():
                                    atol=5e-4, rtol=5e-3)
 
 
+def test_sharded_train_step_with_kernel_runs():
+    """pjit train step on the 8-device CPU mesh with
+    attention_impl='prefix_flash': the shard_map wrapper must partition
+    the Mosaic call (GSPMD cannot) and the loss must match dense."""
+    import jax.numpy as jnp
+    from lavida_mod_tpu.config import LaViDaConfig, tiny_llada_config
+    from lavida_mod_tpu.models import llada as L
+    from lavida_mod_tpu.parallel.mesh import make_mesh
+    from lavida_mod_tpu.parallel.sharding import shard_params
+    from lavida_mod_tpu.train.step import (jit_train_step, make_optimizer,
+                                           make_train_step)
+
+    cfg = LaViDaConfig(llada=tiny_llada_config())
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    opt = make_optimizer(lr=1e-2, total_steps=10)
+
+    losses = {}
+    for impl in ("dense", "prefix_flash"):
+        # fresh params per impl: the jitted step donates its inputs
+        p = shard_params(
+            L.init_params(cfg.llada, jax.random.PRNGKey(0)), mesh)
+        st = opt.init(p)
+        step = jit_train_step(make_train_step(
+            cfg, opt, prefix_lm=True, remat=True, mesh=mesh,
+            attention_impl=impl))
+        ids = np.arange(3, 3 + 8 * 128).reshape(8, 128) % 400
+        labels = np.array(ids)
+        labels[:, :40] = -100
+        batch = {
+            "inputs_embeds": L.embed_tokens(p, jnp.asarray(ids)),
+            "labels": jnp.asarray(labels),
+        }
+        _, _, metrics = step(p, st, batch, jax.random.PRNGKey(7))
+        losses[impl] = float(metrics["loss"])
+    np.testing.assert_allclose(losses["dense"], losses["prefix_flash"],
+                               rtol=1e-4)
+
+
 def test_matches_model_forward_training_mask():
     """End-to-end: llada.forward(attention_impl='prefix_flash') ==
     default dense path on the tiny config with per-row prefix lengths."""
