@@ -29,6 +29,7 @@ import numpy as np
 from ..config import SigLIPConfig
 from ..ops.attention import dense_attention
 from ..ops.norms import layer_norm
+from ..ops.quant import linear
 
 Params = dict
 
@@ -115,22 +116,24 @@ def forward(
     nh, hd = cfg.num_attention_heads, cfg.head_dim
 
     def layer_fn(h, p_l):
+        # linears go through ops.quant.linear so attached LoRA factors
+        # (SHIRG Extra-LoRA targets early-SigLIP q/k/v, train/lora.py)
+        # actually contribute — a raw `@ kernel` would silently skip them
         r = h
         z = layer_norm(h, p_l["ln1"]["weight"], p_l["ln1"]["bias"], eps)
-        q = z @ p_l["q_proj"]["kernel"] + p_l["q_proj"]["bias"]
-        k = z @ p_l["k_proj"]["kernel"] + p_l["k_proj"]["bias"]
-        v = z @ p_l["v_proj"]["kernel"] + p_l["v_proj"]["bias"]
+        q = linear(z, p_l["q_proj"])
+        k = linear(z, p_l["k_proj"])
+        v = linear(z, p_l["v_proj"])
         T = z.shape[1]
         att = dense_attention(
             q.reshape(N, T, nh, hd), k.reshape(N, T, nh, hd),
             v.reshape(N, T, nh, hd),
         ).reshape(N, T, -1)
-        h = r + (att @ p_l["out_proj"]["kernel"] + p_l["out_proj"]["bias"])
+        h = r + linear(att, p_l["out_proj"])
         r = h
         z = layer_norm(h, p_l["ln2"]["weight"], p_l["ln2"]["bias"], eps)
-        z = jax.nn.gelu(z @ p_l["fc1"]["kernel"] + p_l["fc1"]["bias"],
-                        approximate=True)
-        h = r + (z @ p_l["fc2"]["kernel"] + p_l["fc2"]["bias"])
+        z = jax.nn.gelu(linear(z, p_l["fc1"]), approximate=True)
+        h = r + linear(z, p_l["fc2"])
         return h, None
 
     if remat:

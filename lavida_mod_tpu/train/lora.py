@@ -130,3 +130,88 @@ SHIRG_LORA_ALPHA = 128.0
 SHIRG_LORA_TARGETS = (
     r"(projector|siglip/layers/(q_proj|k_proj|v_proj|out_proj))"
 )
+
+
+def add_shirg_lora(
+    params: dict,
+    key: jax.Array,
+    rank: int = SHIRG_LORA_RANK,
+    alpha: float = SHIRG_LORA_ALPHA,
+    dtype=jnp.float32,
+) -> dict:
+    """Attach the SHIRG Extra-LoRA footprint
+    (shirg/shirg_lora_config.py:82-112): both projector linears, SigLIP
+    blocks 0-3 q/k/v, blocks 4-5 q/k only.
+
+    The SigLIP params are stacked [L, ...]; per-layer targeting is
+    expressed through the per-layer `lora_scale` vector — non-target
+    layers get scale 0, which makes their factors inert (zero forward
+    delta AND zero gradient, so they never move)."""
+    params = add_lora(
+        params, key, rank=rank, alpha=alpha,
+        target_re=r"(projector|siglip/layers/(q_proj|k_proj|v_proj))",
+        dtype=dtype,
+    )
+    sl = params["siglip"]["layers"]
+    L = sl["q_proj"]["lora_scale"].shape[0]
+    qk_mask = (np.arange(L) < 6).astype(np.float32)   # blocks 0-5: q, k
+    v_mask = (np.arange(L) < 4).astype(np.float32)    # blocks 0-3: + v
+    for name, m in (("q_proj", qk_mask), ("k_proj", qk_mask),
+                    ("v_proj", v_mask)):
+        sl[name]["lora_scale"] = (
+            sl[name]["lora_scale"] * jnp.asarray(m, dtype))
+    return params
+
+
+def make_shirg_lora_train_step(
+    cfg,
+    optimizer,
+    *,
+    prefix_lm: bool = True,
+    shirg_method: str = "full",
+    remat: bool = True,
+    mesh=None,
+):
+    """Train step over the SHIRG 2-view data path
+    (shirg/train_shirg_lora.py:86-1145 re-expressed functionally):
+    each sample is (2-view 448px stack -> shirg_encode 980 tokens) ++
+    text embeddings, then the standard complementary-masking diffusion
+    loss.  Gradients flow into the LoRA factors only (the optimizer from
+    make_lora_optimizer zeroes everything else).
+
+    batch: {"pixel_values" [B, 2, C, S, S], "text_ids" [B, Ttxt],
+    "labels" [B, 980 + Ttxt]} — labels carry -100 over the image+prompt
+    region exactly like the reference collator."""
+    from ..models import llada as llada_model
+    from ..models.shirg import shirg_encode
+    from .loss import diffusion_loss
+
+    def encode_one(params, views, key):
+        return shirg_encode(params, cfg, views, method=shirg_method,
+                            key=key)
+
+    def loss_fn(params, batch, key):
+        B = batch["pixel_values"].shape[0]
+        kimg, kloss = jax.random.split(key)
+        img_tokens = jax.vmap(
+            lambda v, k: encode_one(params, v, k),
+            in_axes=(0, 0),
+        )(batch["pixel_values"], jax.random.split(kimg, B))
+        text_emb = llada_model.embed_tokens(
+            params["llada"], batch["text_ids"])
+        embeds = jnp.concatenate(
+            [img_tokens.astype(text_emb.dtype), text_emb], axis=1)
+        return diffusion_loss(
+            params["llada"], cfg.llada, embeds, batch["labels"], kloss,
+            prefix_lm=prefix_lm, remat=remat, mesh=mesh,
+        )
+
+    def train_step(params, opt_state, batch, key):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return train_step
