@@ -633,13 +633,15 @@ def quantize_params(params: Params, bits: int = 8,
     kernel, per-token int8 activations) — half the weight memory and the
     fastest measured config (bench.py default); ~1% logit rel-err, gate
     per checkpoint with scripts/verify_checkpoint.py.  int4 requires
-    unstacked blocks; kernels whose out-dim isn't a multiple of the
-    kernel's 512-column block (e.g. Dream's 151936-vocab head) fall back
-    to int8 per-kernel."""
+    unstacked blocks.  Out-dims that miss the kernel's 512-column block
+    (e.g. Dream's 151936-vocab head) are zero-PADDED and trimmed after
+    the matmul (quantize_linear4 "out_trim"), so every linear rides the
+    int4 path; only kernels whose IN-dim breaks the scale grouping fall
+    back to int8."""
     from ..ops.quant import quantize_linear4
 
     def quant_one(d):
-        if bits == 8 or d["kernel"].shape[-1] % 512 != 0:
+        if bits == 8 or d["kernel"].shape[-2] % group != 0:
             return quantize_linear(d)
         return quantize_linear4(d, group)
 

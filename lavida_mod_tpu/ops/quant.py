@@ -46,11 +46,24 @@ def quantize_linear4(p: dict, group: int = 128) -> dict:
         return p
     k = p["kernel"]
     assert k.ndim == 2, "int4-quantize unstacked (2D) kernels only"
-    packed, scales = quantize_w4_grouped(
-        np.asarray(k, np.float32), group=group
-    )
+    kn = np.asarray(k, np.float32)
+    N = kn.shape[1]
+    # pad the OUT dim to the kernel's 512-column block (e.g. Dream's
+    # 151936-vocab head -> 152064): pad columns are zero weights, so
+    # their logits are exactly 0 and "out_trim" slices them off after
+    # the matmul — this keeps the big head on the int4 path instead of
+    # falling back to int8 (2x the bandwidth-bound weight read).
+    Np = -(-N // 512) * 512
+    if Np != N:
+        kn = np.pad(kn, ((0, 0), (0, Np - N)))
+    packed, scales = quantize_w4_grouped(kn, group=group)
     out = {"kernel_p4": jnp.asarray(packed),
            "scales4": jnp.asarray(scales)}
+    if Np != N:
+        # static metadata: the trim width lives in the KEY (value is an
+        # empty tuple, so it contributes no traced leaf — jit sees it as
+        # pytree structure, keeping the slice width concrete)
+        out[f"__trim_{N}__"] = ()
     if "bias" in p:
         out["bias"] = p["bias"]
     return out
@@ -63,11 +76,15 @@ def _linear_w4(x: jax.Array, p: dict, preferred=None) -> jax.Array:
     group = (K2 * 2) // p["scales4"].shape[0]
     lead = x.shape[:-1]
     x2d = x.reshape(-1, x.shape[-1])
+    trim = next((int(key[7:-2]) for key in p
+                 if key.startswith("__trim_")), None)
     if jax.default_backend() == "tpu":
         y = w4_matmul_grouped(
             x2d.astype(jnp.bfloat16),
             p["kernel_p4"], p["scales4"], group=group,
         )
+        if trim is not None:
+            y = y[:, :trim]
         y = y.astype(preferred) if preferred is not None else y.astype(x.dtype)
     else:
         # CPU fallback mirrors the kernel's W4A8 math (per-token int8
@@ -92,6 +109,8 @@ def _linear_w4(x: jax.Array, p: dict, preferred=None) -> jax.Array:
         y = (jnp.einsum("tgn,gn->tn", acc, p["scales4"]) * sx).astype(
             jnp.bfloat16
         )
+        if trim is not None:
+            y = y[:, :trim]
         y = y.astype(preferred) if preferred is not None else y.astype(x.dtype)
     return y.reshape(lead + (y.shape[-1],))
 

@@ -166,11 +166,12 @@ def test_w4_matmul_grouped_nonpow2_k(interpret=True):
 
 
 def test_quantize_params_int4_vocab_fallback():
-    """Dream's 151936-vocab head is not a multiple of the kernel's
-    512-column block: quantize_params(bits=4) must fall back to int8 for
-    that kernel while 512-multiple kernels go int4."""
+    """Out-dims that miss the 512-column block (Dream's 151936 head) are
+    zero-padded onto the int4 path and trimmed after the matmul; only an
+    in-dim that breaks the scale grouping falls back to int8."""
     import numpy as np
     from lavida_mod_tpu.models.llada import quantize_params
+    from lavida_mod_tpu.ops.quant import linear
 
     rng = np.random.default_rng(0)
     params = {"blocks": [{
@@ -178,8 +179,30 @@ def test_quantize_params_int4_vocab_fallback():
             rng.standard_normal((256, 512)), jnp.float32)},
         "odd_head": {"kernel": jnp.asarray(
             rng.standard_normal((256, 384)), jnp.float32)},
+        "odd_in": {"kernel": jnp.asarray(
+            rng.standard_normal((100, 512)), jnp.float32)},
     }]}
     q = quantize_params(params, bits=4)
     blk = q["blocks"][0]
     assert "kernel_p4" in blk["a"] and "scales4" in blk["a"]
-    assert "kernel_q" in blk["odd_head"] and "scale" in blk["odd_head"]
+    # odd OUT dim: padded int4 + trim metadata, output sliced to 384
+    assert "kernel_p4" in blk["odd_head"]
+    assert blk["odd_head"]["kernel_p4"].shape[1] == 512
+    assert "__trim_384__" in blk["odd_head"]
+    x = jnp.asarray(rng.standard_normal((4, 256)), jnp.float32)
+    y = linear(x, blk["odd_head"])
+    assert y.shape == (4, 384)
+    def rel_err(name):
+        yy = linear(x, blk[name]).astype(jnp.float32)
+        rr = x @ params["blocks"][0][name]["kernel"]
+        return float(jnp.max(jnp.abs(yy - rr)) / jnp.max(jnp.abs(rr)))
+
+    # padding must add NOTHING beyond the inherent W4A8 noise at this
+    # (small-K) geometry — compare against the aligned 512-out kernel
+    assert rel_err("odd_head") < 1.5 * rel_err("a") + 1e-6
+    # odd IN dim (breaks the group-128 scales): int8 fallback
+    assert "kernel_q" in blk["odd_in"] and "scale" in blk["odd_in"]
+    # jit with the quantized tree: trim is static structure, not a leaf
+    import jax
+    jy = jax.jit(lambda p, x: linear(x, p))(blk["odd_head"], x)
+    assert jy.shape == (4, 384)
