@@ -255,7 +255,8 @@ def _remat_group(remat) -> int:
     whole_layer 9.4M < dots_nobatch 19.3M < dots 28.7M < none 58.2M with
     no weight copies.  one_in_N remains available for strict parity.
     """
-    if remat in (False, True, None, "whole_layer") or remat in _REMAT_POLICIES:
+    if remat in (False, True, None, "whole_layer", "nested") \
+            or remat in _REMAT_POLICIES:
         return 1
     if isinstance(remat, str) and remat.startswith("one_in_"):
         return int(remat.split("_")[-1])
@@ -470,8 +471,29 @@ def forward(
 
         scanned = (block_params, None if kv_cache is None
                    else (kv_cache["k"], kv_cache["v"]))
-        group = _remat_group(remat)
-        if group > 1:
+        if remat == "nested":
+            # sqrt-checkpointing: outer scan over G groups whose body is
+            # a CHECKPOINTED inner scan over L/G layers.  Saved boundary
+            # activations drop from L to ~G + L/G (12 instead of 32 at
+            # 8B), the lever that fits stage-2 global-batch 16 on a v5e-8
+            # (NOTES_ROUND3 AOT table); costs one extra forward of
+            # recompute like whole_layer.
+            L = jax.tree.leaves(block_params)[0].shape[0]
+            G = next(g for g in (8, 4, 2, 1)
+                     if L % g == 0 and L // g >= g) if L >= 4 else 1
+            grouped = jax.tree.map(
+                lambda a: a.reshape((G, L // G) + a.shape[1:]), scanned)
+
+            def group_fn(h, g):
+                return jax.lax.scan(layer_fn, h, g)
+
+            x, presents = jax.lax.scan(
+                jax.checkpoint(group_fn, prevent_cse=False), x, grouped)
+            if use_cache:
+                presents = jax.tree.map(
+                    lambda a: a.reshape((L,) + a.shape[2:]), presents)
+        elif _remat_group(remat) > 1:
+            group = _remat_group(remat)
             # one_in_N checkpointing (modeling_llada.py:189-203): remat
             # only every Nth layer — the other N-1 layers keep their
             # activations (less recompute than whole_layer, more memory).

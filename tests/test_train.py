@@ -223,7 +223,7 @@ def test_train_step_sharded_no_involuntary_reshard(capfd):
 
 @pytest.mark.parametrize(
     "strategy", ["whole_layer", "one_in_2", "one_in_4", "dots",
-                 "dots_nobatch"]
+                 "dots_nobatch", "nested"]
 )
 def test_remat_strategies_exact(strategy):
     """one_in_N checkpointing (modeling_llada.py:189-203): logits and

@@ -64,6 +64,13 @@ def main():
                     help="task=path jsonl overrides, comma-separated")
     ap.add_argument("--wandb", action="store_true")
     ap.add_argument("--tokenizer-path", default=None)
+    ap.add_argument("--remat", default="whole_layer",
+                    choices=["whole_layer", "nested", "dots",
+                             "dots_nobatch", "none"],
+                    help="activation checkpointing: whole_layer saves L "
+                         "boundaries; nested (sqrt-checkpointing) saves "
+                         "~2*sqrt(L) — the knob that fits stage-2 "
+                         "global-batch 16 on a v5e-8 (NOTES AOT table)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -172,7 +179,8 @@ def main():
 
     step_fn = jit_train_step(make_multimodal_train_step(
         cfg, opt, prefix_lm=not args.no_prefix_lm, policy=args.t_policy,
-        fim_id=LLADA_FIM_ID if args.fim else None, remat=True, mesh=mesh,
+        fim_id=LLADA_FIM_ID if args.fim else None,
+        remat=(False if args.remat == "none" else args.remat), mesh=mesh,
     ))
 
     logger = MetricsLogger(args.output_dir, use_wandb=args.wandb)
