@@ -72,6 +72,13 @@ def main():
                          "per denoise step) — the reference's cache-off "
                          "protocol rows (BASELINE.md: 6.65s at 100%% NFE, "
                          "3.57s at 50%%)")
+    ap.add_argument("--mixed", action="store_true",
+                    help="mixed-precision serving: per-channel int8 LM "
+                         "weights + int8 activations for the COMPUTE-"
+                         "bound prefill (s8xs8 MXU measured 400 TF/s on "
+                         "v5e - 2.1x the 188 TF bf16 rate), grouped-int4 "
+                         "for the BANDWIDTH-bound decode; both copies "
+                         "fit HBM (7.5G + 1.9G)")
     ap.add_argument("--kv8", action="store_true",
                     help="int8 KV cache + fused Pallas decode attention "
                          "(ops/kv8_attention.py): halves the per-step "
@@ -93,6 +100,16 @@ def main():
                   f"1.0 -> 6.65 s); vs_baseline will use the 50% row",
                   file=sys.stderr)
     import jax
+
+    # persistent compilation cache: the serving executables take minutes
+    # to compile through the remote-compile tunnel; cache them on disk so
+    # repeated bench runs (and the driver's round-end run) start fast
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from lavida_mod_tpu.config import GenerationConfig, LaViDaConfig
@@ -145,6 +162,22 @@ def main():
 
         shapes = _jax.eval_shape(build, _jax.random.PRNGKey(0))
 
+        def q8_zero(d):
+            # per-channel int8 layout (quantize_linear) from shapes
+            if isinstance(d, list):
+                return [q8_zero(x) for x in d]
+            if isinstance(d, dict):
+                if "kernel" in d and len(d["kernel"].shape) == 2:
+                    K, N = d["kernel"].shape
+                    out = {"kernel_q": jnp.zeros((K, N), jnp.int8),
+                           "scale": jnp.zeros((N,), jnp.float32)}
+                    if "bias" in d:
+                        out["bias"] = jnp.zeros(d["bias"].shape,
+                                                d["bias"].dtype)
+                    return out
+                return {k: q8_zero(v) for k, v in d.items()}
+            return jnp.zeros(d.shape, d.dtype)
+
         # build the int4 serving layout straight from shapes (zeros) —
         # actually quantizing 16GB of device zeros round-trips the host
         def q4_zero(d):
@@ -181,6 +214,7 @@ def main():
                 ))
             for k, v in shapes.items()
         }
+        prefill_llada = q8_zero(shapes["llada"]) if args.mixed else None
     else:
         lm_cfg = cfg.llada
         params = LaViDa.zero_init(cfg, jnp.bfloat16, quantized=True).params
@@ -233,6 +267,14 @@ def main():
                     params["llada"], lm_cfg, prefix, dgen, key=key,
                     use_flash_prefill=flash)
             x = jnp.full((1, args.gen_len), mask_id, jnp.int32)
+            if args.mixed:
+                # int8 prefill weights + A8 (s8xs8 MXU), int4 decode
+                return diffusion._generate_cached_fused_body(
+                    prefill_llada, lm_cfg, x, prefix, k_table, block_end,
+                    None, key, temperature=gen.temperature,
+                    remasking=gen.remasking, use_flash=False,
+                    act_int8_prefill=True, use_flash_prefill=flash,
+                    decode_params=params["llada"], kv8=args.kv8)
             return diffusion._generate_cached_fused_body(
                 params["llada"], lm_cfg, x, prefix, k_table, block_end,
                 None, key, temperature=gen.temperature,
@@ -312,6 +354,7 @@ def main():
             (f"s_per_image_{tag}_hd" if B == 1
              else f"s_per_image_{tag}_hd_batch{B}")
             + ("_w4a8" if args.int4 else "_int8")
+            + ("_mixed" if args.mixed else "")
             + ("_kv8" if args.kv8 else "")
             + ("_nocache" if args.no_cache else "")
             + ("_dream" if args.dream else "")

@@ -76,7 +76,8 @@ def main():
         return jax.lax.fori_loop(0, n, body, x0)
 
     n = 16
-    for mode in ("mm", "attn", "attnvpu"):
+    modes = sys.argv[1:] or ["mm"]
+    for mode in modes:
         float(jnp.sum(chain(x0, layers, n, mode)))  # same-n warmup
         t0 = time.perf_counter()
         reps = 3
