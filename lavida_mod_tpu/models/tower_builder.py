@@ -18,8 +18,10 @@ Name-based dispatch, mirroring the reference's live branches:
   - "imagebind" — imagebind_huge vision trunk, CLS dropped
     (imagebind.py:1-73).
 
-eva_clip stays a loud unsupported entry: EVA is commented out of the
-reference's own builder (builder.py:21-24).
+  - "eva" — EVA-CLIP ViT (eva_clip/eva_vit.py; the reference's builder
+    comments EVA out at builder.py:21-24, but ships 13 model configs —
+    rebuilt with the EVA-CLIP-8B geometry as the default, torch-parity
+    tested in tests/test_eva_clip.py).
 """
 
 from __future__ import annotations
@@ -57,11 +59,10 @@ def build_vision_tower(name: str, **kw) -> tuple[object, Callable]:
         cfg = kw.pop("cfg", None) or open_clip.imagebind_huge_vision_config()
         return cfg, open_clip.imagebind_forward
     if "eva" in lname:
-        raise NotImplementedError(
-            f"tower family '{name}' is registered but not implemented: "
-            "EVA is commented out of the reference's own builder "
-            "(builder.py:21-24)"
-        )
+        from . import eva_clip
+
+        cfg = kw.pop("cfg", None) or eva_clip.eva_clip_8b_config()
+        return cfg, eva_clip.forward
     if "clip" in lname:
         from . import clip
 
