@@ -1170,8 +1170,14 @@ def _vcr_task(name: str, ds: str, language: str, post: str):
         rows = [_vcr_score_single(c, pred, language) for c in crossed]
         k = max(len(rows), 1)
         return {
+            # keep per-span sums: the reference aggregates over ALL
+            # (doc, crossed_text) entries flattened, not per-doc means
+            # (vcr_wiki/utils.py vcr_aggregate_results)
             "jaccard": sum(r["jaccard"] for r in rows) / k,
             "exact_match": sum(r["exact_match"] for r in rows) / k,
+            "_jaccard_sum": sum(r["jaccard"] for r in rows),
+            "_exact_sum": sum(r["exact_match"] for r in rows),
+            "_n_spans": k,
             "prediction": pred,
         }
 
@@ -1186,9 +1192,10 @@ def _vcr_task(name: str, ds: str, language: str, post: str):
         doc_mapper=lambda d, _p=post: {**d, "text": _p},
         score_doc=score,
         aggregate=lambda rows: {
-            "jaccard": sum(r["jaccard"] for r in rows) / max(len(rows), 1),
-            "exact_match": (sum(r["exact_match"] for r in rows)
-                            / max(len(rows), 1)),
+            "jaccard": (sum(r["_jaccard_sum"] for r in rows)
+                        / max(sum(r["_n_spans"] for r in rows), 1)),
+            "exact_match": (sum(r["_exact_sum"] for r in rows)
+                            / max(sum(r["_n_spans"] for r in rows), 1)),
         },
     ))
 

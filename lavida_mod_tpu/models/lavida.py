@@ -152,7 +152,7 @@ def merge_lora_state(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "gen_length", "temperature", "remasking",
-                     "use_flash_prefill"),
+                     "use_flash_prefill", "kv8"),
 )
 def _fused_predict(
     params,
@@ -168,6 +168,7 @@ def _fused_predict(
     remasking: str,
     prefix_valid: Optional[jax.Array] = None,
     use_flash_prefill: bool = False,
+    kv8: bool = False,
 ):
     from ..generation.diffusion import _generate_cached_fused_body
     from . import multimodal as mm
@@ -179,7 +180,7 @@ def _fused_predict(
     return _generate_cached_fused_body(
         params["llada"], cfg.llada, x, prefix, k_table, block_end,
         prefix_valid, key, temperature, remasking, False,
-        use_flash_prefill=use_flash_prefill,
+        use_flash_prefill=use_flash_prefill, kv8=kv8,
     )
 
 
@@ -299,6 +300,7 @@ class LaViDa:
         image_features: Optional[Sequence[jax.Array]] = None,
         prefix_bucket: Optional[int] = None,
         use_flash: bool = False,
+        kv8: bool = False,
     ) -> np.ndarray:
         """predict.py-equivalent single-sample generation. Returns [G] ids.
 
@@ -343,7 +345,7 @@ class LaViDa:
                 if draft_tokens is not None else None
             ),
             prefix_valid=prefix_valid,
-            key=key, use_flash=use_flash,
+            key=key, use_flash=use_flash, kv8=kv8,
         )
         return np.asarray(out)[0]
 
@@ -356,6 +358,7 @@ class LaViDa:
         key: Optional[jax.Array] = None,
         prefix_bucket: Optional[int] = None,
         use_flash_prefill: bool = False,
+        kv8: bool = False,
     ) -> np.ndarray:
         """Single-executable inference: vision encode + gather-splice +
         prefill + denoise scan all in one dispatch (the serving hot path —
@@ -406,6 +409,7 @@ class LaViDa:
             gen_length=G, temperature=gen.temperature,
             remasking=gen.remasking, prefix_valid=prefix_valid,
             use_flash_prefill=use_flash_prefill,
+            kv8=kv8,
         )
         return np.asarray(out)[0]
 

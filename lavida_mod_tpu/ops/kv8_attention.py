@@ -100,6 +100,9 @@ def kv8_decode_attention(
     hd=128 -> 2x136 KB int8), so no online softmax is needed."""
     B, T, H, hd = q.shape
     S = k8.shape[2]
+    assert k8.shape[1] == H, (
+        "kv8 decode attention is MHA-only (Hq == Hkv); GQA models keep "
+        "the bf16 cache path")
     scale = 1.0 / (hd ** 0.5)
     if kv_valid is None:
         valid = jnp.ones((B, 1, S), jnp.int32)
