@@ -70,6 +70,7 @@ class LavidaEvalModel:
         conv_template: str = "llada",
         mc_num: int = 16,
         prefix_bucket: Optional[int] = 128,
+        kv8: bool = False,
     ):
         self.model = model
         self.tokenizer = tokenizer
@@ -78,6 +79,9 @@ class LavidaEvalModel:
         # pad prompt lengths to buckets so a task sweep compiles O(1)
         # executables instead of one per prompt length
         self.prefix_bucket = prefix_bucket
+        # int8 KV cache + fused decode attention (MHA families; see
+        # ops/kv8_attention.py) — the bench --kv8 serving configuration
+        self.kv8 = kv8
         self.processor = SigLIPImageProcessor(
             size=model.cfg.vision.siglip.image_size
         )
@@ -128,7 +132,7 @@ class LavidaEvalModel:
             # token-exact vs generate() (tests/test_bucketing.py)
             out = model.generate_fused(
                 input_ids, views, sizes, gen,
-                prefix_bucket=self.prefix_bucket,
+                prefix_bucket=self.prefix_bucket, kv8=self.kv8,
             )
         else:
             out = model.generate(
@@ -201,7 +205,7 @@ class LavidaEvalModel:
             valid[b, Pb - n:] = True
         out = diffusion.generate(
             self.model.params["llada"], self.model.cfg.llada, batch, gen,
-            prefix_valid=jnp.asarray(valid),
+            prefix_valid=jnp.asarray(valid), kv8=self.kv8,
         )
         dt = time.perf_counter() - t0
         self.latencies.extend([dt / B] * B)
