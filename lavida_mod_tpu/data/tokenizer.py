@@ -93,6 +93,17 @@ class ByteLevelBPE:
                 ) + ")"
             )
         self._bpe_cache: dict[str, list[str]] = {}
+        # optional native merge engine (csrc/bpe.cpp via data/native.py):
+        # the Python regex / NFC / byte-mapping stays here, the rank-
+        # driven merge loop runs in C++ — transparent fallback when the
+        # toolchain is absent
+        self._native = None
+        try:
+            from .native import load_bpe_native
+
+            self._native = load_bpe_native(self.vocab, merges)
+        except Exception:
+            self._native = None
 
     # -- core BPE ------------------------------------------------------
 
@@ -127,6 +138,12 @@ class ByteLevelBPE:
         import unicodedata
 
         text = unicodedata.normalize("NFC", text)
+        if self._native is not None:
+            words = [
+                [self.vocab[self.b2u[b]] for b in tok.encode("utf-8")]
+                for tok in self.pat.findall(text)
+            ]
+            return self._native.apply(words)
         ids = []
         for tok in self.pat.findall(text):
             mapped = "".join(self.b2u[b] for b in tok.encode("utf-8"))

@@ -98,3 +98,34 @@ def test_special_tokens_split(ckpt_dir):
     assert "<|im_start|>" in kept and "<|im_end|>" in kept
     fast = load_tokenizer(ckpt_dir)
     assert fast.encode(text) == ids
+
+
+def test_native_bpe_matches_python_path():
+    """The C++ merge engine (csrc/bpe.cpp) must be token-exact vs the
+    pure-python _bpe loop on the same tokenizer, and actually be active
+    when the toolchain is available."""
+    import lavida_mod_tpu.data.tokenizer as T
+
+    tok = _mk_tiny_tokenizer() if "_mk_tiny_tokenizer" in dir() else None
+    if tok is None:
+        # build a small byte-level BPE by training-free construction:
+        # single-byte vocab + a few merges
+        b2u = T.bytes_to_unicode()
+        vocab = {u: i for i, u in enumerate(b2u.values())}
+        def u(s):
+            return "".join(b2u[b] for b in s.encode())
+        merges = [(u("t"), u("h")), (u("th"), u("e")), (u(" "), u("the")),
+                  (u("i"), u("n")), (u("a"), u("n")), (u("an"), u("d"))]
+        for l, r in merges:
+            vocab.setdefault(l + r, len(vocab))
+        tok = T.ByteLevelBPE(vocab, merges)
+    assert tok._native is not None, "native BPE engine failed to load"
+    texts = ["the theme and then the other thing in an odd and theatrical "
+             "in-between", "and", "", "  the  in  ", "xyzé中"]
+    for t in texts:
+        native_ids = tok._encode_ordinary(t)
+        tok2 = T.ByteLevelBPE(dict(tok.vocab), list(
+            sorted(tok.ranks, key=tok.ranks.get)))
+        tok2._native = None  # force the python path
+        py_ids = tok2._encode_ordinary(t)
+        assert native_ids == py_ids, (t, native_ids, py_ids)
