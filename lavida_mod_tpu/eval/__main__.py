@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--gen-kwargs", default="")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--mc-num", type=int, default=16)
+    ap.add_argument("--kv8", action="store_true",
+                    help="int8 KV cache + fused decode attention (MHA "
+                         "families; bench --kv8 serving configuration)")
     ap.add_argument("--log-samples", action="store_true")
     ap.add_argument("--output", default=None)
     ap.add_argument("--output-dir", default=None,
@@ -102,7 +105,7 @@ def main():
     adapter = LavidaEvalModel(
         model, tokenizer,
         conv_template=args.conv_template or args.lm_family,
-        mc_num=args.mc_num,
+        mc_num=args.mc_num, kv8=args.kv8,
     )
     data_paths = {}
     if args.data_path:
