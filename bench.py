@@ -207,14 +207,23 @@ def main():
                 return {k: q4_zero(v) for k, v in d.items()}
             return jnp.zeros(d.shape, d.dtype)
 
-        params = {
-            k: (q4_zero(v) if k == "llada"
-                else _jax.tree.map(
-                    lambda sh: jnp.zeros(sh.shape, sh.dtype), v
-                ))
-            for k, v in shapes.items()
-        }
-        prefill_llada = q8_zero(shapes["llada"]) if args.mixed else None
+        # materialize ALL zero arrays in ONE jitted dispatch: eager
+        # jnp.zeros per leaf costs a tunnel RPC each (~900 leaves for the
+        # mixed two-tree layout was ~10 min of pure round-trips)
+        def build_zero_trees():
+            params = {
+                k: (q4_zero(v) if k == "llada"
+                    else _jax.tree.map(
+                        lambda sh: jnp.zeros(sh.shape, sh.dtype), v
+                    ))
+                for k, v in shapes.items()
+            }
+            prefill = q8_zero(shapes["llada"]) if args.mixed else ()
+            return params, prefill
+
+        params, prefill_llada = _jax.jit(build_zero_trees)()
+        if not args.mixed:
+            prefill_llada = None
     else:
         lm_cfg = cfg.llada
         params = LaViDa.zero_init(cfg, jnp.bfloat16, quantized=True).params
