@@ -74,7 +74,8 @@ def test_tower_builder_dispatch():
     assert cfg.hidden_size == 1152
     cfg, fn = build_vision_tower("openai/clip-vit-large-patch14-336")
     assert cfg.hidden_size == 1024
-    with pytest.raises(NotImplementedError):
-        build_vision_tower("eva_clip_g")
+    # eva is a real tower as of round 3 (models/eva_clip.py)
+    ecfg, efwd = build_vision_tower("eva_clip_g")
+    assert efwd.__module__.endswith("eva_clip")
     with pytest.raises(ValueError):
         build_vision_tower("resnet50")

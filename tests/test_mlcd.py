@@ -104,9 +104,6 @@ def test_tower_builder_dispatch(tmp_path):
     cfg, fwd = build_vision_tower(f"hf:{d}")
     assert cfg.hidden_size == 64 and fwd.__module__.endswith("clip")
 
-    import pytest as _pytest
-
-    # open_clip is implemented as of round 2 (models/open_clip.py);
-    # eva remains the loud-unsupported entry (reference builder.py:21-24)
-    with _pytest.raises(NotImplementedError):
-        build_vision_tower("eva_clip_g")
+    # eva is implemented as of round 3 (models/eva_clip.py)
+    ecfg, efwd = build_vision_tower("eva_clip_g")
+    assert efwd.__module__.endswith("eva_clip")

@@ -155,5 +155,6 @@ def test_tower_builder_dispatch():
     cfg, fwd = build_vision_tower("imagebind_huge")
     assert cfg.image_size == 224 and fwd is oc.imagebind_forward
 
-    with pytest.raises(NotImplementedError):
-        build_vision_tower("eva_clip_g")
+    # eva dispatches to the round-3 tower (models/eva_clip.py)
+    ecfg, efwd = build_vision_tower("eva_clip_g")
+    assert ecfg.width == 4096 and efwd.__module__.endswith("eva_clip")
