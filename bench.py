@@ -331,12 +331,13 @@ def main():
             out = diffusion.generate_chunked_prefill(
                 params["llada"], lm_cfg, prefix, gen, chunk=chunk,
                 use_flash_prefill=not args.no_flash_prefill,
+                kv8=args.kv8,
             )
         else:
             out = diffusion.generate(
                 params["llada"], lm_cfg, prefix, gen,
                 use_flash_prefill=not args.no_flash_prefill,
-                dllm_cache=args.dllm,
+                dllm_cache=args.dllm, kv8=args.kv8,
             )
         # the axon tunnel executes async: block_until_ready alone can
         # return before remote completion — force a host fetch of a

@@ -288,6 +288,7 @@ def generate_chunked_prefill(
     prefix_valid: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
     use_flash_prefill: bool = False,
+    kv8: bool = False,
 ):
     """Large-batch serving: prefill in fixed `chunk`-size slices (ONE
     compile, reused; the monolithic B=8 prefill graph blows XLA's compile
@@ -333,7 +334,7 @@ def generate_chunked_prefill(
         jnp.asarray(k_table), jnp.asarray(block_end), positions,
         prefix_valid, key,
         temperature=gen.temperature, remasking=gen.remasking,
-        use_flash=False,
+        use_flash=False, kv8=kv8,
     )
 
 
