@@ -1,0 +1,137 @@
+"""Pallas TPU kernel: fused W8A8 matmul with in-kernel scale epilogue.
+
+Why this exists (round-4 perf map, NOTES_ROUND4.md): the compute-bound
+prefill runs ~170 ms against a ~40 ms raw-dot floor (s8xs8 MXU measured
+400 TOPS on v5e).  The XLA formulation of the A8 path
+(`ops/quant.py::linear_act_int8`) materializes an int32 accumulator
+[T, N] in HBM and re-reads it for the f32 `acc * sx * scale` epilogue —
+at the prefill shapes that is ~150 MB of extra HBM round-trips per big
+matmul, plus whatever fusion boundaries XLA picks around the quantized
+dot.  This kernel keeps the accumulator in VMEM and applies the whole
+epilogue (row scale x column scale -> bf16) before anything is written.
+
+Design (v5e):
+  - grid = (N/block_n, T/block_t) with t innermost, so each weight block
+    is fetched from HBM exactly ONCE per call (weights dominate traffic:
+    at [4096, 12288] the s8 weight is 48 MB vs 4.5 MB of activations);
+  - full-K dots: no k-grid, so no accumulator carries between grid steps
+    (K<=9472 at the LLaDA/Dream shapes; the x block [bt, K] int8 and one
+    [K, bn] weight block both fit VMEM comfortably);
+  - activation quantization happens OUTSIDE the kernel: it is one fused
+    VPU pass that XLA merges into the producing op, and keeping it out
+    lets the same (x8, sx) pair feed the q/k/v + ff matmuls of a block
+    without re-quantizing.
+
+The reference serves fp16/bf16 via HF transformers (SURVEY.md §2.9;
+llava/model/builder.py:62-123 loads bitsandbytes 8-bit at most) — this
+int8-activation serving path has no reference counterpart; parity is
+against `ops/quant.py::linear_act_int8`'s XLA math, tested in
+tests/test_pallas_w8.py (interpret mode, CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_act_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Dynamic per-token symmetric int8: [.., K] -> (int8 [.., K],
+    f32 scale [.., 1]).  Matches linear_act_int8's quantization exactly."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax / 127.0, 1e-8)
+    x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return x8, sx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "block_n", "interpret")
+)
+def w8a8_matmul(
+    x8: jax.Array,       # [T, K] int8 (quantize_act_int8)
+    sx: jax.Array,       # [T, 1] f32 per-token scale
+    w8: jax.Array,       # [K, N] int8 (quantize_linear kernel_q)
+    scale: jax.Array,    # [N] f32 per-out-channel scale
+    block_t: int = 384,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """(x8 @ w8) * sx * scale -> [T, N] bf16, epilogue fused in-VMEM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, K = x8.shape
+    N = w8.shape[1]
+    assert w8.shape[0] == K and scale.shape == (N,), (x8.shape, w8.shape)
+    if N % block_n:
+        block_n = next(b for b in (512, 256, 128) if N % b == 0)
+    if T <= 256:
+        block_t = T
+    elif T % block_t:
+        block_t = next((t for t in (288, 384, 256, 512) if T % t == 0),
+                       block_t)
+    Tp = -(-T // block_t) * block_t
+    if Tp != T:
+        x8 = jnp.pad(x8, ((0, Tp - T), (0, 0)))
+        sx = jnp.pad(sx, ((0, Tp - T), (0, 0)), constant_values=1.0)
+
+    def kernel(x_ref, sx_ref, w_ref, s_ref, o_ref):
+        acc = jax.lax.dot_general(
+            x_ref[...], w_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        o_ref[...] = (
+            acc.astype(jnp.float32)
+            * sx_ref[...].astype(jnp.float32)
+            * s_ref[...].astype(jnp.float32)
+        ).astype(jnp.bfloat16)
+
+    out = pl.pallas_call(
+        kernel,
+        # t innermost: the (n-indexed) weight block stays resident across
+        # the t sweep -> W read once per call
+        grid=(N // block_n, Tp // block_t),
+        in_specs=[
+            pl.BlockSpec((block_t, K), lambda n, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, 1), lambda n, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, block_n), lambda n, t: (0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda n, t: (0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_t, block_n), lambda n, t: (t, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp, N), jnp.bfloat16),
+        interpret=interpret,
+    )(x8, sx, w8, scale[None])
+    return out[:T]
+
+
+def linear_w8a8(x: jax.Array, p: dict, preferred=None,
+                interpret: bool = False) -> jax.Array:
+    """Drop-in for `ops/quant.py::linear_act_int8` on int8-quantized
+    params, routed through the fused Pallas kernel.  Handles leading
+    batch dims, bias, and LoRA factors identically."""
+    assert "kernel_q" in p
+    lead = x.shape[:-1]
+    x2d = x.reshape(-1, x.shape[-1])
+    x8, sx = quantize_act_int8(x2d)
+    y = w8a8_matmul(x8, sx, p["kernel_q"], p["scale"],
+                    interpret=interpret)
+    y = y.reshape(lead + (y.shape[-1],))
+    if preferred is not None:
+        y = y.astype(preferred)
+    else:
+        y = y.astype(x.dtype)
+    if "lora_a" in p:
+        delta = (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
+        y = y + delta.astype(y.dtype) * p["lora_scale"].astype(y.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y

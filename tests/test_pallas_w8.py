@@ -1,0 +1,75 @@
+"""Fused W8A8 matmul kernel tests (interpret mode; chip validation in
+scripts/probes/_w8a8_fused_chip.py — see ops/pallas_w8.py)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from lavida_mod_tpu.ops.pallas_w8 import (
+    linear_w8a8, quantize_act_int8, w8a8_matmul,
+)
+from lavida_mod_tpu.ops.quant import linear_act_int8, quantize_linear
+
+
+def _mk(rng, T, K, N):
+    x = rng.standard_normal((T, K)).astype(np.float32)
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    p = quantize_linear({"kernel": jnp.asarray(w)})
+    return jnp.asarray(x, jnp.bfloat16), p
+
+
+def test_w8a8_matches_xla_act_int8():
+    """Kernel output == linear_act_int8 (same quant math, fused)."""
+    rng = np.random.default_rng(0)
+    x, p = _mk(rng, T=8, K=256, N=256)
+    ref = linear_act_int8(x, p)
+    x8, sx = quantize_act_int8(x)
+    out = w8a8_matmul(x8, sx, p["kernel_q"], p["scale"],
+                      block_t=8, block_n=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=1e-3,
+    )
+
+
+def test_w8a8_pads_ragged_t():
+    """T not divisible by block_t pads and trims exactly."""
+    rng = np.random.default_rng(1)
+    x, p = _mk(rng, T=300, K=128, N=128)
+    x8, sx = quantize_act_int8(x)
+    out = w8a8_matmul(x8, sx, p["kernel_q"], p["scale"],
+                      block_t=256, block_n=128, interpret=True)
+    assert out.shape == (300, 128)
+    ref = linear_act_int8(x, p)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=1e-3,
+    )
+
+
+def test_linear_w8a8_wrapper_bias_and_batch_dims():
+    rng = np.random.default_rng(2)
+    x, p = _mk(rng, T=16, K=128, N=256)
+    p = dict(p, bias=jnp.asarray(rng.standard_normal(256), jnp.float32))
+    xb = x.reshape(2, 8, 128)
+    out = linear_w8a8(xb, p, interpret=True)
+    ref = linear_act_int8(xb, p)
+    assert out.shape == (2, 8, 256) and out.dtype == ref.dtype
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_linear_w8a8_quality_vs_f32():
+    """End-to-end W8A8 error vs the f32 product stays ~sub-1%."""
+    rng = np.random.default_rng(3)
+    T, K, N = 32, 512, 256
+    x = rng.standard_normal((T, K)).astype(np.float32)
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.02
+    p = quantize_linear({"kernel": jnp.asarray(w)})
+    out = linear_w8a8(jnp.asarray(x, jnp.bfloat16), p, interpret=True)
+    ref = x @ w
+    rel = np.abs(np.asarray(out, np.float32) - ref).max() / (
+        np.abs(ref).max() + 1e-9)
+    assert rel < 0.02, rel
