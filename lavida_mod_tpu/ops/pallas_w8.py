@@ -1,26 +1,26 @@
 """Pallas TPU kernel: fused W8A8 matmul with in-kernel scale epilogue.
 
 Why this exists (round-4 perf map, NOTES_ROUND4.md): the compute-bound
-prefill runs ~170 ms against a ~40 ms raw-dot floor (s8xs8 MXU measured
-400 TOPS on v5e).  The XLA formulation of the A8 path
-(`ops/quant.py::linear_act_int8`) materializes an int32 accumulator
-[T, N] in HBM and re-reads it for the f32 `acc * sx * scale` epilogue —
-at the prefill shapes that is ~150 MB of extra HBM round-trips per big
-matmul, plus whatever fusion boundaries XLA picks around the quantized
-dot.  This kernel keeps the accumulator in VMEM and applies the whole
-epilogue (row scale x column scale -> bf16) before anything is written.
+prefill's A8 path (`ops/quant.py::linear_act_int8`) lets XLA materialize
+an int32 accumulator [T, N] in HBM and re-read it for the f32
+`acc * sx * scale` epilogue — at prefill shapes that is ~150 MB of extra
+HBM round-trips per big matmul, plus whatever fusion boundaries XLA
+picks around the quantized dot.  This kernel keeps the accumulator in
+VMEM and applies the whole epilogue (row scale x column scale -> bf16)
+before anything is written.
 
 Design (v5e):
-  - grid = (N/block_n, T/block_t) with t innermost, so each weight block
-    is fetched from HBM exactly ONCE per call (weights dominate traffic:
-    at [4096, 12288] the s8 weight is 48 MB vs 4.5 MB of activations);
-  - full-K dots: no k-grid, so no accumulator carries between grid steps
-    (K<=9472 at the LLaDA/Dream shapes; the x block [bt, K] int8 and one
-    [K, bn] weight block both fit VMEM comfortably);
+  - grid = (N/bn, K/bk, T/bt), t innermost then k: each weight block is
+    fetched from HBM exactly ONCE per call (weights dominate traffic);
+    the activation blocks are re-streamed per k step, but x8 is ~10x
+    smaller than w8 at the serving shapes;
+  - accumulation lives in a persistent VMEM scratch [Tp, bn] int32 that
+    survives the t sweep of every k step (k-blocked so the [bt, K] x
+    [K, bn] operands never exceed the 16M scoped-VMEM budget — a full-K
+    variant OOMs at K=12288, measured);
   - activation quantization happens OUTSIDE the kernel: it is one fused
     VPU pass that XLA merges into the producing op, and keeping it out
-    lets the same (x8, sx) pair feed the q/k/v + ff matmuls of a block
-    without re-quantizing.
+    lets one (x8, sx) pair feed several matmuls without re-quantizing.
 
 The reference serves fp16/bf16 via HF transformers (SURVEY.md §2.9;
 llava/model/builder.py:62-123 loads bitsandbytes 8-bit at most) — this
@@ -77,37 +77,61 @@ def w8a8_matmul(
     if Tp != T:
         x8 = jnp.pad(x8, ((0, Tp - T), (0, 0)))
         sx = jnp.pad(sx, ((0, Tp - T), (0, 0)), constant_values=1.0)
+    # largest power-of-two k block <= 4096 dividing K (pow2 only: ragged
+    # k blocks explode Mosaic compile time — pallas_w4.py, measured)
+    block_k = next(b for b in (4096, 2048, 1024, 512, 256, 128)
+                   if K % b == 0)
+    nk = K // block_k
+    nt = Tp // block_t
 
-    def kernel(x_ref, sx_ref, w_ref, s_ref, o_ref):
-        acc = jax.lax.dot_general(
+    def kernel(x_ref, sx_ref, w_ref, s_ref, o_ref, acc_ref):
+        ki = pl.program_id(1)
+        ti = pl.program_id(2)
+        sl = pl.ds(ti * block_t, block_t)
+        d = jax.lax.dot_general(
             x_ref[...], w_ref[...],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        o_ref[...] = (
-            acc.astype(jnp.float32)
-            * sx_ref[...].astype(jnp.float32)
-            * s_ref[...].astype(jnp.float32)
-        ).astype(jnp.bfloat16)
+
+        @pl.when(ki == 0)
+        def _():
+            acc_ref[sl, :] = d
+
+        @pl.when(ki > 0)
+        def _():
+            acc_ref[sl, :] += d
+
+        @pl.when(ki == nk - 1)
+        def _():
+            o_ref[...] = (
+                acc_ref[sl, :].astype(jnp.float32)
+                * sx_ref[...].astype(jnp.float32)
+                * s_ref[...].astype(jnp.float32)
+            ).astype(jnp.bfloat16)
 
     out = pl.pallas_call(
         kernel,
-        # t innermost: the (n-indexed) weight block stays resident across
-        # the t sweep -> W read once per call
-        grid=(N // block_n, Tp // block_t),
+        # t innermost, then k: the (n,k)-indexed weight block advances
+        # monotonically -> W is read from HBM exactly once per call
+        grid=(N // block_n, nk, nt),
         in_specs=[
-            pl.BlockSpec((block_t, K), lambda n, t: (t, 0),
+            pl.BlockSpec((block_t, block_k), lambda n, k, t: (t, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, 1), lambda n, t: (t, 0),
+            pl.BlockSpec((block_t, 1), lambda n, k, t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, block_n), lambda n, t: (0, n),
+            pl.BlockSpec((block_k, block_n), lambda n, k, t: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda n, t: (0, n),
+            pl.BlockSpec((1, block_n), lambda n, k, t: (0, n),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_t, block_n), lambda n, t: (t, n),
+        out_specs=pl.BlockSpec((block_t, block_n), lambda n, k, t: (t, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tp, N), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((Tp, block_n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
         interpret=interpret,
     )(x8, sx, w8, scale[None])
     return out[:T]

@@ -1,13 +1,17 @@
 """Chip probe: decode-step matmul chain at T=32 — what fraction of the
-int4 weight-read floor does the W4A8 kernel actually achieve in-chain?
+int4 weight-read floor does the W4A8 kernel achieve?
 
-Usage: python _decode_mm_chain.py {w4|w4h|xla8} [reps]
-  w4   = 32 layers x 4 fused-layout matmuls (att_proj/attn_out/ff/down)
-  w4h  = w4 + the int4 logits head (126464-vocab) + argmax
-  xla8 = same chain with weight-only int8 via XLA (2x the weight bytes)
+Usage: python _decode_mm_chain.py {w4|w4h|xla8}
 
-Floors at 819 GB/s: w4 blocks 3.49 GB -> 4.26 ms; +head 259 MB -> 4.58.
-One variant per process; n-delta with real dependencies.
+Protocol (measurement law v3): the 32-layer chain repeats n times INSIDE
+one executable via fori_loop with a TRACED bound (one executable for all
+n), and the device time per chain is the delta (t(n_hi)-t(n_lo))/(hi-lo)
+of single-call walls — per-call RPC round trips cancel in the delta.
+(Per-call timings through the async axon tunnel carry ~15-40 ms of RPC;
+deltas over separate python calls do NOT cancel it — that poisoned the
+first version of this probe.)
+
+Floors at 819 GB/s: blocks 3.49 GB -> 4.26 ms; +head 259 MB -> 4.58.
 """
 import sys
 import time
@@ -21,7 +25,6 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 variant = sys.argv[1] if len(sys.argv) > 1 else "w4"
-reps_hi = int(sys.argv[2]) if len(sys.argv) > 2 else 40
 
 assert jax.default_backend() != "cpu", jax.default_backend()
 print("backend:", jax.default_backend(), "variant:", variant, flush=True)
@@ -53,37 +56,49 @@ from lavida_mod_tpu.ops.quant import linear  # noqa: E402
 
 
 @jax.jit
-def one(layers, head, x):
-    for lp in layers:
-        qkv = linear(x, lp["qkv"])
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        a = q + k * 0.5 + v * 0.25
-        x = x + linear(a, lp["o"])
-        h = linear(x, lp["ff"])
-        hh, gate = jnp.split(h, 2, axis=-1)
-        x = x + linear(jax.nn.silu(gate) * hh, lp["down"])
-    if variant == "w4h":
-        logits = linear(x, head, preferred=jnp.float32)
-        tok = jnp.argmax(logits, axis=-1)
-        x = x + tok[:, None].astype(x.dtype) * 1e-6
-    return x
+def chain(layers, head, x, n):
+    def body(i, x):
+        x = x + i * 1e-9
+        for lp in layers:
+            qkv = linear(x, lp["qkv"])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            a = q + k * 0.5 + v * 0.25
+            x = x + linear(a, lp["o"])
+            h = linear(x, lp["ff"])
+            hh, gate = jnp.split(h, 2, axis=-1)
+            x = x + linear(jax.nn.silu(gate) * hh, lp["down"])
+        if variant == "w4h":
+            logits = linear(x, head, preferred=jnp.float32)
+            tok = jnp.argmax(logits, axis=-1)
+            x = x + tok[:, None].astype(x.dtype) * 1e-9
+        return x * 0.999
+    return jax.lax.fori_loop(0, n, body, x)
 
 
 rng = np.random.default_rng(0)
 x0 = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
 t0 = time.perf_counter()
-float(jnp.sum(one(layers, head, x0)))
+float(jnp.sum(chain(layers, head, x0, 2)))
 print("compile+first:", round(time.perf_counter() - t0, 1), flush=True)
-for reps in (10, reps_hi):
-    t0 = time.perf_counter()
+
+gb = L * (D * 3 * D + D * D + D * 2 * H + H * D) / 2 / 1e9
+if variant == "w4h":
+    gb += D * V / 2 / 1e9
+if variant == "xla8":
+    gb *= 2
+
+
+def timed(n, reps=3):
+    ts = []
     for i in range(reps):
-        float(jnp.sum(one(layers, head, x0 + i * 1e-6)))
-    per = (time.perf_counter() - t0) / reps
-    gb = L * (D * 3 * D + D * D + D * 2 * H + H * D) / 2 / 1e9
-    if variant == "w4h":
-        gb += D * V / 2 / 1e9
-    if variant == "xla8":
-        gb *= 2
-    print(f"{variant} n={reps}: {per*1e3:.2f} ms/call  "
-          f"({gb / per:.0f} GB/s achieved on {gb:.2f} GB weights)",
-          flush=True)
+        t0 = time.perf_counter()
+        float(jnp.sum(chain(layers, head, x0 + i * 1e-6, n)))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+t_lo, t_hi = timed(2), timed(10)
+per = (t_hi - t_lo) / 8
+print(f"{variant}: chain device time {per*1e3:.2f} ms "
+      f"({gb/per:.0f} GB/s on {gb:.2f} GB weights; "
+      f"lo={t_lo*1e3:.1f} hi={t_hi*1e3:.1f})", flush=True)

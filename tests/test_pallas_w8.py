@@ -61,6 +61,21 @@ def test_linear_w8a8_wrapper_bias_and_batch_dims():
     )
 
 
+def test_w8a8_multi_k_and_t_blocks():
+    """K=8192 -> nk=2 k-steps; T=300 -> 2 padded t-blocks: exercises the
+    persistent accumulator scratch across the (k, t) sweep."""
+    rng = np.random.default_rng(4)
+    x, p = _mk(rng, T=300, K=8192, N=128)
+    x8, sx = quantize_act_int8(x)
+    out = w8a8_matmul(x8, sx, p["kernel_q"], p["scale"],
+                      block_t=256, block_n=128, interpret=True)
+    ref = linear_act_int8(x, p)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=1e-2,
+    )
+
+
 def test_linear_w8a8_quality_vs_f32():
     """End-to-end W8A8 error vs the f32 product stays ~sub-1%."""
     rng = np.random.default_rng(3)
