@@ -102,6 +102,17 @@ def flash_attention(
     """
     B, T, Hq, hd = q.shape
     S, Hkv = k.shape[1], k.shape[2]
+    if -(-S // 128) * 128 <= 4096:
+        # VMEM-resident regime (serving prefill, T ~= 1k): the one-shot
+        # kernel beats the streaming flash kernel ~4x here — whole-head
+        # K/V and the full f32 score tile fit in VMEM, so the online-
+        # softmax machinery is pure overhead (ops/short_attention.py).
+        from .short_attention import short_attention
+
+        return short_attention(
+            q, k, v, segment_ids_q, segment_ids_kv,
+            interpret=jax.default_backend() != "tpu",
+        )
     if Hq != Hkv:
         rep = Hq // Hkv
         k = jnp.repeat(k, rep, axis=2)
