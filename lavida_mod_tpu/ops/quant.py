@@ -145,9 +145,21 @@ def linear_act_int8(x: jax.Array, p: dict, preferred=None) -> jax.Array:
     MXU matmul (2x bf16 rate on v5e).  Opt-in prefill path: the compute-
     bound prefill doubles throughput; expect ~0.2-0.5% logit error from the
     activation quantization (weight-only stays the default).
-    Falls back to `linear` when the weight isn't quantized."""
+    Falls back to `linear` when the weight isn't quantized.
+
+    On TPU, kernel-friendly shapes route through the fused Pallas kernel
+    (ops/pallas_w8.py): the int32 accumulator and the f32 sx*scale
+    epilogue stay in VMEM instead of round-tripping ~150 MB/matmul of
+    intermediates through HBM (32-layer prefill chain measured 77 ms XLA
+    -> 51 ms fused, 287 TOPS)."""
     if "kernel_q" not in p:
         return linear(x, p, preferred)
+    K, N = p["kernel_q"].shape[-2], p["kernel_q"].shape[-1]
+    if (jax.default_backend() == "tpu" and p["kernel_q"].ndim == 2
+            and K % 128 == 0 and N % 128 == 0):
+        from .pallas_w8 import linear_w8a8
+
+        return linear_w8a8(x, p, preferred)
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     sx = jnp.maximum(amax / 127.0, 1e-8)
