@@ -79,6 +79,12 @@ def main():
                          "v5e - 2.1x the 188 TF bf16 rate), grouped-int4 "
                          "for the BANDWIDTH-bound decode; both copies "
                          "fit HBM (7.5G + 1.9G)")
+    ap.add_argument("--vision-int8", action="store_true",
+                    help="int8 SigLIP tower weights + per-token int8 "
+                         "activations (s8xs8 MXU, fused Pallas epilogue "
+                         "where shapes allow): the compute-bound 5-view "
+                         "anyres encode at 2x the bf16 rate; gate per "
+                         "checkpoint like W4A8")
     ap.add_argument("--kv8", action="store_true",
                     help="int8 KV cache + fused Pallas decode attention "
                          "(ops/kv8_attention.py): halves the per-step "
@@ -210,9 +216,27 @@ def main():
         # materialize ALL zero arrays in ONE jitted dispatch: eager
         # jnp.zeros per leaf costs a tunnel RPC each (~900 leaves for the
         # mixed two-tree layout was ~10 min of pure round-trips)
+        def viz_q8_zero(tower):
+            # stacked-[L, i, o] per-layer linears -> int8 zero layout
+            # (matches siglip.quantize_tower); patch/pos/norms untouched
+            layers = {
+                k: ({"kernel_q": jnp.zeros(v["kernel"].shape, jnp.int8),
+                     "scale": jnp.zeros(v["kernel"].shape[::2],
+                                        jnp.float32),
+                     "bias": jnp.zeros(v["bias"].shape, v["bias"].dtype)}
+                    if "kernel" in v else _jax.tree.map(
+                        lambda sh: jnp.zeros(sh.shape, sh.dtype), v))
+                for k, v in tower["layers"].items()
+            }
+            out = _jax.tree.map(
+                lambda sh: jnp.zeros(sh.shape, sh.dtype),
+                {k: v for k, v in tower.items() if k != "layers"})
+            return {**out, "layers": layers}
+
         def build_zero_trees():
             params = {
                 k: (q4_zero(v) if k == "llada"
+                    else viz_q8_zero(v) if k == "siglip" and args.vision_int8
                     else _jax.tree.map(
                         lambda sh: jnp.zeros(sh.shape, sh.dtype), v
                     ))
@@ -264,9 +288,13 @@ def main():
         block_end = jnp.asarray(block_end)
 
         @_ft.partial(jax.jit, static_argnames=("flash",))
-        def serve_fused(params, views, key, flash):
+        def serve_fused(params, prefill_llada, views, key, flash):
+            # prefill_llada MUST be an argument: closing over the ~7G
+            # int8 tree bakes it into the lowering as constants (6.8 GB
+            # captured-constant warning, pathological compile times)
             prefix = multimodal.multimodal_embeds(
-                params, cfg, views, text_ids_p, gather_idx)
+                params, cfg, views, text_ids_p, gather_idx,
+                vision_act_int8=args.vision_int8)
             if args.dream:
                 dgen = DreamGenerationConfig(
                     max_new_tokens=args.gen_len, steps=args.steps,
@@ -292,13 +320,15 @@ def main():
 
         def one_batch(i):
             views = jnp.full((5, 3, 384, 384), 0.001 * i, jnp.bfloat16)
-            out = serve_fused(params, views, jax.random.PRNGKey(i),
+            out = serve_fused(params, prefill_llada, views,
+                              jax.random.PRNGKey(i),
                               not args.no_flash_prefill)
             return int(jnp.sum(out))
 
     def one_batch_multi(i):
         views = jnp.full((5 * B, 3, 384, 384), 0.001 * i, jnp.bfloat16)
-        feats = multimodal._encode_views_jit(params, cfg, views, False, True)
+        feats = multimodal._encode_views_jit(params, cfg, views, False, True,
+                                             args.vision_int8)
         D = feats.shape[-1]
         if B == 1:
             block = multimodal.merge_anyres(
@@ -365,6 +395,7 @@ def main():
              else f"s_per_image_{tag}_hd_batch{B}")
             + ("_w4a8" if args.int4 else "_int8")
             + ("_mixed" if args.mixed else "")
+            + ("_v8" if args.vision_int8 else "")
             + ("_kv8" if args.kv8 else "")
             + ("_nocache" if args.no_cache else "")
             + ("_dream" if args.dream else "")

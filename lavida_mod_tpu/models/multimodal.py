@@ -54,7 +54,8 @@ def init_params(cfg: LaViDaConfig, key: jax.Array, dtype=jnp.float32) -> dict:
 
 
 def encode_views(params: dict, cfg: LaViDaConfig, pixel_values: jax.Array,
-                 remat: bool = False, pool: bool = True) -> jax.Array:
+                 remat: bool = False, pool: bool = True,
+                 act_int8: bool = False) -> jax.Array:
     """[V, C, S, S] -> projected(+pooled) features [V, T', D_lm].
 
     The jit-compiled device hot path of the vision stack; view count V is a
@@ -63,7 +64,8 @@ def encode_views(params: dict, cfg: LaViDaConfig, pixel_values: jax.Array,
     encode_images only — 729 unpooled tokens, no newline).
     """
     feats = siglip_model.forward(
-        params["siglip"], cfg.vision.siglip, pixel_values, remat=remat
+        params["siglip"], cfg.vision.siglip, pixel_values, remat=remat,
+        act_int8=act_int8,
     )
     feats = projector_model.forward(
         params["projector"], cfg.vision.projector_type, feats
@@ -76,7 +78,7 @@ def encode_views(params: dict, cfg: LaViDaConfig, pixel_values: jax.Array,
 
 
 _encode_views_jit = jax.jit(
-    encode_views, static_argnames=("cfg", "remat", "pool")
+    encode_views, static_argnames=("cfg", "remat", "pool", "act_int8")
 )
 
 
@@ -341,13 +343,15 @@ def multimodal_embeds(
     text_ids: jax.Array,         # [B, T_text]
     gather_idx: jax.Array,       # [B, T]
     remat: bool = False,
+    vision_act_int8: bool = False,
 ) -> jax.Array:
     """The jitted splice: encode all views, build the flat table, gather.
     Differentiable end-to-end (tower -> projector -> newline -> wte)."""
     B = text_ids.shape[0]
     D = params["image_newline"].shape[-1]
     if pixel_values.shape[0] > 0:
-        feats = encode_views(params, cfg, pixel_values, remat)  # [N, Tp, D]
+        feats = encode_views(params, cfg, pixel_values, remat,
+                             act_int8=vision_act_int8)  # [N, Tp, D]
         flat = feats.reshape(-1, D)
     else:  # text-only batch (static shape decision)
         flat = jnp.zeros((0, D), params["image_newline"].dtype)

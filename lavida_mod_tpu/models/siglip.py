@@ -66,6 +66,21 @@ def init_params(cfg: SigLIPConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     }
 
 
+def quantize_tower(params: Params) -> Params:
+    """Per-channel int8 on the per-layer linears (q/k/v/out/fc1/fc2 —
+    stacked [L, i, o] kernels get per-(L, out) scales); patch embed,
+    pos embed, and norms stay in the float dtype.  Pair with
+    `forward(act_int8=True)` for s8xs8 MXU serving; quality-gate per
+    checkpoint (scripts/verify_checkpoint.py) like W4A8."""
+    from ..ops.quant import quantize_linear
+
+    layers = {
+        k: (quantize_linear(v) if "kernel" in v else v)
+        for k, v in params["layers"].items()
+    }
+    return {**params, "layers": layers}
+
+
 def _interp_pos_embed(pos_embed: jax.Array, target_grid: int) -> jax.Array:
     """Bicubic pos-embed interpolation for non-384 inputs
     (siglip_base.py:193-264). Called outside jit, cached by grid size."""
@@ -97,6 +112,7 @@ def forward(
     *,
     n_layers: Optional[int] = None,
     remat: bool = False,
+    act_int8: bool = False,
 ) -> jax.Array:
     """pixel_values: [N, C, H, W] (preprocessed). Returns raw features
     [N, tokens, hidden] after `n_layers` (default cfg.n_layers_used) layers,
@@ -114,6 +130,12 @@ def forward(
 
     eps = cfg.layer_norm_eps
     nh, hd = cfg.num_attention_heads, cfg.head_dim
+    # serving option: per-token int8 activations on int8-quantized tower
+    # weights -> s8xs8 MXU dots (2x bf16 rate; the tower is compute-bound
+    # at 5-view anyres).  Falls back to plain linear on bf16 weights.
+    # Quality-gate per checkpoint like W4A8 (scripts/verify_checkpoint.py).
+    from ..ops.quant import linear_act_int8
+    lin = linear_act_int8 if act_int8 else linear
 
     def layer_fn(h, p_l):
         # linears go through ops.quant.linear so attached LoRA factors
@@ -121,19 +143,19 @@ def forward(
         # actually contribute — a raw `@ kernel` would silently skip them
         r = h
         z = layer_norm(h, p_l["ln1"]["weight"], p_l["ln1"]["bias"], eps)
-        q = linear(z, p_l["q_proj"])
-        k = linear(z, p_l["k_proj"])
-        v = linear(z, p_l["v_proj"])
+        q = lin(z, p_l["q_proj"])
+        k = lin(z, p_l["k_proj"])
+        v = lin(z, p_l["v_proj"])
         T = z.shape[1]
         att = dense_attention(
             q.reshape(N, T, nh, hd), k.reshape(N, T, nh, hd),
             v.reshape(N, T, nh, hd),
         ).reshape(N, T, -1)
-        h = r + linear(att, p_l["out_proj"])
+        h = r + lin(att, p_l["out_proj"])
         r = h
         z = layer_norm(h, p_l["ln2"]["weight"], p_l["ln2"]["bias"], eps)
-        z = jax.nn.gelu(linear(z, p_l["fc1"]), approximate=True)
-        h = r + linear(z, p_l["fc2"])
+        z = jax.nn.gelu(lin(z, p_l["fc1"]), approximate=True)
+        h = r + lin(z, p_l["fc2"])
         return h, None
 
     if remat:

@@ -108,7 +108,8 @@ def quantize_w4_grouped(
     return pack_w4(q.reshape(K, N)), scales.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "block_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("group", "block_n", "interpret",
+                                             "dim_semantics"))
 def w4_matmul_grouped(
     x: jax.Array,         # [T, K] bf16 (or any float)
     packed: jax.Array,    # [K/2, N] int8
@@ -116,6 +117,7 @@ def w4_matmul_grouped(
     group: int = 128,
     block_n: int = 512,
     interpret: bool = False,
+    dim_semantics: bool = False,
 ) -> jax.Array:
     """Grouped int4 matmul, W4A8 formulation — the v5e-measured winner.
 
@@ -228,6 +230,9 @@ def w4_matmul_grouped(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tp, N), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((block_t, block_n), jnp.float32)],
+        compiler_params=(pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ) if dim_semantics else None),
         interpret=interpret,
     )(x8, sx.astype(jnp.float32), packed, scales)
     return out[:T]

@@ -242,3 +242,25 @@ def test_square_pad_path_unpooled():
     cfg2 = cfg.replace(vision=cfg.vision.replace(image_aspect_ratio="anyres"))
     block2 = mm.encode_image(params, cfg2, views, (56, 56))
     assert block2.shape == (4 + 1, cfg.llada.d_model)  # pooled 2x2 + newline
+
+
+def test_siglip_int8_tower_parity():
+    """quantize_tower + forward(act_int8=True): per-channel int8 weights
+    with per-token int8 activations must track the float tower closely
+    (serving option behind bench --vision-int8; the Pallas W8A8 epilogue
+    kernel only engages on TPU — this exercises the XLA twin)."""
+    from lavida_mod_tpu.config import tiny_siglip_config
+    from lavida_mod_tpu.models import siglip
+
+    cfg = tiny_siglip_config()
+    p = siglip.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    views = jax.random.normal(
+        jax.random.PRNGKey(1), (2, 3, cfg.image_size, cfg.image_size)
+    )
+    ref = siglip.forward(p, cfg, views)
+    q = siglip.forward(siglip.quantize_tower(p), cfg, views, act_int8=True)
+    err = float(jnp.max(jnp.abs(q - ref)) / jnp.max(jnp.abs(ref)))
+    assert err < 0.01, err
+    # bf16-weight params + act_int8=True is a harmless no-op fallback
+    same = siglip.forward(p, cfg, views, act_int8=True)
+    assert float(jnp.max(jnp.abs(same - ref))) == 0.0
