@@ -116,6 +116,56 @@ def _act(cfg: LLaDAConfig, x: jax.Array) -> jax.Array:
     raise NotImplementedError(a)
 
 
+# Fused W4A8 decode-layer kernels (ops/w4_fused.py): auto-engaged on TPU
+# for int4 "sequential"-layout serving weights at decode shapes — same
+# math as the unfused chain, 3 Pallas dispatches instead of 7 + XLA glue
+# (the decode step is dispatch/bandwidth-bound: scripts/probes/
+# _w4_callcount.py).  Tests flip FORCE_FUSED_INTERPRET to exercise the
+# path on CPU in interpret mode.
+FORCE_FUSED_INTERPRET = False
+
+
+def _fused_w4_block_n(*ns: int) -> Optional[int]:
+    return next((b for b in (512, 256, 128)
+                 if all(n % b == 0 for n in ns)), None)
+
+
+def _w4_fused_plan(cfg: LLaDAConfig, p: Params, rows: int,
+                   act_int8: bool) -> Optional[dict]:
+    """Decide whether this block can run the fused W4 decode kernels;
+    returns {'bn_qkv', 'bn_ffn', 'interpret'} or None."""
+    if act_int8 or "moe" in p:
+        return None
+    interpret = FORCE_FUSED_INTERPRET
+    if not interpret and jax.default_backend() != "tpu":
+        return None
+    if not (cfg.block_type == "sequential" and cfg.activation == "swiglu"
+            and cfg.layer_norm_type == "rms"):
+        return None
+    if rows > 128 or rows % 8 != 0:
+        return None  # VMEM scratch scales with rows; prefill skips
+    for name in ("att_proj", "attn_out", "ff_proj", "ff_out"):
+        q = p.get(name)
+        if q is None or "kernel_p4" not in q or "bias" in q \
+                or "lora_a" in q or any(k.startswith("__trim_") for k in q):
+            return None
+    for name in ("attn_norm", "ff_norm"):
+        n = p.get(name)
+        if n is None or "weight" not in n or "bias" in n:
+            return None
+    D = 2 * p["att_proj"]["kernel_p4"].shape[0]
+    Nqkv = p["att_proj"]["kernel_p4"].shape[1]
+    H2 = p["ff_proj"]["kernel_p4"].shape[1]
+    H = 2 * p["ff_out"]["kernel_p4"].shape[0]
+    if H2 != 2 * H or D > 4096 or p["attn_out"]["kernel_p4"].shape[1] != D:
+        return None
+    bn_qkv = _fused_w4_block_n(Nqkv, D)  # also used for attn_out [.., D]
+    bn_ffn = _fused_w4_block_n(H2, H, D)
+    if bn_qkv is None or bn_ffn is None:
+        return None
+    return {"bn_qkv": bn_qkv, "bn_ffn": bn_ffn, "interpret": interpret}
+
+
 def _block(
     cfg: LLaDAConfig,
     x: jax.Array,
@@ -141,14 +191,27 @@ def _block(
     Hq, Hkv, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
     nt = cfg.layer_norm_type
     lin = linear_act_int8 if act_int8 else linear
+    fused_plan = _w4_fused_plan(cfg, p, B * T, act_int8)
 
-    h = apply_norm(x, p["attn_norm"], nt, rms_eps=cfg.rms_norm_eps,
-                   ln_eps=cfg.layer_norm_eps)
-    if cfg.block_type == "llama":
+    if fused_plan is not None:
+        from ..ops.w4_fused import w4_qkv_norm
+
+        qkv = w4_qkv_norm(
+            x.reshape(B * T, D), p["attn_norm"]["weight"],
+            p["att_proj"]["kernel_p4"], p["att_proj"]["scales4"],
+            eps=cfg.rms_norm_eps, block_n=fused_plan["bn_qkv"],
+            interpret=fused_plan["interpret"],
+        ).reshape(B, T, -1)
+        q, k, v = jnp.split(qkv, [D, D + Hkv * hd], axis=-1)
+    elif cfg.block_type == "llama":
+        h = apply_norm(x, p["attn_norm"], nt, rms_eps=cfg.rms_norm_eps,
+                       ln_eps=cfg.layer_norm_eps)
         q = lin(h, p["q_proj"])
         k = lin(h, p["k_proj"])
         v = lin(h, p["v_proj"])
     else:
+        h = apply_norm(x, p["attn_norm"], nt, rms_eps=cfg.rms_norm_eps,
+                       ln_eps=cfg.layer_norm_eps)
         qkv = lin(h, p["att_proj"])
         q, k, v = jnp.split(qkv, [D, D + Hkv * hd], axis=-1)
 
@@ -214,6 +277,21 @@ def _block(
     else:
         att = dense_attention(q, k, v, bias=bias)
     att = att.reshape(B, T, D)
+    if fused_plan is not None:
+        from ..ops.w4_fused import w4_ffn_fused, w4_matmul_res
+
+        x2 = w4_matmul_res(
+            att.reshape(B * T, D), x.reshape(B * T, D),
+            p["attn_out"]["kernel_p4"], p["attn_out"]["scales4"],
+            block_n=fused_plan["bn_qkv"],
+            interpret=fused_plan["interpret"])
+        x = w4_ffn_fused(
+            x2, p["ff_norm"]["weight"],
+            p["ff_proj"]["kernel_p4"], p["ff_proj"]["scales4"],
+            p["ff_out"]["kernel_p4"], p["ff_out"]["scales4"],
+            eps=cfg.rms_norm_eps, block_n=fused_plan["bn_ffn"],
+            interpret=fused_plan["interpret"]).reshape(B, T, D)
+        return x, present
     x = x + lin(att, p["attn_out"])
 
     h2 = apply_norm(x, p["ff_norm"], nt, rms_eps=cfg.rms_norm_eps,
