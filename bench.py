@@ -192,19 +192,18 @@ def main():
             if isinstance(d, dict):
                 if "kernel" in d and len(d["kernel"].shape) == 2:
                     K, N = d["kernel"].shape
-                    if N % 512 == 0:
-                        out = {
-                            "kernel_p4": jnp.zeros((K // 2, N), jnp.int8),
-                            "scales4": jnp.zeros((K // 128, N),
-                                                 jnp.float32),
-                        }
-                    else:
-                        # kernel block_n constraint (e.g. Dream's 151936
-                        # vocab head): weight-only int8 for this matmul
-                        out = {
-                            "kernel_q": jnp.zeros((K, N), jnp.int8),
-                            "scale": jnp.zeros((N,), jnp.float32),
-                        }
+                    # mirror quantize_linear4: pad the out dim to the
+                    # kernel's 512-column block and trim after the
+                    # matmul (e.g. Dream's 151936 head -> 152064), so
+                    # every linear rides the int4 path
+                    Np = -(-N // 512) * 512
+                    out = {
+                        "kernel_p4": jnp.zeros((K // 2, Np), jnp.int8),
+                        "scales4": jnp.zeros((K // 128, Np),
+                                             jnp.float32),
+                    }
+                    if Np != N:
+                        out[f"__trim_{N}__"] = ()
                     if "bias" in d:
                         out["bias"] = jnp.zeros(
                             d["bias"].shape, d["bias"].dtype

@@ -73,6 +73,12 @@ def init_params(cfg: LLaDAConfig, key: jax.Array, dtype=jnp.float32) -> Params:
             up_proj={"kernel": dense(next(keys), (L, D, H))},
             ff_out={"kernel": dense(next(keys), (L, H, D))},
         )
+        if cfg.include_qkv_bias:
+            # Qwen2-family attention bias (zero-init; the HF converter
+            # fills real values)
+            for nm, od in (("q_proj", D), ("k_proj", kvD),
+                           ("v_proj", kvD)):
+                blocks[nm]["bias"] = jnp.zeros((L, od), dtype)
     elif cfg.block_type == "sequential":
         ff_out_in = H // 2 if cfg.activation == "swiglu" else H
         blocks.update(
@@ -80,6 +86,9 @@ def init_params(cfg: LLaDAConfig, key: jax.Array, dtype=jnp.float32) -> Params:
             ff_proj={"kernel": dense(next(keys), (L, D, H))},
             ff_out={"kernel": dense(next(keys), (L, ff_out_in, D))},
         )
+        if cfg.include_qkv_bias:
+            blocks["att_proj"]["bias"] = jnp.zeros((L, D + 2 * kvD),
+                                                   dtype)
     else:
         raise NotImplementedError(cfg.block_type)
     if cfg.attention_layer_norm:
@@ -146,7 +155,10 @@ def _w4_fused_plan(cfg: LLaDAConfig, p: Params, rows: int,
         return None  # VMEM scratch scales with rows; prefill skips
     for name in ("att_proj", "attn_out", "ff_proj", "ff_out"):
         q = p.get(name)
-        if q is None or "kernel_p4" not in q or "bias" in q \
+        # bias allowed on att_proj only (Qwen2-family QKV bias — the
+        # w4_qkv_norm kernel adds it in the epilogue)
+        if q is None or "kernel_p4" not in q \
+                or ("bias" in q and name != "att_proj") \
                 or "lora_a" in q or any(k.startswith("__trim_") for k in q):
             return None
     for name in ("attn_norm", "ff_norm"):
@@ -199,6 +211,7 @@ def _block(
         qkv = w4_qkv_norm(
             x.reshape(B * T, D), p["attn_norm"]["weight"],
             p["att_proj"]["kernel_p4"], p["att_proj"]["scales4"],
+            bias=p["att_proj"].get("bias"),
             eps=cfg.rms_norm_eps, block_n=fused_plan["bn_qkv"],
             interpret=fused_plan["interpret"],
         ).reshape(B, T, -1)

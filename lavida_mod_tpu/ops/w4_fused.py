@@ -82,13 +82,14 @@ def w4_qkv_norm(
     norm_w: jax.Array,    # [D] norm affine weight
     packed: jax.Array,    # [D/2, N] int8 (pack_w4)
     scales: jax.Array,    # [D/group, N] f32
+    bias: jax.Array | None = None,  # [N] — Qwen2-family QKV bias
     eps: float = 1e-5,
     group: int = 128,
     block_n: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """rmsnorm(x) @ W4 with in-kernel norm + A8 quant.  Full-K (single
-    k-block: D/2 <= 2048 packed rows).  [T, N] bf16."""
+    """rmsnorm(x) @ W4 (+ bias) with in-kernel norm + A8 quant.  Full-K
+    (single k-block: D/2 <= 2048 packed rows).  [T, N] bf16."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -98,8 +99,13 @@ def w4_qkv_norm(
     assert D == 2 * K2 and K2 <= 2048 and N % block_n == 0
     assert Gu * group == D
     nb = N // block_n
+    has_bias = bias is not None
 
-    def kernel(x_ref, nw_ref, p_ref, s_ref, o_ref, x8_ref, sx_ref):
+    def kernel(*refs):
+        if has_bias:
+            x_ref, nw_ref, p_ref, s_ref, b_ref, o_ref, x8_ref, sx_ref = refs
+        else:
+            x_ref, nw_ref, p_ref, s_ref, o_ref, x8_ref, sx_ref = refs
         s = pl.program_id(0)
 
         @pl.when(s == 0)
@@ -111,21 +117,31 @@ def w4_qkv_norm(
         w8 = pltpu.bitcast(p_ref[...], jnp.int4).astype(jnp.int8)
         acc = _group_dot_acc(x8_ref[...], w8, s_ref, group,
                              jnp.zeros((T, block_n), jnp.float32))
-        o_ref[...] = (acc * sx_ref[...]).astype(jnp.bfloat16)
+        acc = acc * sx_ref[...]
+        if has_bias:
+            acc = acc + b_ref[...].astype(jnp.float32)
+        o_ref[...] = acc.astype(jnp.bfloat16)
+
+    in_specs = [
+        pl.BlockSpec((T, D), lambda s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D), lambda s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K2, block_n), lambda s: (0, s),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Gu, block_n), lambda s: (0, s),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, norm_w[None], packed, scales]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, block_n), lambda s: (0, s),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bias[None])
 
     return pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((T, D), lambda s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K2, block_n), lambda s: (0, s),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Gu, block_n), lambda s: (0, s),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((T, block_n), lambda s: (0, s),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, N), jnp.bfloat16),
@@ -134,7 +150,7 @@ def w4_qkv_norm(
             pltpu.VMEM((T, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(x, norm_w[None], packed, scales)
+    )(*operands)
 
 
 def _pick_block_k(K2: int, g2: int) -> int:

@@ -194,6 +194,58 @@ def test_block_forward_fused_vs_unfused(monkeypatch):
     assert _rel_err(fused, unfused) < 0.05
 
 
+def test_qkv_norm_bias_epilogue():
+    """Qwen2-family QKV bias: added in the kernel epilogue after the
+    row-scale, matching `linear(...)`'s `y + bias` order."""
+    rng = np.random.default_rng(6)
+    T, D, N = 16, 256, 384
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    nw = jnp.asarray(1.0 + 0.1 * rng.standard_normal((D,)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((N,)), jnp.bfloat16)
+    p = _mk_w4(rng, D, N)
+
+    got = w4_qkv_norm(x, nw, p["kernel_p4"], p["scales4"], bias=b,
+                      eps=1e-5, block_n=128, interpret=True)
+    want = _lin(rms_norm(x, nw, 1e-5), p) + b.astype(jnp.bfloat16)
+    assert _rel_err(got, want) < TOL
+
+
+def test_block_forward_fused_dream_geometry(monkeypatch):
+    """Dream/Qwen2 shape class: GQA + QKV bias through to_fused_layout;
+    the fused plan must engage (bias allowed on att_proj only) and match
+    the unfused int4 forward."""
+    from lavida_mod_tpu.config import LLaDAConfig
+    from lavida_mod_tpu.models import llada
+
+    cfg = LLaDAConfig(
+        d_model=512, n_heads=4, n_kv_heads=2, n_layers=2,
+        mlp_hidden_size=1536, block_type="llama", activation="silu",
+        include_qkv_bias=True, vocab_size=512, embedding_size=512,
+        mask_token_id=3, max_sequence_length=128, rope_theta=10000.0,
+    )
+    key = jax.random.PRNGKey(0)
+    p = llada.init_params(cfg, key, jnp.bfloat16)
+    rng = np.random.default_rng(7)
+    for nm in ("q_proj", "k_proj", "v_proj"):
+        b = p["blocks"][nm]["bias"]
+        p["blocks"][nm]["bias"] = jnp.asarray(
+            rng.standard_normal(b.shape) * 0.1, b.dtype)
+    p = llada.unstack_blocks(p)
+    p, fcfg = llada.to_fused_layout(p, cfg)
+    p = llada.quantize_params(p, bits=4)
+    monkeypatch.setattr(llada, "FORCE_FUSED_INTERPRET", True)
+    plan = llada._w4_fused_plan(fcfg, p["blocks"][0], rows=32,
+                                act_int8=False)
+    assert plan is not None and "bias" in p["blocks"][0]["att_proj"]
+
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 512),
+                            jnp.bfloat16) * 0.1
+    fused, _ = llada.forward(p, fcfg, emb)
+    monkeypatch.setattr(llada, "FORCE_FUSED_INTERPRET", False)
+    unfused, _ = llada.forward(p, fcfg, emb)
+    assert _rel_err(fused, unfused) < 0.05
+
+
 def test_ffn_fused_llada_geometry_blocks():
     """Exercise the 8B block decomposition (D=4096, H=12288 scaled down
     by 8 keeps the same kd/bpk/gpb structure: kd>1, bpk>1, gpb>1)."""
