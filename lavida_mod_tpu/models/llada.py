@@ -178,6 +178,25 @@ def _w4_fused_plan(cfg: LLaDAConfig, p: Params, rows: int,
     return {"bn_qkv": bn_qkv, "bn_ffn": bn_ffn, "interpret": interpret}
 
 
+def _w4_head_fusable(cfg: LLaDAConfig, params: Params, head: dict,
+                     rows: int) -> bool:
+    """Gate for the fused ln_f+head decode-logits kernel (w4_qkv_norm):
+    int4 head, RMS final norm, decode-sized rows.  The __trim__ pad
+    (Dream's 151936 vocab) is fine — the slice happens after."""
+    if not FORCE_FUSED_INTERPRET and jax.default_backend() != "tpu":
+        return False
+    if cfg.layer_norm_type != "rms" or rows > 128 or rows % 8 != 0:
+        return False
+    if "kernel_p4" not in head or "bias" in head or "lora_a" in head:
+        return False
+    if "bias" in params["ln_f"]:
+        return False
+    K2, N = head["kernel_p4"].shape
+    if 2 * K2 != cfg.d_model or K2 > 2048 or N % 512 != 0:
+        return False
+    return head["scales4"].shape[0] * 128 == cfg.d_model
+
+
 def _block(
     cfg: LLaDAConfig,
     x: jax.Array,
@@ -621,25 +640,46 @@ def forward(
                 )
             x, presents = jax.lax.scan(layer_fn, x, scanned)
 
-    x = apply_norm(x, params["ln_f"], cfg.layer_norm_type,
-                   rms_eps=cfg.rms_norm_eps, ln_eps=cfg.layer_norm_eps)
-
     new_cache = None
     if use_cache:
         new_cache = (presents if isinstance(presents, list)
                      else {"k": presents[0], "v": presents[1]})
 
     if not return_logits:
+        x = apply_norm(x, params["ln_f"], cfg.layer_norm_type,
+                       rms_eps=cfg.rms_norm_eps, ln_eps=cfg.layer_norm_eps)
         return x, new_cache
 
     if last_logits_only:
         x = x[:, -1:]  # modeling_llada.py:1426 last_logits_only
 
-    if cfg.weight_tying:
-        logits = jnp.einsum("btd,vd->btv", x, params["wte"],
-                            preferred_element_type=jnp.float32)
+    head = None if cfg.weight_tying else params.get("ff_out")
+    B_, T_, D_ = x.shape
+    if head is not None and _w4_head_fusable(cfg, params, head, B_ * T_):
+        # decode logits: ln_f + A8 quant + int4 head in ONE kernel (the
+        # unfused TPU path already rounds through bf16 before the f32
+        # cast — _linear_w4 — so this is a pure scheduling change)
+        from ..ops.w4_fused import w4_qkv_norm
+
+        lg = w4_qkv_norm(
+            x.reshape(B_ * T_, D_), params["ln_f"]["weight"],
+            head["kernel_p4"], head["scales4"],
+            eps=cfg.rms_norm_eps, interpret=FORCE_FUSED_INTERPRET,
+        ).reshape(B_, T_, -1)
+        trim = next((int(k[7:-2]) for k in head
+                     if k.startswith("__trim_")), None)
+        if trim is not None:
+            lg = lg[..., :trim]
+        logits = lg.astype(jnp.float32)
     else:
-        logits = linear(x, params["ff_out"], preferred=jnp.float32)
+        x = apply_norm(x, params["ln_f"], cfg.layer_norm_type,
+                       rms_eps=cfg.rms_norm_eps,
+                       ln_eps=cfg.layer_norm_eps)
+        if cfg.weight_tying:
+            logits = jnp.einsum("btd,vd->btv", x, params["wte"],
+                                preferred_element_type=jnp.float32)
+        else:
+            logits = linear(x, params["ff_out"], preferred=jnp.float32)
     if cfg.scale_logits:
         logits = logits * (1.0 / math.sqrt(cfg.d_model))
     return logits, new_cache
@@ -775,5 +815,5 @@ def quantize_params(params: Params, bits: int = 8,
     out = dict(params)
     out["blocks"] = quant_tree(params["blocks"])
     if "ff_out" in params:
-        out["ff_out"] = quantize_linear(params["ff_out"])
+        out["ff_out"] = quant_one(params["ff_out"])
     return out

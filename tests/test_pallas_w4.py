@@ -107,7 +107,12 @@ def test_int4_model_path_accuracy():
     rel = np.abs(np.asarray(q4) - np.asarray(base)).max() / (
         np.abs(np.asarray(base)).max() + 1e-9
     )
-    assert rel < 0.2, rel  # int4 quantization noise band (tiny random net)
+    # int4 noise band on a tiny random net (d_model=128, group=64 is an
+    # extreme quantization ratio); the head is ALSO grouped-int4 now
+    # (quantize_params bits=4 matches the bench serving layout), which
+    # adds its own A8 stage on the logits.  Real-checkpoint quality is
+    # gated by scripts/verify_checkpoint.py.
+    assert rel < 0.25, rel
 
     out = generate(p4, cfg, jl.embed_tokens(p4, ids),
                    GenerationConfig(max_new_tokens=8, block_length=8))

@@ -246,6 +246,34 @@ def test_block_forward_fused_dream_geometry(monkeypatch):
     assert _rel_err(fused, unfused) < 0.05
 
 
+def test_fused_head_logits_parity(monkeypatch):
+    """ln_f + int4 head fused via w4_qkv_norm matches the unfused
+    apply_norm -> linear logits, including the __trim__ vocab pad
+    (odd vocab -> 512-pad like Dream's 151936 head)."""
+    from lavida_mod_tpu.config import LLaDAConfig
+    from lavida_mod_tpu.models import llada
+
+    cfg = LLaDAConfig(
+        d_model=512, n_heads=4, n_layers=2, mlp_hidden_size=1024,
+        block_type="sequential", activation="swiglu",
+        vocab_size=500, embedding_size=500, mask_token_id=3,
+        max_sequence_length=128, rope_theta=10000.0,
+    )
+    p = llada.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    p = llada.quantize_params(llada.unstack_blocks(p), bits=4)
+    assert any(k.startswith("__trim_") for k in p["ff_out"])
+    assert llada._w4_head_fusable(cfg, p, p["ff_out"], 32) is False  # cpu
+
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 512),
+                            jnp.bfloat16) * 0.1
+    unfused, _ = llada.forward(p, cfg, emb)
+    monkeypatch.setattr(llada, "FORCE_FUSED_INTERPRET", True)
+    assert llada._w4_head_fusable(cfg, p, p["ff_out"], 32)
+    fused, _ = llada.forward(p, cfg, emb)
+    assert fused.shape == unfused.shape == (1, 32, 500)
+    assert _rel_err(fused, unfused) < 0.05
+
+
 def test_ffn_fused_llada_geometry_blocks():
     """Exercise the 8B block decomposition (D=4096, H=12288 scaled down
     by 8 keeps the same kd/bpk/gpb structure: kd>1, bpk>1, gpb>1)."""
