@@ -355,10 +355,10 @@ def main():
             out = dream_generate(params["llada"], lm_cfg, prefix, dgen)
         elif B > 4 and args.dllm is None:
             # the monolithic B=8 prefill graph blows the XLA compile
-            # budget; prefill in 4-row chunks (one compile), decode merged
-            chunk = next(c for c in (4, 3, 2, 1) if B % c == 0)
+            # budget; prefill in 4-row chunks (one compile, overlapping
+            # last chunk for non-divisible B), decode merged
             out = diffusion.generate_chunked_prefill(
-                params["llada"], lm_cfg, prefix, gen, chunk=chunk,
+                params["llada"], lm_cfg, prefix, gen, chunk=4,
                 use_flash_prefill=not args.no_flash_prefill,
                 kv8=args.kv8,
             )

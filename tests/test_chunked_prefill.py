@@ -39,6 +39,24 @@ def test_chunked_prefill_token_exact():
         np.testing.assert_array_equal(out, ref), chunk
 
 
+def test_chunked_prefill_non_divisible_batch():
+    """B % chunk != 0 runs the last chunk as an overlapping window
+    ending at B (prefill is deterministic, so re-writing overlapped rows
+    is value-identical); B=5/chunk=4 was previously rejected."""
+    B = 5
+    prefix = _prefix(B)
+    gen = _gen_cfg()
+    ref = np.asarray(diffusion.generate(PARAMS, CFG, prefix, gen))
+    for chunk in (2, 3, 4):
+        out = np.asarray(diffusion.generate_chunked_prefill(
+            PARAMS, CFG, prefix, gen, chunk=chunk))
+        np.testing.assert_array_equal(out, ref), chunk
+    # chunk > B degrades to one whole-batch prefill
+    out = np.asarray(diffusion.generate_chunked_prefill(
+        PARAMS, CFG, prefix, gen, chunk=8))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_chunked_prefill_unrolled_params():
     """The serving layout (unrolled list-of-layers params) goes through
     the write-index decode branch; chunked prefill must agree there too."""
