@@ -16,26 +16,41 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _interp_matrix(g: int, go: int) -> np.ndarray:
+    """Host-side [go, g] 2-tap bilinear weight matrix (half-pixel centers,
+    no antialias — torch F.interpolate align_corners=False semantics)."""
+    scale = g / go
+    src = np.maximum((np.arange(go, dtype=np.float64) + 0.5) * scale - 0.5,
+                     0.0).astype(np.float32)
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, g - 1)
+    w1 = src - i0.astype(np.float32)
+    W = np.zeros((go, g), np.float32)
+    np.add.at(W, (np.arange(go), i0), 1.0 - w1)
+    np.add.at(W, (np.arange(go), i1), w1)  # i0==i1 rows sum to 1 exactly
+    return W
+
+
 def _bilinear_no_antialias(grid: jax.Array, go: int) -> jax.Array:
     """Torch F.interpolate(mode='bilinear', align_corners=False,
     antialias=False) semantics — jax.image.resize antialiases on downscale,
-    torch does not, so we interpolate by explicit 2-tap gathers."""
+    torch does not.  Expressed as two small matmuls against a static 2-tap
+    weight matrix instead of index gathers: constant-index gathers lower
+    to a slow path on TPU (measured 11.9 ms for [5,27,27,4096] -> 14x14 on
+    v5e vs ~0.3 ms as dots), and the matrix rows contain the SAME two taps
+    plus exact zeros, so the f32 result is unchanged."""
     N, g, _, D = grid.shape
     grid = grid.astype(jnp.float32)
-    scale = g / go
-    src = jnp.maximum((jnp.arange(go, dtype=jnp.float32) + 0.5) * scale - 0.5, 0.0)
-    i0 = jnp.floor(src).astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, g - 1)
-    w1 = src - i0.astype(jnp.float32)
-    w0 = 1.0 - w1
-    rows = (
-        grid[:, i0] * w0[None, :, None, None]
-        + grid[:, i1] * w1[None, :, None, None]
-    )
-    return (
-        rows[:, :, i0] * w0[None, None, :, None]
-        + rows[:, :, i1] * w1[None, None, :, None]
-    )
+    W = jnp.asarray(_interp_matrix(g, go))
+    rows = jax.lax.dot_general(
+        W, grid, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [go, N, g, D]
+    out = jax.lax.dot_general(
+        W, rows, (((1,), (2,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # out[col, row, N, D]: second contraction ran over the column axis
+    return out.transpose(2, 1, 0, 3)
 
 
 def pool_2d(x: jax.Array, mode: str = "bilinear", stride: int = 2) -> jax.Array:

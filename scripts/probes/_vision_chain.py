@@ -29,6 +29,9 @@ cfg = LaViDaConfig()
 shapes = jax.eval_shape(
     lambda k: multimodal.init_params(cfg, k, jnp.bfloat16),
     jax.random.PRNGKey(0))
+# vision probe only needs the tower + projector: materializing the 8B
+# bf16 LM alongside OOMs the 15.75G chip
+shapes = {k: v for k, v in shapes.items() if k in ("siglip", "projector")}
 
 
 @jax.jit

@@ -146,6 +146,23 @@ def test_dream_sampler_parity(tiny_pair, alg):
     np.testing.assert_array_equal(np.asarray(ours), ref)
 
 
+def test_dream_unrolled_write_index_parity(tiny_pair):
+    """Serving layout (list-of-layers params) routes the Dream decode
+    through the write-index padded cache instead of per-step concat
+    (dream_sampler.py) — tokens must match the stacked scan path
+    exactly (every gen position is rewritten each step, so in-place
+    writes at [P, P+G) are equivalent to the concat)."""
+    _, cfg, params = tiny_pair
+    prompt = np.arange(3, 13)[None]
+    gen_cfg = DreamGenerationConfig(
+        max_new_tokens=16, steps=8, alg="topk_margin", prefix_lm=True
+    )
+    prefix = jl.embed_tokens(params, jnp.asarray(prompt))
+    ref = dream_generate(params, cfg, prefix, gen_cfg)
+    ours = dream_generate(jl.unstack_blocks(params), cfg, prefix, gen_cfg)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
 def test_dream_origin_alg_completes(tiny_pair):
     _, cfg, params = tiny_pair
     prompt = np.arange(3, 13)[None]
