@@ -191,12 +191,16 @@ def main():
                 return [q4_zero(x) for x in d]
             if isinstance(d, dict):
                 if "kernel" in d and len(d["kernel"].shape) == 2:
+                    from lavida_mod_tpu.ops.pallas_w4 import padded_in_dim
+
                     K, N = d["kernel"].shape
                     # mirror quantize_linear4: pad the out dim to the
                     # kernel's 512-column block and trim after the
                     # matmul (e.g. Dream's 151936 head -> 152064), so
-                    # every linear rides the int4 path
+                    # every linear rides the int4 path; pad the in dim
+                    # for 2048-deep k-blocks (Qwen2 18944 -> 20480)
                     Np = -(-N // 512) * 512
+                    K = padded_in_dim(K)
                     out = {
                         "kernel_p4": jnp.zeros((K // 2, Np), jnp.int8),
                         "scales4": jnp.zeros((K // 128, Np),

@@ -168,11 +168,15 @@ def _w4_fused_plan(cfg: LLaDAConfig, p: Params, rows: int,
     D = 2 * p["att_proj"]["kernel_p4"].shape[0]
     Nqkv = p["att_proj"]["kernel_p4"].shape[1]
     H2 = p["ff_proj"]["kernel_p4"].shape[1]
-    H = 2 * p["ff_out"]["kernel_p4"].shape[0]
-    if H2 != 2 * H or D > 4096 or p["attn_out"]["kernel_p4"].shape[1] != D:
+    H = H2 // 2
+    # ff_out rows may be zero-padded past H for k-blocking
+    # (ops/pallas_w4.padded_in_dim); the fused kernel zero-fills the
+    # padded activation blocks, so Hd >= H is fine
+    Hd = 2 * p["ff_out"]["kernel_p4"].shape[0]
+    if Hd < H or D > 4096 or p["attn_out"]["kernel_p4"].shape[1] != D:
         return None
     bn_qkv = _fused_w4_block_n(Nqkv, D)  # also used for attn_out [.., D]
-    bn_ffn = _fused_w4_block_n(H2, H, D)
+    bn_ffn = _fused_w4_block_n(H2, H, Hd, D)
     if bn_qkv is None or bn_ffn is None:
         return None
     return {"bn_qkv": bn_qkv, "bn_ffn": bn_ffn, "interpret": interpret}

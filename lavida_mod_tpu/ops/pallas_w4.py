@@ -94,6 +94,22 @@ def w4_matmul(
     )(x2, packed, scale[None])
 
 
+def padded_in_dim(K: int) -> int:
+    """Row (K) padding that keeps big matmuls on 2048-deep k-blocks.
+
+    w4_matmul_grouped streams weights in power-of-two k-blocks; dims like
+    Qwen2's 18944 = 2^9*37 only admit 256-row blocks — 8x more grid
+    k-steps, measured 68 vs 39 us per [32,18944]x[18944,3584] decode
+    matmul on v5e (scripts/probes/_dream_blockk.py).  Padding K to the
+    next multiple of 4096 (2048 packed rows) with zero weight rows is
+    numerically exact (zero rows contribute exactly 0) and costs ~8%
+    extra weight bytes on the one affected matmul.  Small K stays as-is:
+    the probe shows K<=4k shapes already at the weight-read floor."""
+    if K < 8192 or K % 4096 == 0:
+        return K
+    return -(-K // 4096) * 4096
+
+
 def quantize_w4_grouped(
     w: np.ndarray, group: int = 128
 ) -> tuple[np.ndarray, np.ndarray]:

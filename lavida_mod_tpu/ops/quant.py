@@ -40,7 +40,7 @@ def quantize_linear4(p: dict, group: int = 128) -> dict:
     elsewhere)."""
     import numpy as np
 
-    from .pallas_w4 import quantize_w4_grouped
+    from .pallas_w4 import padded_in_dim, quantize_w4_grouped
 
     if "kernel" not in p:
         return p
@@ -48,6 +48,12 @@ def quantize_linear4(p: dict, group: int = 128) -> dict:
     assert k.ndim == 2, "int4-quantize unstacked (2D) kernels only"
     kn = np.asarray(k, np.float32)
     N = kn.shape[1]
+    # pad the IN dim so big matmuls keep 2048-deep k-blocks (zero rows are
+    # exact; _linear_w4 zero-pads the activations to match) — e.g. Qwen2's
+    # 18944 FFN -> 20480, see pallas_w4.padded_in_dim
+    Kp = padded_in_dim(kn.shape[0])
+    if Kp != kn.shape[0]:
+        kn = np.pad(kn, ((0, Kp - kn.shape[0]), (0, 0)))
     # pad the OUT dim to the kernel's 512-column block (e.g. Dream's
     # 151936-vocab head -> 152064): pad columns are zero weights, so
     # their logits are exactly 0 and "out_trim" slices them off after
@@ -76,6 +82,10 @@ def _linear_w4(x: jax.Array, p: dict, preferred=None) -> jax.Array:
     group = (K2 * 2) // p["scales4"].shape[0]
     lead = x.shape[:-1]
     x2d = x.reshape(-1, x.shape[-1])
+    if x2d.shape[-1] != 2 * K2:
+        # kernel rows were zero-padded for k-blocking (quantize_linear4);
+        # zero activations in the pad region contribute exactly 0
+        x2d = jnp.pad(x2d, ((0, 0), (0, 2 * K2 - x2d.shape[-1])))
     trim = next((int(key[7:-2]) for key in p
                  if key.startswith("__trim_")), None)
     if jax.default_backend() == "tpu":

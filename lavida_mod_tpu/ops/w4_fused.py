@@ -271,10 +271,12 @@ def w4_ffn_fused(
     T, D = x.shape
     K2u, N2H = up_packed.shape
     K2d, Nd = dn_packed.shape
-    H = 2 * K2d
-    assert N2H == 2 * H and Nd == D and D == 2 * K2u
+    H = N2H // 2
+    Hd = 2 * K2d  # down matmul K: H, possibly row-padded for k-blocking
+    assert Hd >= H and Nd == D and D == 2 * K2u
     assert K2u <= 2048, "up matmul must fit one k-block"
-    assert N2H % block_n == 0 and D % block_n == 0 and H % block_n == 0
+    assert N2H % block_n == 0 and D % block_n == 0 and H % block_n == 0 \
+        and Hd % block_n == 0
     Gu = up_scales.shape[0]
     assert Gu * group == D
 
@@ -286,6 +288,7 @@ def w4_ffn_fused(
 
     n_up = N2H // block_n       # up|gate column blocks
     nh = H // block_n           # intermediate column blocks
+    nhp = Hd // block_n         # incl. zero pad blocks (padded_in_dim)
     nd = Nd // block_n          # output column blocks
     S = n_up + kd * nd
     bpk = (2 * bkd) // block_n  # intermediate blocks consumed per k-step
@@ -341,6 +344,8 @@ def w4_ffn_fused(
                 a8_ref[j] = jnp.clip(
                     jnp.round(prod_ref[j].astype(jnp.float32) / sa),
                     -127, 127).astype(jnp.int8)
+            for j in range(nh, nhp):  # k-blocking pad rows: exact zeros
+                a8_ref[j] = jnp.zeros((T, block_n), jnp.int8)
 
         @pl.when(s >= n_up)
         def _():
@@ -395,7 +400,7 @@ def w4_ffn_fused(
             pltpu.VMEM((T, D), jnp.int8),            # x8 (norm quant)
             pltpu.VMEM((T, 1), jnp.float32),         # sx
             pltpu.VMEM((n_up, T, block_n), jnp.bfloat16),  # up|gate prod
-            pltpu.VMEM((nh, T, block_n), jnp.int8),  # quantized swiglu
+            pltpu.VMEM((nhp, T, block_n), jnp.int8),  # quantized swiglu
             pltpu.VMEM((T, 1), jnp.float32),         # sa
             pltpu.VMEM((T, block_n), jnp.float32),   # down accumulator
         ],

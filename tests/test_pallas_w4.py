@@ -211,3 +211,34 @@ def test_quantize_params_int4_vocab_fallback():
     import jax
     jy = jax.jit(lambda p, x: linear(x, p))(blk["odd_head"], x)
     assert jy.shape == (4, 384)
+
+
+def test_quantize_linear4_padded_in_dim():
+    """Big in-dims without a 2048-deep power-of-two k-block (Qwen2's
+    18944 = 2^9*37) get zero-padded rows (pallas_w4.padded_in_dim);
+    _linear_w4 zero-pads the activations to match, and the result is
+    bit-identical to quantizing without the row pad (zero rows contribute
+    exactly 0 in the integer dot)."""
+    import numpy as np
+    from lavida_mod_tpu.ops.pallas_w4 import padded_in_dim
+    from lavida_mod_tpu.ops.quant import linear, quantize_linear4
+
+    assert padded_in_dim(18944) == 20480
+    assert padded_in_dim(12288) == 12288   # already 2048-blockable
+    assert padded_in_dim(4304) == 4304     # small K stays
+    assert padded_in_dim(11008) == 12288   # vicuna FFN
+
+    rng = np.random.default_rng(7)
+    K, N = 9472, 128                       # 2^8 * 37: pads to 12288
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    qp = quantize_linear4({"kernel": jnp.asarray(w)})
+    assert qp["kernel_p4"].shape[0] == padded_in_dim(K) // 2
+
+    from lavida_mod_tpu.ops.pallas_w4 import quantize_w4_grouped
+    packed, scales = quantize_w4_grouped(w)   # unpadded twin
+    q_ref = {"kernel_p4": jnp.asarray(packed),
+             "scales4": jnp.asarray(scales)}
+
+    x = jnp.asarray(rng.standard_normal((4, K)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(linear(x, qp)), np.asarray(linear(x, q_ref)))

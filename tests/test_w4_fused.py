@@ -96,6 +96,42 @@ def test_ffn_fused_matches_unfused(D, H):
     assert _rel_err(got, want) < TOL_CHAIN
 
 
+def test_ffn_fused_padded_down_k():
+    """Down-matmul K rows zero-padded past the true intermediate width
+    (ops/pallas_w4.padded_in_dim, e.g. Qwen2 18944 -> 20480): the kernel
+    zero-fills the padded activation blocks, so the result matches the
+    unpadded oracle exactly (zero rows contribute exactly 0)."""
+    rng = np.random.default_rng(5)
+    T, D, H, Hd = 32, 256, 384, 512
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    nw = jnp.asarray(1.0 + 0.1 * rng.standard_normal((D,)), jnp.bfloat16)
+    up = _mk_w4(rng, D, 2 * H)
+    w = rng.standard_normal((H, D)).astype(np.float32) * 0.05
+    packed, scales = quantize_w4_grouped(
+        np.pad(w, ((0, Hd - H), (0, 0))), group=GROUP)
+    dn_pad = {"kernel_p4": jnp.asarray(packed),
+              "scales4": jnp.asarray(scales)}
+    dn_ref = _mk_w4(rng, H, D)
+    dn_ref["kernel_p4"], dn_ref["scales4"] = (
+        jnp.asarray(quantize_w4_grouped(w, group=GROUP)[0]),
+        jnp.asarray(quantize_w4_grouped(w, group=GROUP)[1]),
+    )
+
+    got = w4_ffn_fused(x, nw, up["kernel_p4"], up["scales4"],
+                       dn_pad["kernel_p4"], dn_pad["scales4"],
+                       eps=1e-5, block_n=128, interpret=True)
+
+    h = rms_norm(x, nw, 1e-5)
+    ug = _lin(h, up)
+    xx, gate = jnp.split(ug, 2, axis=-1)
+    inter = jax.nn.silu(gate) * xx
+    want = x + _lin(inter, dn_ref)       # unpadded oracle
+    want_pad = x + _lin(inter, dn_pad)   # _linear_w4 pads activations
+    np.testing.assert_allclose(np.asarray(want_pad, np.float32),
+                               np.asarray(want, np.float32), atol=0)
+    assert _rel_err(got, want) < TOL_CHAIN
+
+
 def test_ffn_fused_matches_composed_kernels():
     """w4_ffn_fused vs [w4_qkv_norm -> swiglu -> w4_matmul_res]:
     identical math, one call vs three.  Bit-parity is NOT achievable —
