@@ -125,7 +125,7 @@ def quantize_w4_grouped(
 
 
 @functools.partial(jax.jit, static_argnames=("group", "block_n", "interpret",
-                                             "dim_semantics"))
+                                             "dim_semantics", "block_t"))
 def w4_matmul_grouped(
     x: jax.Array,         # [T, K] bf16 (or any float)
     packed: jax.Array,    # [K/2, N] int8
@@ -134,6 +134,7 @@ def w4_matmul_grouped(
     block_n: int = 512,
     interpret: bool = False,
     dim_semantics: bool = False,
+    block_t: int | None = None,
 ) -> jax.Array:
     """Grouped int4 matmul, W4A8 formulation — the v5e-measured winner.
 
@@ -176,11 +177,16 @@ def w4_matmul_grouped(
     # round-trips), and at prefill shapes a t-block of 288 divides the
     # 1152-token HD prefix exactly (t=256 would pad to 1280 and re-convert
     # the weights 5x instead of 4x).  Decode (T<=256) keeps block_t=T.
-    if T <= 256:
-        block_t = T
-    else:
-        block_t = next((t for t in (288, 384, 256, 512)
-                        if T % t == 0), 288)
+    if block_t is None:
+        if T <= 256:
+            block_t = T
+        else:
+            # prefer divisors of T (no pad rows): the serve HD prefix is
+            # 1056 tokens — the old 288 pick padded to 1152 (+9% dead
+            # rows, 301 TOPS); 352 measured 335 TOPS, 528 332, full-T
+            # 1056 OOMs scoped VMEM (scripts/probes/_w4_blockt_1056.py)
+            block_t = next((t for t in (352, 528, 288, 384, 256, 512)
+                            if T % t == 0), 288)
     # Largest power-of-two k-block (<=2048 rows) dividing K2: 2048 for
     # the 4096/12288 LLaDA dims, 256 for Dream's 18944 FFN (K2 = 2^8*37).
     # Power-of-two only — a 2368-row block (37 unrolled group dots)
