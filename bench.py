@@ -254,6 +254,7 @@ def main():
     else:
         lm_cfg = cfg.llada
         params = LaViDa.zero_init(cfg, jnp.bfloat16, quantized=True).params
+        prefill_llada = None  # --mixed implies --int4; serve_fused arg
 
     # HD anyres input: base + 4 tiles (the square (768,768) pinpoint);
     # inputs vary per run so transport-level memoization can't flatter us

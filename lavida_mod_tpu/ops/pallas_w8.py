@@ -71,14 +71,61 @@ def w8a8_matmul(
     if T <= 256:
         block_t = T
     elif T % block_t:
-        block_t = next((t for t in (288, 384, 256, 512) if T % t == 0),
-                       block_t)
+        # prefer divisors of T (no pad rows; the serve HD prefix is 1056)
+        block_t = next((t for t in (352, 528, 288, 384, 256, 512)
+                        if T % t == 0), block_t)
     Tp = -(-T // block_t) * block_t
     if Tp != T:
         x8 = jnp.pad(x8, ((0, Tp - T), (0, 0)))
         sx = jnp.pad(sx, ((0, Tp - T), (0, 0)), constant_values=1.0)
-    # largest power-of-two k block <= 4096 dividing K (pow2 only: ragged
-    # k blocks explode Mosaic compile time — pallas_w4.py, measured)
+    # Full-K single k-step when K fits the scoped-VMEM budget (x block
+    # [block_t, K] int8 + w [K, block_n] int8 + acc): kills the
+    # accumulator round-trips AND the tiny-block pathology of non-pow2
+    # dims (SigLIP's 1152 = 2^7*9 / 4304 = 2^4*269 fell to 128-deep
+    # blocks).  Beyond that, largest power-of-two k block <= 4096
+    # dividing K (pow2 only: ragged k blocks explode Mosaic compile
+    # time — pallas_w4.py, measured; full-K at K=12288 OOMs scoped vmem).
+    if K <= 4608 and K % 128 == 0:
+        # Full-K single k-step: no accumulator scratch or round-trips,
+        # and non-pow2 dims (SigLIP 1152 = 2^7*9, 4304 = 2^4*269) stop
+        # falling to 128-deep blocks.  Grid (n, t) with t innermost: the
+        # weight block is constant in t -> fetched once per n.
+        def kernel1(x_ref, sx_ref, w_ref, s_ref, o_ref):
+            d = jax.lax.dot_general(
+                x_ref[...], w_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            o_ref[...] = (
+                d.astype(jnp.float32)
+                * sx_ref[...].astype(jnp.float32)
+                * s_ref[...].astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+
+        out = pl.pallas_call(
+            kernel1,
+            grid=(N // block_n, Tp // block_t),
+            in_specs=[
+                pl.BlockSpec((block_t, K), lambda n, t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_t, 1), lambda n, t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, block_n), lambda n, t: (0, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_n), lambda n, t: (0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_t, block_n),
+                                   lambda n, t: (t, n),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Tp, N), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(x8, sx, w8, scale[None])
+        return out[:T]
+
     block_k = next(b for b in (4096, 2048, 1024, 512, 256, 128)
                    if K % b == 0)
     nk = K // block_k

@@ -88,3 +88,18 @@ def test_linear_w8a8_quality_vs_f32():
     rel = np.abs(np.asarray(out, np.float32) - ref).max() / (
         np.abs(ref).max() + 1e-9)
     assert rel < 0.02, rel
+
+
+def test_w8a8_fullk_nonpow2():
+    """Non-pow2 K (SigLIP's 1152 = 2^7*9) rides the full-K single-step
+    kernel instead of falling to 128-deep k-blocks."""
+    rng = np.random.default_rng(5)
+    x, p = _mk(rng, T=16, K=1152, N=128)
+    x8, sx = quantize_act_int8(x)
+    out = w8a8_matmul(x8, sx, p["kernel_q"], p["scale"],
+                      block_n=128, interpret=True)
+    ref = linear_act_int8(x, p)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=1e-2,
+    )
