@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SigLIPConfig
-from ..ops.attention import dense_attention
+from ..ops.attention import vision_attention
 from ..ops.norms import layer_norm
 from ..ops.pooling import _bilinear_no_antialias
 from .siglip import patchify
@@ -120,7 +120,7 @@ def forward(
         q = (z @ p_l["q_proj"]["kernel"] + p_l["q_proj"]["bias"]).reshape(N, T, nh, hd)
         k = (z @ p_l["k_proj"]["kernel"] + p_l["k_proj"]["bias"]).reshape(N, T, nh, hd)
         v = (z @ p_l["v_proj"]["kernel"] + p_l["v_proj"]["bias"]).reshape(N, T, nh, hd)
-        att = dense_attention(q, k, v).reshape(N, T, -1)
+        att = vision_attention(q, k, v).reshape(N, T, -1)
         h = r + (att @ p_l["out_proj"]["kernel"] + p_l["out_proj"]["bias"])
         r = h
         z = layer_norm(h, p_l["ln2"]["weight"], p_l["ln2"]["bias"], eps)

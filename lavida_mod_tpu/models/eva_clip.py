@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import dense_attention
+from ..ops.attention import vision_attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -244,7 +244,7 @@ def forward(params: dict, cfg: EVAConfig, pixel_values: jax.Array,
                 [kh[:, :, :1], _apply_vision_rope(kh[:, :, 1:], rope_cos,
                                                   rope_sin)], axis=2
             ).transpose(0, 2, 1, 3).astype(v.dtype)
-        att = dense_attention(q, k, v).reshape(N, T, D)
+        att = vision_attention(q, k, v).reshape(N, T, D)
         if cfg.subln:
             att = _ln(att, p["inner_ln"], eps)
         att = att @ p["proj"]["kernel"] + p["proj"]["bias"]

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SigLIPConfig
-from ..ops.attention import dense_attention
+from ..ops.attention import vision_attention
 from ..ops.norms import layer_norm
 from .siglip import patchify
 
@@ -132,7 +132,7 @@ def forward(
         v = (z @ p_l["v_proj"]["kernel"] + p_l["v_proj"]["bias"]).reshape(N, T, nh, hd)
         q = _apply_rope(q, phase)
         k = _apply_rope(k, phase)
-        att = dense_attention(q, k, v).reshape(N, T, -1)
+        att = vision_attention(q, k, v).reshape(N, T, -1)
         h = r + (att @ p_l["out_proj"]["kernel"] + p_l["out_proj"]["bias"])
         r = h
         z = layer_norm(h, p_l["ln2"]["weight"], p_l["ln2"]["bias"], eps)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SigLIPConfig
-from ..ops.attention import dense_attention
+from ..ops.attention import vision_attention
 from ..ops.norms import layer_norm
 from ..ops.quant import linear
 
@@ -136,13 +136,6 @@ def forward(
     # Quality-gate per checkpoint like W4A8 (scripts/verify_checkpoint.py).
     from ..ops.quant import linear_act_int8
     lin = linear_act_int8 if act_int8 else linear
-    # attention: the one-shot Pallas kernel on TPU — whole-head K/V and
-    # the f32 score tile fit VMEM at S=729 (padded 768), measured 26 vs
-    # 39 ms for the 26-layer tower vs dense XLA (f32 [N,16,729,729]
-    # score tensors round-trip HBM).  Dense elsewhere: the interpret-mode
-    # kernel is too slow for the CPU parity tests, and the numerics are
-    # covered by tests/test_short_attention.py.
-    use_short = jax.default_backend() == "tpu"
 
     def layer_fn(h, p_l):
         # linears go through ops.quant.linear so attached LoRA factors
@@ -154,15 +147,10 @@ def forward(
         k = lin(z, p_l["k_proj"])
         v = lin(z, p_l["v_proj"])
         T = z.shape[1]
-        qr = q.reshape(N, T, nh, hd)
-        kr = k.reshape(N, T, nh, hd)
-        vr = v.reshape(N, T, nh, hd)
-        if use_short:
-            from ..ops.attention import flash_attention
-
-            att = flash_attention(qr, kr, vr, None, None).reshape(N, T, -1)
-        else:
-            att = dense_attention(qr, kr, vr).reshape(N, T, -1)
+        att = vision_attention(
+            q.reshape(N, T, nh, hd), k.reshape(N, T, nh, hd),
+            v.reshape(N, T, nh, hd),
+        ).reshape(N, T, -1)
         h = r + lin(att, p_l["out_proj"])
         r = h
         z = layer_norm(h, p_l["ln2"]["weight"], p_l["ln2"]["bias"], eps)

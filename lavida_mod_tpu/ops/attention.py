@@ -136,6 +136,21 @@ def flash_attention(
     return out.transpose(0, 2, 1, 3)[:, :T]
 
 
+def vision_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Bidirectional unmasked attention for vision towers.
+
+    On TPU: the one-shot VMEM-resident kernel (ops/short_attention.py) —
+    ViT grids always fit the S <= 4096 regime, and dense XLA attention
+    materializes f32 [N, H, T, T] score tensors in HBM (26-layer SigLIP
+    tower measured 39 ms dense vs 26 ms one-shot at S=729 on v5e).
+    Elsewhere: dense XLA (the interpret-mode kernel is too slow for the
+    CPU parity suites; kernel numerics are covered by
+    tests/test_short_attention.py and validated on-chip)."""
+    if jax.default_backend() == "tpu" and k.shape[1] <= 4096:
+        return flash_attention(q, k, v, None, None)
+    return dense_attention(q, k, v)
+
+
 def blockwise_attention(
     q: jax.Array,
     k: jax.Array,
