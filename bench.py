@@ -97,6 +97,9 @@ def main():
                          "measured 1.56x at --gen-len 256 --steps 32 "
                          "--dllm 64 on v5e")
     args = ap.parse_args()
+    if args.dllm is not None and (args.kv8 or args.mixed):
+        ap.error("--dllm has no kv8/mixed variant (the partial-recompute "
+                 "path has no quantized scattered cache writes)")
     if args.no_cache:
         nfe = args.steps / args.gen_len
         if nfe not in BASELINE_NOCACHE:

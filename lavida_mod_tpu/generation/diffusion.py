@@ -547,6 +547,14 @@ def generate(
         if k_table.shape[0] == 0:
             return (x, []) if verbose else x
         if dllm_cache is not None and not verbose:
+            if kv8 or act_int8_prefill:
+                # loud, not silent: the partial-recompute path has no
+                # quantized scattered cache writes — dropping the flag
+                # here would misreport what was measured
+                raise NotImplementedError(
+                    "kv8 / act_int8_prefill are not implemented for the "
+                    "dLLM partial-recompute path; drop --kv8/--mixed or "
+                    "--dllm")
             return _generate_dllm_fused(
                 params, cfg, x, prefix_embeds,
                 jnp.asarray(k_table), jnp.asarray(block_end),
