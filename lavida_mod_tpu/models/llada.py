@@ -142,7 +142,16 @@ def _fused_w4_block_n(*ns: int) -> Optional[int]:
 def _w4_fused_plan(cfg: LLaDAConfig, p: Params, rows: int,
                    act_int8: bool) -> Optional[dict]:
     """Decide whether this block can run the fused W4 decode kernels;
-    returns {'bn_qkv', 'bn_ffn', 'interpret'} or None."""
+    returns {'bn_qkv', 'bn_ffn', 'interpret'} or None.
+
+    Decode-only (rows <= 128): the 3-kernel path (w4_qkv_norm /
+    w4_matmul_res / w4_ffn_fused) — the whole layer chain in 3 Pallas
+    dispatches.  A prefill variant (t-blocked w4_qkv_norm for the two
+    norm->quant->matmul entries) was built and measured PERF-NEUTRAL at
+    the 1056-token serve prefill (0.2095 vs 0.2083 s/image) — XLA
+    already overlaps those VPU passes with the MXU chain, so the model
+    path stays unfused there; the kernel keeps its block_t capability
+    (tested) for future shapes."""
     if act_int8 or "moe" in p:
         return None
     interpret = FORCE_FUSED_INTERPRET

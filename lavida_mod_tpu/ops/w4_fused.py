@@ -76,7 +76,7 @@ def _rms_quant(x, norm_w, eps):
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "group", "block_n",
-                                             "interpret"))
+                                             "interpret", "block_t"))
 def w4_qkv_norm(
     x: jax.Array,         # [T, D] bf16 (pre-norm residual stream)
     norm_w: jax.Array,    # [D] norm affine weight
@@ -87,9 +87,16 @@ def w4_qkv_norm(
     group: int = 128,
     block_n: int = 512,
     interpret: bool = False,
+    block_t: int | None = None,
 ) -> jax.Array:
     """rmsnorm(x) @ W4 (+ bias) with in-kernel norm + A8 quant.  Full-K
-    (single k-block: D/2 <= 2048 packed rows).  [T, N] bf16."""
+    (single k-block: D/2 <= 2048 packed rows).  [T, N] bf16.
+
+    Decode (T <= 128): 1-D grid over N blocks, whole-T scratch.
+    Prefill (block_t set): 2-D grid (n, t) — the weight block is constant
+    in t (fetched once per n); the norm+quant of each t-block runs at
+    n == 0 into a persistent [Tp, D] scratch, so the VPU work interleaves
+    with the MXU dots instead of running as separate XLA passes."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -100,6 +107,73 @@ def w4_qkv_norm(
     assert Gu * group == D
     nb = N // block_n
     has_bias = bias is not None
+
+    if block_t is not None:
+        Tp = -(-T // block_t) * block_t
+        if Tp != T:
+            x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+        nt = Tp // block_t
+
+        def kernel_t(*refs):
+            if has_bias:
+                (x_ref, nw_ref, p_ref, s_ref, b_ref, o_ref,
+                 x8_ref, sx_ref) = refs
+            else:
+                x_ref, nw_ref, p_ref, s_ref, o_ref, x8_ref, sx_ref = refs
+            n = pl.program_id(0)
+            t = pl.program_id(1)
+            sl = pl.ds(t * block_t, block_t)
+
+            @pl.when(n == 0)
+            def _():
+                x8, sx = _rms_quant(x_ref[...], nw_ref[0], eps)
+                x8_ref[sl, :] = x8
+                sx_ref[sl, :] = sx
+
+            w8 = pltpu.bitcast(p_ref[...], jnp.int4).astype(jnp.int8)
+            acc = _group_dot_acc(x8_ref[sl, :], w8, s_ref, group,
+                                 jnp.zeros((block_t, block_n),
+                                           jnp.float32))
+            acc = acc * sx_ref[sl, :]
+            if has_bias:
+                acc = acc + b_ref[...].astype(jnp.float32)
+            o_ref[...] = acc.astype(jnp.bfloat16)
+
+        in_specs = [
+            pl.BlockSpec((block_t, D), lambda n, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda n, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, block_n), lambda n, t: (0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gu, block_n), lambda n, t: (0, n),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [x, norm_w[None], packed, scales]
+        if has_bias:
+            in_specs.append(
+                pl.BlockSpec((1, block_n), lambda n, t: (0, n),
+                             memory_space=pltpu.VMEM))
+            operands.append(bias[None])
+
+        out = pl.pallas_call(
+            kernel_t,
+            grid=(nb, nt),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((block_t, block_n),
+                                   lambda n, t: (t, n),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Tp, N), jnp.bfloat16),
+            scratch_shapes=[
+                pltpu.VMEM((Tp, D), jnp.int8),
+                pltpu.VMEM((Tp, 1), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(*operands)
+        return out[:T]
 
     def kernel(*refs):
         if has_bias:

@@ -230,6 +230,21 @@ def test_block_forward_fused_vs_unfused(monkeypatch):
     assert _rel_err(fused, unfused) < 0.05
 
 
+def test_qkv_norm_t_blocked_matches_whole_t():
+    """The 2-D (n, t) grid variant must equal the 1-D whole-T kernel."""
+    rng = np.random.default_rng(8)
+    T, D, N = 256, 256, 384
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    nw = jnp.asarray(1.0 + 0.1 * rng.standard_normal((D,)), jnp.bfloat16)
+    p = _mk_w4(rng, D, N)
+    whole = w4_qkv_norm(x, nw, p["kernel_p4"], p["scales4"],
+                        eps=1e-5, block_n=128, interpret=True)
+    blocked = w4_qkv_norm(x, nw, p["kernel_p4"], p["scales4"],
+                          eps=1e-5, block_n=128, interpret=True,
+                          block_t=128)
+    np.testing.assert_array_equal(np.asarray(whole), np.asarray(blocked))
+
+
 def test_qkv_norm_bias_epilogue():
     """Qwen2-family QKV bias: added in the kernel epilogue after the
     row-scale, matching `linear(...)`'s `y + bias` order."""
