@@ -297,6 +297,15 @@ def main():
                          "denoise (weight reads amortize; B=4 measured "
                          "1.30x per-image on v5e)")
     ap.add_argument("--batch-window-ms", type=float, default=20.0)
+    ap.add_argument("--int4", action="store_true",
+                    help="W4A8 LM serving layout (grouped-int4 Pallas "
+                         "kernels; bench.py default — fastest measured, "
+                         "~1%% logit rel-err; gate per checkpoint with "
+                         "scripts/verify_checkpoint.py).  Default here "
+                         "stays weight-only int8 (near-lossless)")
+    ap.add_argument("--kv8", action="store_true",
+                    help="int8 KV cache + fused decode attention "
+                         "(bench --kv8; quality-gate per checkpoint)")
     ap.add_argument("--tiny", action="store_true",
                     help="random tiny model (no checkpoint; smoke/dev)")
     args = ap.parse_args()
@@ -330,9 +339,11 @@ def main():
         from ..models import llada as llada_model
 
         model = LaViDa.load(args.model_path)
-        # serving layout: int8 LM + unrolled layers (predict.py:103-108)
+        # serving layout: unrolled layers + int8 (default, near-lossless)
+        # or W4A8 (--int4, the bench default) — predict.py:103-108
         model.params["llada"] = llada_model.quantize_params(
-            llada_model.unstack_blocks(model.params["llada"]))
+            llada_model.unstack_blocks(model.params["llada"]),
+            bits=4 if args.int4 else 8)
         tokenizer = None
         tok_file = os.path.join(args.model_path, "tokenizer.json")
         if os.path.exists(tok_file):
@@ -341,7 +352,8 @@ def main():
             tokenizer = load_tokenizer(args.model_path)
 
     eval_model = LavidaEvalModel(model, tokenizer,
-                                 conv_template=args.conv_template)
+                                 conv_template=args.conv_template,
+                                 kv8=args.kv8)
     worker = ModelWorker(
         eval_model, args.model_name,
         controller_addr=args.controller_address,
