@@ -48,6 +48,13 @@ def main() -> int:
                     help="max relative logit error for the W4A8 gate")
     ap.add_argument("--quant-agree", type=float, default=0.95,
                     help="min greedy-token agreement for the W4A8 gate")
+    ap.add_argument("--kv8-check", action="store_true",
+                    help="also gate the int8-KV-cache decode (bench "
+                         "--kv8 / worker --kv8): run a short cached "
+                         "generation with and without kv8 on the int8 "
+                         "serving layout and compare tokens")
+    ap.add_argument("--kv8-agree", type=float, default=0.9,
+                    help="min token agreement for the kv8 gate")
     args = ap.parse_args()
 
     import jax
@@ -141,6 +148,25 @@ def main() -> int:
         print("[verify:w4a8] PASS" if q_ok else
               "[verify:w4a8] FAIL — serve with --int8 for this checkpoint")
         ok = ok and q_ok
+
+    if args.kv8_check and ok:
+        # int8-KV decode gate, isolated on the weight-only int8 layout
+        # (kv8 and W4A8 are independent quality knobs)
+        from lavida_mod_tpu.config import GenerationConfig
+        from lavida_mod_tpu.generation import diffusion
+
+        p8 = jl.quantize_params(jl.unstack_blocks(params), bits=8)
+        gen = GenerationConfig(max_new_tokens=16, block_length=16,
+                               step_per_block=8, prefix_lm=True)
+        emb = jl.embed_tokens(p8, jnp.asarray(ids))
+        base = np.asarray(diffusion.generate(p8, lcfg, emb, gen))
+        k8 = np.asarray(diffusion.generate(p8, lcfg, emb, gen, kv8=True))
+        kagree = (base == k8).mean()
+        print(f"[verify:kv8] token agreement vs bf16 cache = {kagree:.3f}")
+        k_ok = kagree >= args.kv8_agree
+        print("[verify:kv8] PASS" if k_ok else
+              "[verify:kv8] FAIL — serve without --kv8 for this checkpoint")
+        ok = ok and k_ok
     return 0 if ok else 1
 
 
