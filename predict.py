@@ -47,6 +47,10 @@ def main():
                          "fastest config, half the LM weight HBM, ~1% "
                          "logit rel-err — gate quality per checkpoint "
                          "with scripts/verify_checkpoint.py")
+    ap.add_argument("--kv8", action="store_true",
+                    help="int8 KV cache + fused decode attention (bench "
+                         "--kv8; quality-gate per checkpoint with "
+                         "scripts/verify_checkpoint.py --kv8-check)")
     ap.add_argument("--no-quant", action="store_true",
                     help="keep bf16 LM weights (full 8B won't fit one v5e)")
     ap.add_argument("--dtype", default="bfloat16")
@@ -178,6 +182,8 @@ def main():
     )
 
     gen_kw = dict(image_features=shirg_blocks) if shirg_blocks else {}
+    if args.kv8:
+        gen_kw["kv8"] = True
     if args.warmup:
         model.generate(input_ids, images, image_sizes, gen, **gen_kw)
 
