@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--layers", type=int, default=12)
     ap.add_argument("--d-model", type=int, default=2048)
     ap.add_argument("--mlp", type=int, default=6144)
+    ap.add_argument("--remat", default="whole_layer",
+                    help="activation-checkpointing strategy: whole_layer "
+                         "/ dots_nobatch / dots / none (models/llada.py "
+                         "remat ladder) — pick by memory headroom")
     args = ap.parse_args()
 
     import jax
@@ -67,9 +71,10 @@ def main():
     opt_state = opt.init(params)
 
     on_tpu = jax.default_backend() == "tpu"
+    remat = False if args.remat == "none" else args.remat
     step = jit_train_step(make_train_step(
         cfg, opt,
-        prefix_lm=True, remat=True,
+        prefix_lm=True, remat=remat,
         attention_impl="prefix_flash" if on_tpu else "dense",
     ))
 
