@@ -38,7 +38,11 @@ def main():
     ap.add_argument("--remat", default="whole_layer",
                     help="activation-checkpointing strategy: whole_layer "
                          "/ dots_nobatch / dots / none (models/llada.py "
-                         "remat ladder) — pick by memory headroom")
+                         "remat ladder).  Swept on v5e at the default "
+                         "config: whole_layer 50.2%% MFU > dots_nobatch "
+                         "47.1%% ~= dots 47.1%% (recompute FLOPs beat "
+                         "the HBM traffic of stashed activations); none "
+                         "OOMs — whole_layer is the default for a reason")
     args = ap.parse_args()
 
     import jax
