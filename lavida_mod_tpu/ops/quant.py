@@ -76,7 +76,7 @@ def quantize_linear4(p: dict, group: int = 128) -> dict:
 
 
 def _linear_w4(x: jax.Array, p: dict, preferred=None) -> jax.Array:
-    from .pallas_w4 import dequant_w4_grouped, w4_matmul_grouped
+    from .pallas_w4 import w4_matmul_grouped
 
     K2 = p["kernel_p4"].shape[0]
     group = (K2 * 2) // p["scales4"].shape[0]

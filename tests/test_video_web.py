@@ -153,3 +153,28 @@ def test_video_av_path_gated():
         pass
     with pytest.raises(ImportError, match="pyav"):
         load_video_frames("/tmp/nonexistent.mp4")
+
+
+def test_register_worker_cli():
+    """`python -m lavida_mod_tpu.serve.register_worker` analogue of the
+    reference's llava/serve/register_worker.py: posts a manual
+    registration to a live controller."""
+    import sys
+    import threading
+    import time
+    from unittest import mock
+
+    from lavida_mod_tpu.serve import register_worker
+    from lavida_mod_tpu.serve.controller import Controller
+
+    c = Controller()
+    t = threading.Thread(target=c.serve, args=("127.0.0.1", 19327),
+                         daemon=True)
+    t.start()
+    time.sleep(0.5)
+    argv = ["register_worker",
+            "--controller-address", "http://127.0.0.1:19327",
+            "--worker-name", "http://127.0.0.1:21002"]
+    with mock.patch.object(sys, "argv", argv):
+        register_worker.main()
+    assert "http://127.0.0.1:21002" in c.worker_info
