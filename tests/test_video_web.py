@@ -171,10 +171,33 @@ def test_register_worker_cli():
     t = threading.Thread(target=c.serve, args=("127.0.0.1", 19327),
                          daemon=True)
     t.start()
+    # manual registration posts worker_status=None, so the controller
+    # queries the WORKER's /worker_get_status (reference semantics) —
+    # run a minimal fake worker
+    import http.server
+    import json as _json
+
+    class FakeWorker(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = _json.dumps(
+                {"model_names": ["m"], "speed": 1.0, "queue_length": 0}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 19328), FakeWorker)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
     time.sleep(0.5)
     argv = ["register_worker",
             "--controller-address", "http://127.0.0.1:19327",
-            "--worker-name", "http://127.0.0.1:21002"]
+            "--worker-name", "http://127.0.0.1:19328"]
     with mock.patch.object(sys, "argv", argv):
         register_worker.main()
-    assert "http://127.0.0.1:21002" in c.worker_info
+    assert "http://127.0.0.1:19328" in c.worker_info
+    srv.shutdown()
