@@ -46,10 +46,16 @@ def main():
     ap.add_argument("--int8", dest="int4", action="store_false",
                     help="conservative weight-only int8 LM (per-channel, "
                          "near-lossless) instead of W4A8")
-    ap.add_argument("--fused", action="store_true",
+    ap.add_argument("--fused", action="store_true", default=True,
                     help="fused QKV + gate/up weight layout "
-                         "(to_fused_layout): 4 instead of 7 Pallas kernel "
-                         "dispatches per layer on the int4 path")
+                         "(to_fused_layout, the DEFAULT): mathematically "
+                         "identical (column-independent quantization), "
+                         "and it is what lets the fused W4A8 decode-layer "
+                         "kernels engage — the stock LLaDA config is "
+                         "block_type=llama, which they skip.  Measured "
+                         "0.1998 vs 0.2100 unfused same-session")
+    ap.add_argument("--no-fused", dest="fused", action="store_false",
+                    help="separate q/k/v + gate/up weight layout")
     fam = ap.add_mutually_exclusive_group()
     fam.add_argument("--dream", action="store_true",
                      help="LaViDa-Dream family (7B Qwen2 geometry, "

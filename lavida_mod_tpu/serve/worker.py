@@ -340,10 +340,15 @@ def main():
 
         model = LaViDa.load(args.model_path)
         # serving layout: unrolled layers + int8 (default, near-lossless)
-        # or W4A8 (--int4, the bench default) — predict.py:103-108
+        # or W4A8 (--int4, the bench default) — predict.py:103-108.
+        # int4 fuses QKV+gate/up first (exact; engages the fused decode
+        # kernels — llama-type blocks skip them)
+        lp = llada_model.unstack_blocks(model.params["llada"])
+        if args.int4:
+            lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
+            model.cfg = model.cfg.replace(llada=lcfg)
         model.params["llada"] = llada_model.quantize_params(
-            llada_model.unstack_blocks(model.params["llada"]),
-            bits=4 if args.int4 else 8)
+            lp, bits=4 if args.int4 else 8)
         tokenizer = None
         tok_file = os.path.join(args.model_path, "tokenizer.json")
         if os.path.exists(tok_file):

@@ -114,9 +114,16 @@ def main():
         # cannot co-reside with the KV cache in a v5e's HBM (README)
         from lavida_mod_tpu.models import llada as llada_model
 
+        lp = llada_model.unstack_blocks(model.params["llada"])
+        if args.int4:
+            # fused QKV + gate/up layout BEFORE quantization: exact
+            # (column-independent scales) and required for the fused
+            # W4A8 decode-layer kernels (llama-type blocks skip them;
+            # measured 0.1998 vs 0.2100 s/image)
+            lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
+            model.cfg = model.cfg.replace(llada=lcfg)
         model.params["llada"] = llada_model.quantize_params(
-            llada_model.unstack_blocks(model.params["llada"]),
-            bits=4 if args.int4 else 8,
+            lp, bits=4 if args.int4 else 8,
         )
 
     conv = get_conv_template(args.conv_template)

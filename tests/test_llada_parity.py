@@ -374,3 +374,35 @@ def test_fused_layout_equivalence():
     gb = np.asarray(generate(fused, fcfg,
                              jl.embed_tokens(fused, ids), gen_cfg))
     np.testing.assert_array_equal(ga, gb)
+
+
+def test_fused_layout_int4_token_exact():
+    """Fused layout + int4 quantization is TOKEN-EXACT vs unfused int4:
+    the merged kernels' per-(group, column) scales and codes are
+    column-independent, and the per-token activation scale depends only
+    on the (shared) input — so predict/worker/bench can default to the
+    fused layout without a quality caveat."""
+    import jax
+    import jax.numpy as jnp
+
+    from lavida_mod_tpu.config import GenerationConfig, tiny_llada_config
+    from lavida_mod_tpu.generation import generate
+    from lavida_mod_tpu.models import llada as jl
+
+    cfg = tiny_llada_config(d_model=128, n_heads=4, n_kv_heads=4,
+                            mlp_hidden_size=256)
+    params = jl.init_params(cfg, jax.random.PRNGKey(0))
+    up = jl.unstack_blocks(params)
+    q_plain = jl.quantize_params(up, bits=4, group=64)
+    fused, fcfg = jl.to_fused_layout(up, cfg)
+    q_fused = jl.quantize_params(fused, bits=4, group=64)
+
+    ids = jnp.asarray(np.arange(5, 17)[None])
+    gen_cfg = GenerationConfig(max_new_tokens=16, block_length=8,
+                               prefix_lm=True, schedule="shift",
+                               schedule_shift=0.33)
+    ga = np.asarray(generate(q_plain, cfg,
+                             jl.embed_tokens(q_plain, ids), gen_cfg))
+    gb = np.asarray(generate(q_fused, fcfg,
+                             jl.embed_tokens(q_fused, ids), gen_cfg))
+    np.testing.assert_array_equal(ga, gb)
