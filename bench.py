@@ -46,14 +46,16 @@ def main():
     ap.add_argument("--int8", dest="int4", action="store_false",
                     help="conservative weight-only int8 LM (per-channel, "
                          "near-lossless) instead of W4A8")
-    ap.add_argument("--fused", action="store_true", default=True,
+    ap.add_argument("--fused", action="store_true", default=None,
                     help="fused QKV + gate/up weight layout "
-                         "(to_fused_layout, the DEFAULT): mathematically "
-                         "identical (column-independent quantization), "
-                         "and it is what lets the fused W4A8 decode-layer "
-                         "kernels engage — the stock LLaDA config is "
-                         "block_type=llama, which they skip.  Measured "
-                         "0.1998 vs 0.2100 unfused same-session")
+                         "(to_fused_layout): mathematically identical "
+                         "(column-independent quantization), and it is "
+                         "what lets the fused W4A8 decode-layer kernels "
+                         "engage — the stock LLaDA config is "
+                         "block_type=llama, which they skip.  DEFAULT is "
+                         "batch-dependent (same-session A/B): fused wins "
+                         "B=1 (0.200 vs 0.210) and LOSES B=4 (0.206 vs "
+                         "0.188), so B==1 fuses and B>1 does not")
     ap.add_argument("--no-fused", dest="fused", action="store_false",
                     help="separate q/k/v + gate/up weight layout")
     fam = ap.add_mutually_exclusive_group()
@@ -103,6 +105,8 @@ def main():
                          "measured 1.56x at --gen-len 256 --steps 32 "
                          "--dllm 64 on v5e")
     args = ap.parse_args()
+    if args.fused is None:
+        args.fused = args.batch == 1  # see --fused help: measured split
     if args.dllm is not None and (args.kv8 or args.mixed):
         ap.error("--dllm has no kv8/mixed variant (the partial-recompute "
                  "path has no quantized scattered cache writes)")

@@ -160,8 +160,14 @@ def _w4_fused_plan(cfg: LLaDAConfig, p: Params, rows: int,
     if not (cfg.block_type == "sequential" and cfg.activation == "swiglu"
             and cfg.layer_norm_type == "rms"):
         return None
-    if rows > 128 or rows % 8 != 0:
-        return None  # VMEM scratch scales with rows; prefill skips
+    if rows > 32 or rows % 8 != 0:
+        # Measured bound, not a VMEM one: at rows=128 (batch-4 decode)
+        # the fused kernels LOSE to the plain grouped matmuls — 0.2207
+        # vs 0.1918 s/image same-session (the in-kernel norm/swiglu VPU
+        # phases serialize against the MXU once the row tile is fat
+        # enough for XLA to schedule well).  rows<=32 (single-image and
+        # Dream decode) measured 0.2004 vs 0.2104 in the kernels' favor.
+        return None
     for name in ("att_proj", "attn_out", "ff_proj", "ff_out"):
         q = p.get(name)
         # bias allowed on att_proj only (Qwen2-family QKV bias — the

@@ -344,7 +344,10 @@ def main():
         # int4 fuses QKV+gate/up first (exact; engages the fused decode
         # kernels — llama-type blocks skip them)
         lp = llada_model.unstack_blocks(model.params["llada"])
-        if args.int4:
+        if args.int4 and args.decode_batch <= 1:
+            # fused layout wins single-request decode (0.200 vs 0.210)
+            # and LOSES batched decode (0.206 vs 0.188 at B=4, measured
+            # same-session) — fuse only when the batcher is off
             lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
             model.cfg = model.cfg.replace(llada=lcfg)
         model.params["llada"] = llada_model.quantize_params(
