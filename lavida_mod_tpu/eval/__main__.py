@@ -47,6 +47,15 @@ def main():
     ap.add_argument("--gen-kwargs", default="")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--mc-num", type=int, default=16)
+    ap.add_argument("--quant", choices=["none", "int8", "int4"],
+                    default="int8",
+                    help="LM serving layout for real checkpoints: int8 "
+                         "(default; near-lossless — the 8B bf16 weights "
+                         "cannot co-reside with a KV cache in one v5e's "
+                         "HBM), int4 (W4A8 + fused layout, the bench "
+                         "default; gate per checkpoint with "
+                         "scripts/verify_checkpoint.py --quant-check), "
+                         "or none (bf16 — small models / big hosts)")
     ap.add_argument("--kv8", action="store_true",
                     help="int8 KV cache + fused decode attention (MHA "
                          "families; bench --kv8 serving configuration)")
@@ -65,6 +74,16 @@ def main():
     cfg = LaViDaConfig()
     if args.model_path:
         model = LaViDa.load(args.model_path, cfg, lm_family=args.lm_family)
+        if args.quant != "none":
+            from ..models import llada as llada_model
+
+            lp = llada_model.unstack_blocks(model.params["llada"])
+            if args.quant == "int4":
+                lp, lcfg = llada_model.to_fused_layout(
+                    lp, model.cfg.llada)
+                model.cfg = model.cfg.replace(llada=lcfg)
+            model.params["llada"] = llada_model.quantize_params(
+                lp, bits=4 if args.quant == "int4" else 8)
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
         tokenizer = load_hf_or_offline(args.model_path)
