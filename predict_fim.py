@@ -82,6 +82,12 @@ def main():
     else:
         cfg = LaViDaConfig()
         model = LaViDa.load(args.model_path, cfg)
+        # serving layout (predict.py:111-119): the 8B bf16 weights cannot
+        # co-reside with the KV cache in one v5e's HBM
+        from lavida_mod_tpu.models import llada as llada_model
+
+        model.params["llada"] = llada_model.quantize_params(
+            llada_model.unstack_blocks(model.params["llada"]))
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
         tokenizer = load_hf_or_offline(args.model_path)
