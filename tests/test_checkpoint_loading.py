@@ -190,3 +190,27 @@ def test_lora_merge_load(ref_state, tmp_path):
     # and the merge moved the weights (the test bites)
     plain = LaViDa(cfg, _expected_params(ref_state, cfg))
     assert np.abs(_logits_of(model) - _logits_of(plain)).max() > 1e-3
+
+
+def test_load_then_int4_fused_serving_layout(ref_state, tmp_path):
+    """The predict/worker/eval --int4 sequence on a LOADED checkpoint:
+    unstack -> to_fused_layout (token-exact) -> quantize_params(bits=4)
+    -> generate.  Covers the CLI serving path end-to-end from real
+    files (the fused cfg must replace the model's)."""
+    from lavida_mod_tpu.config import GenerationConfig
+    from lavida_mod_tpu.models import llada as jl
+
+    cfg = _tiny_cfg()
+    _save_safetensor_shards(ref_state, tmp_path / "q4", n_shards=2)
+    model = LaViDa.load(str(tmp_path / "q4"), cfg, dtype=jnp.float32)
+
+    lp = jl.unstack_blocks(model.params["llada"])
+    lp, lcfg = jl.to_fused_layout(lp, model.cfg.llada)
+    model.cfg = model.cfg.replace(llada=lcfg)
+    model.params["llada"] = jl.quantize_params(lp, bits=4, group=64)
+
+    gen = GenerationConfig(max_new_tokens=8, block_length=8,
+                           prefix_lm=True)
+    out = model.generate(np.arange(5, 13), gen=gen)
+    assert out.shape[-1] == 8
+    assert (np.asarray(out) != model.cfg.llada.mask_token_id).all()
