@@ -106,7 +106,11 @@ def main():
                          "--dllm 64 on v5e")
     args = ap.parse_args()
     if args.fused is None:
-        args.fused = args.batch == 1  # see --fused help: measured split
+        # fuse only where it measured faster: single image, 32-row decode
+        # tiles (B=1 0.200 vs 0.210).  Fat decode tiles regress — B=4
+        # 0.206 vs 0.188, dllm-64 0.582 vs 0.473 (same-session A/Bs)
+        args.fused = (args.batch == 1 and args.gen_len <= 32
+                      and args.dllm is None)
     if args.dllm is not None and (args.kv8 or args.mixed):
         ap.error("--dllm has no kv8/mixed variant (the partial-recompute "
                  "path has no quantized scattered cache writes)")

@@ -345,9 +345,11 @@ def main():
         # kernels — llama-type blocks skip them)
         lp = llada_model.unstack_blocks(model.params["llada"])
         if args.int4 and args.decode_batch <= 1:
-            # fused layout wins single-request decode (0.200 vs 0.210)
-            # and LOSES batched decode (0.206 vs 0.188 at B=4, measured
-            # same-session) — fuse only when the batcher is off
+            # fused layout wins single-request short-gen decode (0.200
+            # vs 0.210 at 32 tokens) and LOSES fat decode tiles (B=4
+            # 0.206 vs 0.188, dllm-64 0.582 vs 0.473, same-session) —
+            # fuse only when the batcher is off; long-generation-heavy
+            # deployments should prefer --decode-batch > 1 anyway
             lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
             model.cfg = model.cfg.replace(llada=lcfg)
         model.params["llada"] = llada_model.quantize_params(

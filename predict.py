@@ -115,11 +115,12 @@ def main():
         from lavida_mod_tpu.models import llada as llada_model
 
         lp = llada_model.unstack_blocks(model.params["llada"])
-        if args.int4:
+        if args.int4 and args.max_new_tokens <= 32:
             # fused QKV + gate/up layout BEFORE quantization: exact
             # (column-independent scales) and required for the fused
             # W4A8 decode-layer kernels (llama-type blocks skip them;
-            # measured 0.1998 vs 0.2100 s/image)
+            # measured 0.200 vs 0.210 s/image).  Only for 32-row decode
+            # tiles — fat tiles regress (bench A/Bs: B=4, dllm)
             lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
             model.cfg = model.cfg.replace(llada=lcfg)
         model.params["llada"] = llada_model.quantize_params(
