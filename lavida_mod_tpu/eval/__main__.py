@@ -57,8 +57,8 @@ def main():
                          "scripts/verify_checkpoint.py --quant-check), "
                          "or none (bf16 — small models / big hosts)")
     ap.add_argument("--kv8", action="store_true",
-                    help="int8 KV cache + fused decode attention (MHA "
-                         "families; bench --kv8 serving configuration)")
+                    help="int8 KV cache + fused decode attention "
+                         "(GQA-native; bench --kv8 serving configuration)")
     ap.add_argument("--log-samples", action="store_true")
     ap.add_argument("--output", default=None)
     ap.add_argument("--output-dir", default=None,

@@ -79,7 +79,7 @@ class LavidaEvalModel:
         # pad prompt lengths to buckets so a task sweep compiles O(1)
         # executables instead of one per prompt length
         self.prefix_bucket = prefix_bucket
-        # int8 KV cache + fused decode attention (MHA families; see
+        # int8 KV cache + fused decode attention (GQA-native; see
         # ops/kv8_attention.py) — the bench --kv8 serving configuration
         self.kv8 = kv8
         self.processor = SigLIPImageProcessor(

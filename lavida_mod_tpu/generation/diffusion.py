@@ -178,19 +178,7 @@ def _denoise_scan_cached_body(
         # the whole 1056-row prefix per layer per step (~1.3GB/step of
         # pure memcpy at 8B scale).
         P = cache["k"].shape[2]
-        if kv8 and cfg.n_heads != cfg.effective_n_kv_heads:
-            # trace-time (cfg is static): the kv8 kernel is MHA-only —
-            # say so instead of silently serving the bf16 cache.  GQA
-            # families keep tiny per-step cache reads (Dream: 62 MB vs
-            # LLaDA's 570), so there is little to win there anyway.
-            import warnings
-
-            warnings.warn(
-                "kv8 requested but the model is GQA "
-                f"({cfg.n_heads}q/{cfg.effective_n_kv_heads}kv); the "
-                "int8-KV kernel is MHA-only — falling back to the bf16 "
-                "cache", stacklevel=2)
-        if kv8 and cfg.n_heads == cfg.effective_n_kv_heads:
+        if kv8:
             # int8 KV cache (serving): per-(head, position) symmetric
             # quantization + the fused kv8 decode-attention kernel —
             # halves the ~570 MB/step of cache reads (ops/kv8_attention)

@@ -57,31 +57,35 @@ def dequantize_kv(q: jax.Array, scale: jax.Array) -> jax.Array:
 
 
 def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, valid_ref, o_ref,
-            *, scale, T, S, hd):
-    # one grid step handles a GROUP of heads: per-head grid steps are
+            *, scale, T, S, hd, G):
+    # one grid step handles a GROUP of KV heads: per-head grid steps are
     # overhead-bound at decode sizes (measured 8.6 us/step vs ~0.3 us of
     # DMA).  The head loop unrolls to 2D dots — Mosaic's batched 3D
-    # dot_general faulted on-device.
-    hg = q_ref.shape[1]
+    # dot_general faulted on-device.  GQA: each KV head serves G query
+    # heads (query heads arrive grouped: q head j*G+g shares KV head j).
+    hg = k_ref.shape[1]
     valid = valid_ref[0, 0] != 0                       # [S]
     for h in range(hg):
-        q = q_ref[0, h]                                # [T, hd] bf16
         k8 = k_ref[0, h].astype(jnp.bfloat16)          # [S, hd]
-        s = jax.lax.dot_general(
-            q, k8, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                              # [T, S]
-        s = s * (ks_ref[0, h, 0][None, :] * scale)
-        s = jnp.where(valid[None, :], s, NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        pv = (p * vs_ref[0, h, 0][None, :]).astype(jnp.bfloat16)
-        o_ref[0, h] = jax.lax.dot_general(
-            pv, v_ref[0, h].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+        v8 = v_ref[0, h].astype(jnp.bfloat16)
+        kcol = ks_ref[0, h, 0][None, :] * scale
+        vcol = vs_ref[0, h, 0][None, :]
+        for g in range(G):
+            q = q_ref[0, h * G + g]                    # [T, hd] bf16
+            s = jax.lax.dot_general(
+                q, k8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # [T, S]
+            s = s * kcol
+            s = jnp.where(valid[None, :], s, NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            pv = (p * vcol).astype(jnp.bfloat16)
+            o_ref[0, h * G + g] = jax.lax.dot_general(
+                pv, v8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -95,37 +99,40 @@ def kv8_decode_attention(
 ) -> jax.Array:
     """Softmax(q k^T * scale) v over the quantized cache -> [B,T,H,hd].
 
-    MHA only (H == Hkv — LLaDA-8B's geometry; Dream decode keeps the
-    bf16 path).  The whole per-head cache is one VMEM block (S=1088,
-    hd=128 -> 2x136 KB int8), so no online softmax is needed."""
+    GQA-native: Hq may be a multiple of Hkv (query head j*G+g reads KV
+    head j, the standard grouped order).  The whole per-KV-head cache is
+    one VMEM block (S=1088, hd=128 -> 2x136 KB int8), so no online
+    softmax is needed."""
     B, T, H, hd = q.shape
-    S = k8.shape[2]
-    assert k8.shape[1] == H, (
-        "kv8 decode attention is MHA-only (Hq == Hkv); GQA models keep "
-        "the bf16 cache path")
+    Hkv, S = k8.shape[1], k8.shape[2]
+    assert H % Hkv == 0, (H, Hkv)
+    G = H // Hkv
     scale = 1.0 / (hd ** 0.5)
     if kv_valid is None:
         valid = jnp.ones((B, 1, S), jnp.int32)
     else:
         valid = kv_valid.astype(jnp.int32)[:, None, :]
 
-    # head-group size: as many heads per grid step as fit VMEM
-    # (K+V int8 + f32 scores per group; 8 heads ~ 3.6 MB at S=1088)
-    hg = next(g for g in (8, 4, 2, 1) if H % g == 0)
+    # head-group size: as many KV heads per grid step as fit VMEM
+    # (K+V int8 + f32 scores per query head; 8 MHA heads ~ 3.6 MB at
+    # S=1088).  Bound hg*G so the q/out blocks stay small too.
+    hg = next((g for g in (8, 4, 2, 1) if Hkv % g == 0 and g * G <= 16),
+              1)
 
     qt = q.transpose(0, 2, 1, 3)                       # [B, H, T, hd]
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, T=T, S=S, hd=hd),
-        grid=(B, H // hg),
+        functools.partial(_kernel, scale=scale, T=T, S=S, hd=hd, G=G),
+        grid=(B, Hkv // hg),
         in_specs=[
-            pl.BlockSpec((1, hg, T, hd), lambda b, g: (b, g, 0, 0)),
+            pl.BlockSpec((1, hg * G, T, hd), lambda b, g: (b, g, 0, 0)),
             pl.BlockSpec((1, hg, S, hd), lambda b, g: (b, g, 0, 0)),
             pl.BlockSpec((1, hg, 1, S), lambda b, g: (b, g, 0, 0)),
             pl.BlockSpec((1, hg, S, hd), lambda b, g: (b, g, 0, 0)),
             pl.BlockSpec((1, hg, 1, S), lambda b, g: (b, g, 0, 0)),
             pl.BlockSpec((1, 1, S), lambda b, g: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, hg, T, hd), lambda b, g: (b, g, 0, 0)),
+        out_specs=pl.BlockSpec((1, hg * G, T, hd),
+                               lambda b, g: (b, g, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, T, hd), q.dtype),
         interpret=_INTERPRET[0],
     )(qt, k8, ks, v8, vs, valid)

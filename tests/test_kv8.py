@@ -101,3 +101,40 @@ def test_generate_kv8_end_to_end():
     assert (x_kv8 != cfg.mask_token_id).all()
     agree = (x_ref == x_kv8).mean()
     assert agree >= 0.8, f"kv8 trajectory diverged: {agree:.2f} agreement"
+
+
+def test_kernel_gqa_matches_dense_on_dequant():
+    """GQA (Hq = 4, Hkv = 2): query head j*G+g reads KV head j — same
+    oracle as the MHA test with K/V heads repeated."""
+    B, T, Hq, Hkv, hd, S = 1, 16, 4, 2, 128, 96
+    G = Hq // Hkv
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (B, T, Hq, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (B, S, Hkv, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (B, S, Hkv, hd), jnp.float32)
+    k8, ksc = KV8.quantize_kv(k)
+    v8, vsc = KV8.quantize_kv(v)
+    out = KV8.kv8_decode_attention(q, k8, ksc, v8, vsc)
+    kd = KV8.dequantize_kv(k8, ksc).astype(jnp.float32)
+    vd = KV8.dequantize_kv(v8, vsc).astype(jnp.float32)
+    ref = dense_attention(q, jnp.repeat(kd, G, axis=2),
+                          jnp.repeat(vd, G, axis=2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=6e-3, rtol=6e-3)
+
+
+def test_generate_kv8_gqa_end_to_end():
+    """kv8 through the full denoise loop on the GQA tiny config (the
+    default tiny fixture is 4q/2kv) — previously fell back to bf16."""
+    cfg = tiny_llada_config()  # 4 heads / 2 kv heads
+    params = L.unstack_blocks(
+        L.init_params(cfg, jax.random.PRNGKey(0), jnp.float32))
+    prefix = L.embed_tokens(
+        params, jnp.arange(5, 21)[None].astype(jnp.int32))
+    gen = GenerationConfig(max_new_tokens=16, block_length=8,
+                           step_per_block=4, prefix_lm=True)
+    x_ref = np.asarray(generate(params, cfg, prefix, gen))
+    x_kv8 = np.asarray(generate(params, cfg, prefix, gen, kv8=True))
+    assert (x_kv8 != cfg.mask_token_id).all()
+    agree = (x_ref == x_kv8).mean()
+    assert agree >= 0.8, f"kv8 GQA trajectory diverged: {agree:.2f}"
