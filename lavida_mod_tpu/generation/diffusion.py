@@ -546,15 +546,19 @@ def generate(
         )
         if k_table.shape[0] == 0:
             return (x, []) if verbose else x
-        if dllm_cache is not None and not verbose:
+        if dllm_cache is not None:
+            # loud, not silent: these combinations have no implementation —
+            # falling through would silently drop the flag and misreport
+            # what was measured (flags checked BEFORE the verbose branch)
             if kv8 or act_int8_prefill:
-                # loud, not silent: the partial-recompute path has no
-                # quantized scattered cache writes — dropping the flag
-                # here would misreport what was measured
                 raise NotImplementedError(
                     "kv8 / act_int8_prefill are not implemented for the "
                     "dLLM partial-recompute path; drop --kv8/--mixed or "
                     "--dllm")
+            if verbose:
+                raise NotImplementedError(
+                    "verbose history is not implemented for the dLLM "
+                    "partial-recompute path; drop --dllm or verbose")
             return _generate_dllm_fused(
                 params, cfg, x, prefix_embeds,
                 jnp.asarray(k_table), jnp.asarray(block_end),
@@ -572,6 +576,10 @@ def generate(
                 use_flash=use_flash, act_int8_prefill=act_int8_prefill,
                 use_flash_prefill=use_flash_prefill, kv8=kv8,
             )
+        if kv8 or act_int8_prefill:
+            raise NotImplementedError(
+                "kv8 / act_int8_prefill are only wired on the fused "
+                "non-verbose path; drop --kv8/--mixed or verbose")
         cache = prefill(params, cfg, prefix_embeds, prefix_valid,
                         use_flash or use_flash_prefill)
         positions = jnp.arange(P, P + G, dtype=jnp.int32)

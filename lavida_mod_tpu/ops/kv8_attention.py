@@ -116,6 +116,10 @@ def kv8_decode_attention(
     # head-group size: as many KV heads per grid step as fit VMEM
     # (K+V int8 + f32 scores per query head; 8 MHA heads ~ 3.6 MB at
     # S=1088).  Bound hg*G so the q/out blocks stay small too.
+    # All supported geometries have G <= 16 (LLaDA MHA G=1, Dream/Qwen2
+    # GQA G=4..7); beyond that even hg=1 exceeds the documented q/out
+    # VMEM bound, so refuse loudly rather than silently blow VMEM.
+    assert G <= 16, f"GQA group size {G} > 16 unsupported by kv8 kernel"
     hg = next((g for g in (8, 4, 2, 1) if Hkv % g == 0 and g * G <= 16),
               1)
 

@@ -78,6 +78,14 @@ def w8a8_matmul(
     if Tp != T:
         x8 = jnp.pad(x8, ((0, Tp - T), (0, 0)))
         sx = jnp.pad(sx, ((0, Tp - T), (0, 0)), constant_values=1.0)
+    # Pad K to a 128 multiple (zero int8 rows contribute 0 to the int32
+    # accumulator — exact): SigLIP's fc2 K=4304 (= 2^4*269) now genuinely
+    # rides the full-K path instead of falling to the XLA fallback.
+    if K % 128:
+        Kp = -(-K // 128) * 128
+        x8 = jnp.pad(x8, ((0, 0), (0, Kp - K)))
+        w8 = jnp.pad(w8, ((0, Kp - K), (0, 0)))
+        K = Kp
     # Full-K single k-step when K fits the scoped-VMEM budget (x block
     # [block_t, K] int8 + w [K, block_n] int8 + acc): kills the
     # accumulator round-trips AND the tiny-block pathology of non-pow2
@@ -85,11 +93,12 @@ def w8a8_matmul(
     # blocks).  Beyond that, largest power-of-two k block <= 4096
     # dividing K (pow2 only: ragged k blocks explode Mosaic compile
     # time — pallas_w4.py, measured; full-K at K=12288 OOMs scoped vmem).
-    if K <= 4608 and K % 128 == 0:
-        # Full-K single k-step: no accumulator scratch or round-trips,
-        # and non-pow2 dims (SigLIP 1152 = 2^7*9, 4304 = 2^4*269) stop
-        # falling to 128-deep blocks.  Grid (n, t) with t innermost: the
-        # weight block is constant in t -> fetched once per n.
+    if K <= 4608:
+        # Full-K single k-step (K is 128-padded above): no accumulator
+        # scratch or round-trips, and non-pow2 dims (SigLIP 1152 = 2^7*9,
+        # 4304 -> padded 4352) stop falling to 128-deep blocks.  Grid
+        # (n, t) with t innermost: the weight block is constant in t ->
+        # fetched once per n.
         def kernel1(x_ref, sx_ref, w_ref, s_ref, o_ref):
             d = jax.lax.dot_general(
                 x_ref[...], w_ref[...],
@@ -126,8 +135,8 @@ def w8a8_matmul(
         )(x8, sx, w8, scale[None])
         return out[:T]
 
-    block_k = next(b for b in (4096, 2048, 1024, 512, 256, 128)
-                   if K % b == 0)
+    block_k = next((b for b in (4096, 2048, 1024, 512, 256, 128)
+                    if K % b == 0), 128)  # K is 128-padded above
     nk = K // block_k
     nt = Tp // block_t
 

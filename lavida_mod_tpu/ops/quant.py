@@ -166,7 +166,7 @@ def linear_act_int8(x: jax.Array, p: dict, preferred=None) -> jax.Array:
         return linear(x, p, preferred)
     K, N = p["kernel_q"].shape[-2], p["kernel_q"].shape[-1]
     if (jax.default_backend() == "tpu" and p["kernel_q"].ndim == 2
-            and K % 128 == 0 and N % 128 == 0):
+            and N % 128 == 0):  # kernel pads T and K itself (128-exact)
         from .pallas_w8 import linear_w8a8
 
         return linear_w8a8(x, p, preferred)

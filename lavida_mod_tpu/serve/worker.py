@@ -306,6 +306,11 @@ def main():
     ap.add_argument("--kv8", action="store_true",
                     help="int8 KV cache + fused decode attention "
                          "(bench --kv8; quality-gate per checkpoint)")
+    ap.add_argument("--gen-len-hint", type=int, default=32,
+                    help="expected max_new_tokens of the serving traffic; "
+                         "the fused W4A8 layout is applied only when this "
+                         "is <= 32 (mirrors predict.py — the layout loses "
+                         "on fat decode tiles: dllm-64 0.582 vs 0.473)")
     ap.add_argument("--tiny", action="store_true",
                     help="random tiny model (no checkpoint; smoke/dev)")
     args = ap.parse_args()
@@ -344,12 +349,14 @@ def main():
         # int4 fuses QKV+gate/up first (exact; engages the fused decode
         # kernels — llama-type blocks skip them)
         lp = llada_model.unstack_blocks(model.params["llada"])
-        if args.int4 and args.decode_batch <= 1:
+        if args.int4 and args.decode_batch <= 1 and args.gen_len_hint <= 32:
             # fused layout wins single-request short-gen decode (0.200
             # vs 0.210 at 32 tokens) and LOSES fat decode tiles (B=4
             # 0.206 vs 0.188, dllm-64 0.582 vs 0.473, same-session) —
-            # fuse only when the batcher is off; long-generation-heavy
-            # deployments should prefer --decode-batch > 1 anyway
+            # fuse only when the batcher is off AND traffic is short-gen
+            # (--gen-len-hint, mirroring predict.py's max_new_tokens<=32
+            # gate); long-generation-heavy deployments should prefer
+            # --decode-batch > 1 anyway
             lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
             model.cfg = model.cfg.replace(llada=lcfg)
         model.params["llada"] = llada_model.quantize_params(

@@ -90,6 +90,23 @@ def test_linear_w8a8_quality_vs_f32():
     assert rel < 0.02, rel
 
 
+def test_w8a8_fullk_k_not_multiple_of_128():
+    """K=4304 (SigLIP fc2, 4304 % 128 = 80) zero-pads to 4352 inside the
+    kernel — exact, since zero int8 rows contribute 0 — and rides the
+    full-K path instead of raising or falling back (ADVICE r3 #1)."""
+    rng = np.random.default_rng(6)
+    x, p = _mk(rng, T=16, K=4304, N=128)
+    x8, sx = quantize_act_int8(x)
+    out = w8a8_matmul(x8, sx, p["kernel_q"], p["scale"],
+                      block_n=128, interpret=True)
+    assert out.shape == (16, 128)
+    ref = linear_act_int8(x, p)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=1e-2,
+    )
+
+
 def test_w8a8_fullk_nonpow2():
     """Non-pow2 K (SigLIP's 1152 = 2^7*9) rides the full-K single-step
     kernel instead of falling to 128-deep k-blocks."""
