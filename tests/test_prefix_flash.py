@@ -156,6 +156,54 @@ def test_sharded_train_step_with_kernel_runs():
                                rtol=1e-4)
 
 
+def test_multimodal_train_step_prefix_flash_matches_dense():
+    """The path train.py's --attn-impl flag enables: the FULL multimodal
+    train step (pixels -> tower -> splice -> diffusion loss) with
+    attention_impl='prefix_flash' produces the same loss as dense."""
+    from lavida_mod_tpu.config import (LaViDaConfig, VisionConfig,
+                                       tiny_llada_config,
+                                       tiny_siglip_config)
+    from lavida_mod_tpu.models import multimodal as mm
+    from lavida_mod_tpu.train.step import (jit_train_step, make_optimizer,
+                                           make_multimodal_train_step)
+
+    cfg = LaViDaConfig(
+        llada=tiny_llada_config(),
+        vision=VisionConfig(siglip=tiny_siglip_config(), mm_hidden_size=32,
+                            grid_pinpoints=((56, 112), (112, 56),
+                                            (112, 112))),
+    )
+    params0 = mm.init_params(cfg, jax.random.PRNGKey(0))
+    opt = make_optimizer(lr=1e-3, total_steps=10)
+
+    rng = np.random.default_rng(0)
+    S = cfg.vision.siglip.image_size
+    pix = jnp.asarray(rng.standard_normal((5, 3, S, S)), jnp.float32)
+    ids = [list(range(3, 20)) + [-200] + list(range(5, 40))]
+    # (64,64) at the tiny pinpoints -> 2x2 anyres grid = 4 tiles + base
+    gather_idx, text_ids, valid, labels = mm.build_gather_plan(
+        cfg, [np.asarray(ids[0])], [[5]], [[(64, 64)]],
+        [np.asarray([-100] * 30 + list(range(7, 7 + len(ids[0]) - 30)))],
+        pad_to=128,
+    )
+    batch = {
+        "pixel_values": pix, "text_ids": jnp.asarray(text_ids),
+        "gather_idx": jnp.asarray(gather_idx),
+        "labels": jnp.asarray(labels),
+    }
+
+    losses = {}
+    for impl in ("dense", "prefix_flash"):
+        p = jax.tree.map(jnp.copy, params0)  # step donates its inputs
+        st = opt.init(p)
+        step = jit_train_step(make_multimodal_train_step(
+            cfg, opt, prefix_lm=True, remat=True, attention_impl=impl))
+        _, _, metrics = step(p, st, batch, jax.random.PRNGKey(7))
+        losses[impl] = float(metrics["loss"])
+    np.testing.assert_allclose(losses["dense"], losses["prefix_flash"],
+                               rtol=1e-4)
+
+
 def test_matches_model_forward_training_mask():
     """End-to-end: llada.forward(attention_impl='prefix_flash') ==
     default dense path on the tiny config with per-row prefix lengths."""

@@ -71,6 +71,14 @@ def main():
                          "boundaries; nested (sqrt-checkpointing) saves "
                          "~2*sqrt(L) — the knob that fits stage-2 "
                          "global-batch 16 on a v5e-8 (NOTES AOT table)")
+    ap.add_argument("--attn-impl", default="auto",
+                    choices=["auto", "dense", "blockwise", "prefix_flash"],
+                    help="training attention: 'auto' = prefix_flash on TPU "
+                         "(fused Pallas prefix-LM flash, mask computed "
+                         "in-VMEM — the reference's flex-attention analogue, "
+                         "modeling_llada.py:685-710) and dense elsewhere; "
+                         "'dense' materializes the O(T^2) bias (3.8 GB/layer "
+                         "at the 30720 truncation — debugging only)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -177,10 +185,19 @@ def main():
         params, opt_state = payload["params"], payload["opt_state"]
         start_step = int(payload["step"])
 
+    attn_impl = args.attn_impl
+    if attn_impl == "auto":
+        # mirror scripts/bench_train.py: the fused prefix-LM flash kernel
+        # is the TPU default (dense would pay the O(T^2) bias the kernel
+        # was built to kill); dense stays the CPU/interpret fallback
+        attn_impl = ("prefix_flash" if jax.default_backend() == "tpu"
+                     else "dense")
+    rank0_print(f"[train] attention_impl: {attn_impl}")
     step_fn = jit_train_step(make_multimodal_train_step(
         cfg, opt, prefix_lm=not args.no_prefix_lm, policy=args.t_policy,
         fim_id=LLADA_FIM_ID if args.fim else None,
         remat=(False if args.remat == "none" else args.remat), mesh=mesh,
+        attention_impl=attn_impl,
     ))
 
     logger = MetricsLogger(args.output_dir, use_wandb=args.wandb)
