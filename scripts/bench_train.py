@@ -43,9 +43,31 @@ def main():
                          "47.1%% ~= dots 47.1%% (recompute FLOPs beat "
                          "the HBM traffic of stashed activations); none "
                          "OOMs — whole_layer is the default for a reason")
+    ap.add_argument("--attn-impl", default="auto",
+                    choices=["auto", "dense", "blockwise", "prefix_flash"],
+                    help="auto = prefix_flash on TPU, dense elsewhere "
+                         "(same rule as train.py); explicit values drive "
+                         "the seq-sweep A/B table in NOTES")
+    ap.add_argument("--multimodal", action="store_true",
+                    help="bench make_multimodal_train_step: pixels -> "
+                         "SigLIP so400m tower -> projector -> pool -> "
+                         "gather-splice -> diffusion loss (one 384px "
+                         "square view per sample; the reference's "
+                         "stage-2 step shape, train.py:1880-2184)")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor an
+    # explicit cpu request via the config knob (CLAUDE.md gotcha)
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -69,29 +91,77 @@ def main():
     cfg = LaViDaConfig(llada=lm)
 
     import optax
-    params = L.init_params(lm, jax.random.PRNGKey(0), jnp.bfloat16)
-    n_params = sum(x.size for x in jax.tree.leaves(params))
-    opt = optax.adamw(1e-4)
-    opt_state = opt.init(params)
 
     on_tpu = jax.default_backend() == "tpu"
     remat = False if args.remat == "none" else args.remat
-    step = jit_train_step(make_train_step(
-        cfg, opt,
-        prefix_lm=True, remat=remat,
-        attention_impl="prefix_flash" if on_tpu else "dense",
-    ))
+    impl = args.attn_impl
+    if impl == "auto":
+        impl = "prefix_flash" if on_tpu else "dense"
 
     B, S, D = args.batch, args.seq, args.d_model
     rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(3, 31000, (B, S)), jnp.int32)
-    labels = np.asarray(ids).copy()
-    labels[:, : S // 4] = -100  # prompt region (prefix-LM mask)
-    batch = {
-        "inputs_embeds": L.embed_tokens(params, ids),
-        "labels": jnp.asarray(labels),
-    }
+    opt = optax.adamw(1e-4)
     key = jax.random.PRNGKey(1)
+    n_vis_tokens = 0
+    n_vis_params = 0
+
+    if args.multimodal:
+        from lavida_mod_tpu.config import VisionConfig
+        from lavida_mod_tpu.models import multimodal as mm
+        from lavida_mod_tpu.train.step import make_multimodal_train_step
+
+        # one square 384px view per sample (stage-1 geometry); the LM sees
+        # [196 pooled vision tokens + newline + text] per row, padded to S
+        vis = VisionConfig(image_aspect_ratio="square")
+        cfg = LaViDaConfig(llada=lm, vision=vis)
+        params = mm.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+        n_params = sum(x.size for x in jax.tree.leaves(params["llada"]))
+        n_vis_params = sum(
+            x.size for k in ("siglip", "projector")
+            for x in jax.tree.leaves(params[k]))
+        sp = cfg.vision.siglip
+        g = -(-sp.num_patches_per_side // cfg.vision.spatial_pool_stride)
+        t_text = S - (g * g + 1)
+        assert t_text > 8, "seq too short for the vision block"
+        ids_list, labs_list = [], []
+        for b in range(B):
+            row = rng.integers(3, 31000, t_text).astype(np.int64)
+            row[1] = -200  # IMAGE_TOKEN_INDEX
+            lab = row.copy()
+            lab[: t_text // 4] = -100
+            ids_list.append(row)
+            labs_list.append(lab)
+        gather_idx, text_ids, _valid, labels = mm.build_gather_plan(
+            cfg, ids_list, [[1]] * B, [[(384, 384)]] * B, labs_list,
+            pad_to=S,
+        )
+        n_vis_tokens = B * (sp.image_size // sp.patch_size) ** 2
+        batch = {
+            "pixel_values": jnp.asarray(
+                rng.standard_normal((B, 3, sp.image_size, sp.image_size)),
+                jnp.bfloat16),
+            "text_ids": jnp.asarray(text_ids),
+            "gather_idx": jnp.asarray(gather_idx),
+            "labels": jnp.asarray(labels),
+        }
+        opt_state = opt.init(params)
+        step = jit_train_step(make_multimodal_train_step(
+            cfg, opt, prefix_lm=True, remat=remat, attention_impl=impl,
+        ))
+    else:
+        params = L.init_params(lm, jax.random.PRNGKey(0), jnp.bfloat16)
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        opt_state = opt.init(params)
+        step = jit_train_step(make_train_step(
+            cfg, opt, prefix_lm=True, remat=remat, attention_impl=impl,
+        ))
+        ids = jnp.asarray(rng.integers(3, 31000, (B, S)), jnp.int32)
+        labels = np.asarray(ids).copy()
+        labels[:, : S // 4] = -100  # prompt region (prefix-LM mask)
+        batch = {
+            "inputs_embeds": L.embed_tokens(params, ids),
+            "labels": jnp.asarray(labels),
+        }
 
     # warmup / compile (donation: params/opt_state must be re-threaded)
     for i in range(2):
@@ -108,21 +178,33 @@ def main():
 
     s_per_step = wall / args.steps
     # complementary masking doubles the forwarded batch (train/loss.py);
-    # tokens/s counts the DATA tokens (B*S), FLOPs count the compute (2x)
+    # tokens/s counts the DATA tokens (B*S), FLOPs count the compute (2x).
+    # The vision stack runs ONCE per row (before the doubling).
     tok_s = B * S / s_per_step
-    flops = 6 * n_params * (2 * B * S)   # fwd+bwd, doubled batch
-    mfu = flops / s_per_step / 197e12    # v5e bf16 peak
+    flops = 6 * n_params * (2 * B * S) + 6 * n_vis_params * n_vis_tokens
+    # attention matmul term (PaLM MFU convention; bidirectional prefix-LM
+    # -> no causal halving): QK^T + AV = 4*S^2*D flops/layer fwd, x3 bwd
+    attn_flops = 3 * 4 * (2 * B) * S * S * args.d_model * args.layers
+    mfu = flops / s_per_step / 197e12    # v5e bf16 peak; params-only term
+    # (kept as the headline for cross-round comparability w/ the 50.2% row)
+    mfu_attn = (flops + attn_flops) / s_per_step / 197e12
+    # whole_layer remat re-executes the fwd inside the bwd: the chip runs
+    # ~8/6 of the model FLOPs — this is the remat-adjusted hw utilization
+    hw_util = mfu_attn * (8 / 6 if remat else 1.0)
     print(json.dumps({
-        "metric": f"train_tokens_per_s_{args.layers}L_d{args.d_model}"
-                  f"_b{B}x{S}",
+        "metric": f"train{'_mm' if args.multimodal else ''}_tokens_per_s"
+                  f"_{args.layers}L_d{args.d_model}_b{B}x{S}_{impl}",
         "value": round(tok_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(mfu, 4),   # field reused: achieved MFU
         "detail": {
             "s_per_step": round(s_per_step, 4),
             "params_m": round(n_params / 1e6, 1),
+            "vis_params_m": round(n_vis_params / 1e6, 1),
             "loss": round(loss, 4),
             "mfu_bf16_peak": round(mfu, 4),
+            "mfu_with_attn": round(mfu_attn, 4),
+            "hw_util_remat_adj": round(hw_util, 4),
         },
     }))
 
