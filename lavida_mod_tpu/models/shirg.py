@@ -217,6 +217,63 @@ def topk_select(tokens: jax.Array, scores: jax.Array, k: int) -> jax.Array:
     return jnp.take_along_axis(tokens, idx[..., None], axis=1)
 
 
+def merge_similar_tokens(
+    tokens: jax.Array, threshold: float = 0.9,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Post-selection budget-reclaim merge, fixed-shape rebuild of
+    siglip_shirg.py:689-787 (invoked at :548-549 under
+    `merge_similar`+`method='full'`): greedy in-order cosine merging —
+    token i absorbs every still-kept j>i with sim(i,j) > threshold as
+    their mean (of ORIGINAL values; absorbed tokens can never re-merge)
+    — then kept tokens compact to the front and the tail pads by
+    repeating the last kept token, so exactly K tokens survive (the
+    reference's own hard LaViDa cache-compatibility constraint, :693).
+
+    The reference adds 1e-6 gaussian noise to the pad rows; pass `key`
+    to reproduce that, default None pads noiselessly (1e-6 is below
+    bf16 resolution — documented deviation)."""
+    B, K, D = tokens.shape
+    triu = jnp.triu(jnp.ones((K, K), jnp.float32), k=1)
+
+    def one(tok):
+        tokf = tok.astype(jnp.float32)
+        # F.normalize semantics: x / max(||x||, 1e-12)
+        tn = tokf / jnp.maximum(
+            jnp.linalg.norm(tokf, axis=-1, keepdims=True), 1e-12)
+        # torch computes (sim * triu_mask) > threshold — multiply THEN
+        # compare, so lower-tri entries compare 0 > threshold (:715-716)
+        pairs = (tn @ tn.T) * triu > threshold
+
+        def step(kept, inp):
+            row, i = inp
+            similar = row & kept & kept[i]
+            any_sim = similar.any()
+            group = similar.at[i].set(True)
+            mean = (tokf * group[:, None].astype(jnp.float32)).sum(0) \
+                / jnp.maximum(group.sum(), 1)
+            new_row = jnp.where(any_sim, mean, tokf[i])
+            return kept & ~similar, new_row
+
+        kept, merged = jax.lax.scan(
+            step, jnp.ones((K,), bool), (pairs, jnp.arange(K)))
+        # compaction: kept rows first in original order, tail repeats the
+        # last kept row (kept[0] is always True — row 0 has no j<0 to
+        # absorb it — so u >= 1 and the :762-764 fallback is dead code)
+        order = jnp.argsort(~kept, stable=True)
+        u = kept.sum()
+        pos = jnp.arange(K)
+        src = jnp.where(pos < u, order[pos], order[u - 1])
+        return merged[src].astype(tok.dtype), (pos < u)
+
+    out, live = jax.vmap(one)(tokens)
+    if key is not None:
+        noise = 1e-6 * jax.random.normal(key, out.shape, jnp.float32)
+        out = jnp.where(live[..., None], out,
+                        out + noise.astype(out.dtype))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # full SHIRG encode
 # ---------------------------------------------------------------------------
@@ -255,6 +312,13 @@ def shirg_encode(
     scores = shirg_scores(f_feat, text_embeddings, method,
                           selection_params, key)
     selected = topk_select(f_feat, scores, k)
+
+    # optional post-selection merge (siglip_shirg.py:548-549: only under
+    # merge_similar AND method='full')
+    sp = selection_params or {}
+    if sp.get("merge_similar", False) and method == "full":
+        selected = merge_similar_tokens(
+            selected, sp.get("merge_threshold", 0.9))
 
     tokens = jnp.concatenate([pooled, selected], axis=1)  # [1, 980, D]
     projected = projector_model.forward(

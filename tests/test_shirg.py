@@ -88,6 +88,74 @@ def test_radial_weight_prefers_edges():
     np.testing.assert_allclose(w.mean(), 1.0, atol=1e-5)
 
 
+def _torch_merge_similar(tokens, threshold):
+    """Transcription of the reference greedy merge
+    (siglip_shirg.py:689-787), pad noise zeroed for determinism."""
+    import torch.nn.functional as F
+
+    t = torch.from_numpy(tokens)
+    B, K, D = t.shape
+    tn = F.normalize(t, dim=-1)
+    sim = torch.bmm(tn, tn.transpose(1, 2))
+    mask = torch.triu(torch.ones(K, K), diagonal=1)
+    pairs = (sim * mask) > threshold
+    outs = []
+    for b in range(B):
+        bt = t[b].clone()
+        kept = torch.ones(K, dtype=torch.bool)
+        for i in range(K):
+            if kept[i]:
+                similar = pairs[b, i, :] & kept
+                if similar.any():
+                    idx = similar.nonzero(as_tuple=True)[0]
+                    all_idx = torch.cat([torch.tensor([i]), idx])
+                    bt[i] = bt[all_idx].mean(dim=0)
+                    kept[idx] = False
+        u = int(kept.sum())
+        uniq = bt[kept]
+        if u < K:
+            pad = uniq[-1:].expand(K - u, -1)
+            final = torch.cat([uniq, pad], dim=0)
+        else:
+            final = bt
+        outs.append(final[None])
+    return torch.cat(outs, 0).numpy()
+
+
+def test_merge_similar_tokens_matches_torch_oracle():
+    rng = np.random.default_rng(7)
+    # build clusters of near-duplicates so merging actually fires
+    base = rng.standard_normal((1, 6, 16)).astype(np.float32)
+    tokens = np.concatenate(
+        [base + 0.01 * rng.standard_normal(base.shape) for _ in range(3)],
+        axis=1,
+    )  # [1, 18, 16] with ~3 copies of each row
+    ref = _torch_merge_similar(tokens, 0.9)
+    ours = np.asarray(S.merge_similar_tokens(jnp.asarray(tokens), 0.9))
+    assert ours.shape == tokens.shape  # exactly K preserved (:693)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    # merging actually happened (duplicates collapsed)
+    assert np.abs(ours - tokens).max() > 1e-3
+
+
+def test_merge_similar_tokens_no_pairs_is_identity():
+    rng = np.random.default_rng(8)
+    tokens = rng.standard_normal((2, 12, 32)).astype(np.float32)
+    out = np.asarray(S.merge_similar_tokens(jnp.asarray(tokens), 0.999))
+    np.testing.assert_allclose(out, tokens, atol=1e-6)
+
+
+def test_shirg_encode_merge_similar_wiring():
+    """merge_similar+method='full' routes through the merge (shape keeps
+    the 980-token contract); other methods bypass it (:548)."""
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(rng.standard_normal((1, 64, 8)).astype(np.float32))
+    s = S.shirg_scores(tokens, method="full", key=jax.random.PRNGKey(0))
+    sel = S.topk_select(tokens, s, 16)
+    merged = S.merge_similar_tokens(sel, 0.5)
+    assert merged.shape == sel.shape
+
+
 def test_2view_preprocess_geometry():
     from PIL import Image
 
