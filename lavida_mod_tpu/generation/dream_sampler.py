@@ -135,6 +135,37 @@ def build_dream_schedule(
     return timesteps, np.asarray(ks, np.int64), steps
 
 
+def _commit_step(x, logits, mask_index, k_i, p_i, ks, kt,
+                 alg, alg_temp, temperature, top_p, top_k):
+    """One denoise commit (generation_utils.py:476-515), shared between
+    the fused scan body and the hooked host loop so they stay
+    token-identical by construction."""
+    B = x.shape[0]
+    if alg == "origin":
+        _, x0 = sample_tokens(logits, ks, temperature, top_p, top_k)
+        u = jax.random.uniform(kt, x.shape)
+        transfer = mask_index & (u < p_i)
+        return jnp.where(transfer, x0.astype(jnp.int32), x)
+    conf, x0 = sample_tokens(
+        logits, ks, temperature, top_p, top_k,
+        margin_confidence=(alg == "topk_margin"),
+        neg_entropy=(alg == "entropy"),
+    )
+    conf = jnp.where(mask_index, conf, NEG_INF)
+    if alg_temp is not None and alg_temp > 0:
+        # multinomial without replacement == Gumbel top-k
+        logp = jax.nn.log_softmax(
+            jnp.where(mask_index, conf / alg_temp, NEG_INF), axis=-1
+        )
+        g = -jnp.log(-jnp.log(
+            jax.random.uniform(kt, conf.shape, minval=1e-20)
+        ))
+        conf = jnp.where(mask_index, logp + g, NEG_INF)
+    k_row = jnp.full((B,), k_i, jnp.int32)
+    transfer = topk_transfer_mask(conf, k_row) & mask_index
+    return jnp.where(transfer, x0.astype(jnp.int32), x)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "gen_length", "alg", "alg_temp", "temperature",
@@ -203,35 +234,60 @@ def _dream_fused(
             )
         # AR shift (generation_utils.py:470-473)
         logits = jnp.concatenate([logits[:, :1], logits[:, :-1]], axis=1)
-
-        if alg == "origin":
-            conf, x0 = sample_tokens(logits, ks, temperature, top_p, top_k)
-            u = jax.random.uniform(kt, x.shape)
-            transfer = mask_index & (u < p_i)
-            x = jnp.where(transfer, x0.astype(jnp.int32), x)
-        else:
-            conf, x0 = sample_tokens(
-                logits, ks, temperature, top_p, top_k,
-                margin_confidence=(alg == "topk_margin"),
-                neg_entropy=(alg == "entropy"),
-            )
-            conf = jnp.where(mask_index, conf, NEG_INF)
-            if alg_temp is not None and alg_temp > 0:
-                # multinomial without replacement == Gumbel top-k
-                logp = jax.nn.log_softmax(
-                    jnp.where(mask_index, conf / alg_temp, NEG_INF), axis=-1
-                )
-                g = -jnp.log(-jnp.log(
-                    jax.random.uniform(kt, conf.shape, minval=1e-20)
-                ))
-                conf = jnp.where(mask_index, logp + g, NEG_INF)
-            k_row = jnp.full((B,), k_i, jnp.int32)
-            transfer = topk_transfer_mask(conf, k_row) & mask_index
-            x = jnp.where(transfer, x0.astype(jnp.int32), x)
+        x = _commit_step(x, logits, mask_index, k_i, p_i, ks, kt,
+                         alg, alg_temp, temperature, top_p, top_k)
         return (x, cache, key), None
 
     (x, _, _), _ = jax.lax.scan(step, (x, cache, key), (k_table, p_transfer))
     return x
+
+
+def _dream_hooked(
+    params, cfg, prefix_embeds, k_table, p_transfer, key, G,
+    gen: DreamGenerationConfig, use_flash, use_flash_prefill,
+    tokens_hook, logits_hook, verbose,
+):
+    """Host-side step loop applying the reference's generation hooks:
+    `generation_tokens_hook_func` / `generation_logits_hook_func`
+    (generation_utils.py:308-309; applied at :451 before the loop, :473
+    on the shifted logits, :516 after each commit).  Hooks are arbitrary
+    python callables, so this path steps OUTSIDE jit between denoise
+    steps — the fused scan (`_dream_fused`) is a single traced
+    executable and cannot call back into python; use it (hooks=None)
+    for serving.  Token-identical to the fused path under identity
+    hooks (same key-split order, shared `_commit_step`)."""
+    tokens_hook = tokens_hook or (lambda step, x, logits: x)
+    logits_hook = logits_hook or (lambda step, x, logits: logits)
+    B, P, _ = prefix_embeds.shape
+    mask_id = cfg.mask_token_id
+    logits_last, cache = llada_model.forward(
+        params, cfg, prefix_embeds, use_cache=True,
+        last_logits_only=True, use_flash=use_flash or use_flash_prefill,
+    )
+    first = jnp.argmax(logits_last[:, -1], axis=-1).astype(jnp.int32)
+    x = jnp.full((B, G), mask_id, jnp.int32).at[:, 0].set(first)
+    # pre-loop token control (generation_utils.py:451)
+    x = jnp.asarray(tokens_hook(None, x, None), jnp.int32)
+    positions = jnp.arange(P, P + G, dtype=jnp.int32)
+    history = []
+    for i in range(int(k_table.shape[0])):
+        key, ks, kt = jax.random.split(key, 3)
+        mask_index = x == mask_id
+        embeds = llada_model.embed_tokens(params, x)
+        logits, _ = llada_model.forward(
+            params, cfg, embeds, positions=positions, kv_cache=cache,
+            use_flash=use_flash,
+        )
+        logits = jnp.concatenate([logits[:, :1], logits[:, :-1]], axis=1)
+        logits = logits_hook(i, x, logits)
+        x = _commit_step(
+            x, logits, mask_index, k_table[i], p_transfer[i], ks, kt,
+            gen.alg, gen.alg_temp, gen.temperature, gen.top_p, gen.top_k,
+        )
+        x = jnp.asarray(tokens_hook(i, x, logits), jnp.int32)
+        if verbose:
+            history.append(np.asarray(x))
+    return (x, history) if verbose else x
 
 
 def dream_generate(
@@ -243,8 +299,18 @@ def dream_generate(
     key: Optional[jax.Array] = None,
     use_flash: bool = False,
     use_flash_prefill: bool = False,
+    tokens_hook=None,
+    logits_hook=None,
+    verbose: bool = False,
 ):
-    """Generate via the Dream sampler. Returns [B, max_new_tokens] ids."""
+    """Generate via the Dream sampler. Returns [B, max_new_tokens] ids
+    (or (ids, history) when verbose).
+
+    tokens_hook(step, x, logits) / logits_hook(step, x, logits): the
+    reference's public sampler extension surface
+    (generation_utils.py:308-309).  Passing either (or verbose) routes
+    through the host-side step loop — the fused single-executable scan
+    cannot call back into python mid-trace."""
     assert gen.prefix_lm, "Dream non-cached path: use prefix_lm=True (the "\
         "reference eval configs always do; run_dream.sh:13)"
     if key is None:
@@ -256,6 +322,13 @@ def dream_generate(
     p_transfer = (1.0 - s / t).astype(np.float32)
     if steps > 0:
         p_transfer[-1] = 1.0  # final step commits everything (origin)
+    if tokens_hook is not None or logits_hook is not None or verbose:
+        return _dream_hooked(
+            params, cfg, prefix_embeds,
+            jnp.asarray(ks, jnp.int32), jnp.asarray(p_transfer), key, G,
+            gen, use_flash, use_flash_prefill,
+            tokens_hook, logits_hook, verbose,
+        )
     return _dream_fused(
         params, cfg, prefix_embeds,
         jnp.asarray(ks, jnp.int32), jnp.asarray(p_transfer), key, G,

@@ -301,8 +301,14 @@ class LaViDa:
         prefix_bucket: Optional[int] = None,
         use_flash: bool = False,
         kv8: bool = False,
+        tokens_hook=None,
+        logits_hook=None,
     ) -> np.ndarray:
         """predict.py-equivalent single-sample generation. Returns [G] ids.
+
+        tokens_hook/logits_hook: Dream-sampler extension callables
+        (generation_utils.py:308-309) — forwarded to dream_generate; only
+        valid with a DreamGenerationConfig.
 
         prefix_bucket: pad the prefix length up to a multiple of this value
         (masked via prefix_valid) so eval sweeps with varying prompt
@@ -336,8 +342,13 @@ class LaViDa:
             out = dream_generate(
                 self.params["llada"], self.cfg.llada, prefix, gen,
                 key=key, use_flash=use_flash,
+                tokens_hook=tokens_hook, logits_hook=logits_hook,
             )
             return np.asarray(out)[0]
+        assert tokens_hook is None and logits_hook is None, (
+            "generation hooks are a Dream-sampler surface "
+            "(generation_utils.py:308-309); the LLaDA sampler has none "
+            "in the reference either")
         out = diffusion.generate(
             self.params["llada"], self.cfg.llada, prefix, gen,
             draft_tokens=(

@@ -163,6 +163,85 @@ def test_dream_unrolled_write_index_parity(tiny_pair):
     np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
 
 
+def test_dream_hooks_identity_matches_fused(tiny_pair):
+    """Identity hooks route through the host-side step loop and must be
+    token-identical to the fused scan (generation_utils.py:308-309:
+    default hooks are identity lambdas)."""
+    _, cfg, params = tiny_pair
+    prompt = np.arange(3, 13)[None]
+    gen_cfg = DreamGenerationConfig(
+        max_new_tokens=16, steps=8, alg="topk_margin", prefix_lm=True
+    )
+    prefix = jl.embed_tokens(params, jnp.asarray(prompt))
+    fused = dream_generate(params, cfg, prefix, gen_cfg)
+    calls = []
+
+    def tok_hook(step, x, logits):
+        calls.append(step)
+        return x
+
+    hooked = dream_generate(params, cfg, prefix, gen_cfg,
+                            tokens_hook=tok_hook,
+                            logits_hook=lambda s, x, l: l)
+    np.testing.assert_array_equal(np.asarray(hooked), np.asarray(fused))
+    # called once pre-loop with step=None (:451) then per step (:516)
+    assert calls == [None] + list(range(8))
+
+
+def test_dream_tokens_hook_rewrites(tiny_pair):
+    """A token-rewriting hook changes the output: pin gen position 1 to a
+    fixed id after every step (user-defined token control, :516)."""
+    _, cfg, params = tiny_pair
+    prompt = np.arange(3, 13)[None]
+    gen_cfg = DreamGenerationConfig(
+        max_new_tokens=16, steps=8, alg="maskgit_plus", prefix_lm=True
+    )
+    prefix = jl.embed_tokens(params, jnp.asarray(prompt))
+
+    def pin(step, x, logits):
+        return jnp.asarray(x).at[:, 1].set(7)
+
+    out = dream_generate(params, cfg, prefix, gen_cfg, tokens_hook=pin)
+    assert int(np.asarray(out)[0, 1]) == 7
+    assert (np.asarray(out) != MASK_ID).all()
+
+
+def test_dream_logits_hook_bans_token(tiny_pair):
+    """A logits hook that bans one vocab id keeps it out of the output
+    (user-defined logits control, :473)."""
+    _, cfg, params = tiny_pair
+    prompt = np.arange(3, 13)[None]
+    gen_cfg = DreamGenerationConfig(
+        max_new_tokens=16, steps=8, alg="maskgit_plus", prefix_lm=True
+    )
+    prefix = jl.embed_tokens(params, jnp.asarray(prompt))
+    base = np.asarray(dream_generate(params, cfg, prefix, gen_cfg))
+    # ban the most common generated id (skip pos 0: prefill argmax is
+    # committed before the loop, hooks only shape the denoise steps)
+    ids, counts = np.unique(base[:, 1:], return_counts=True)
+    banned = int(ids[np.argmax(counts)])
+
+    def ban(step, x, logits):
+        return logits.at[..., banned].set(-1e30)
+
+    out = np.asarray(dream_generate(params, cfg, prefix, gen_cfg,
+                                    logits_hook=ban))
+    assert (out[:, 1:] != banned).all()
+
+
+def test_dream_verbose_history(tiny_pair):
+    _, cfg, params = tiny_pair
+    prompt = np.arange(3, 13)[None]
+    gen_cfg = DreamGenerationConfig(
+        max_new_tokens=16, steps=8, alg="entropy", prefix_lm=True
+    )
+    prefix = jl.embed_tokens(params, jnp.asarray(prompt))
+    out, history = dream_generate(params, cfg, prefix, gen_cfg,
+                                  verbose=True)
+    assert len(history) == 8
+    np.testing.assert_array_equal(history[-1], np.asarray(out))
+
+
 def test_dream_origin_alg_completes(tiny_pair):
     _, cfg, params = tiny_pair
     prompt = np.arange(3, 13)[None]
