@@ -130,6 +130,40 @@ def _generate_cached_fused_body(
     decode_params: optional separate weight tree for the denoise scan —
     the mixed-precision serving layout (int8 prefill for MXU-tuned XLA
     matmuls; int4 decode for half the bandwidth-bound weight reads)."""
+    dec_p = decode_params if decode_params is not None else params
+    B, P, _ = prefix_embeds.shape
+    G = x.shape[1]
+    positions = jnp.arange(P, P + G, dtype=jnp.int32)
+    if (isinstance(params["blocks"], (list, tuple))
+            and isinstance(dec_p["blocks"], (list, tuple))
+            and not use_flash):
+        # PREALLOCATED padded cache: prefill writes its K/V rows directly
+        # into [B, P+G] buffers (kv_write_index=0), so the decode scan
+        # starts with zero re-stack/pad copies (the old path re-copied
+        # the whole ~550 MB prefix cache once to pad it — part of the
+        # measured ~9 ms cache-setup fixed cost, NOTES floor table).
+        # Prefill attention sees the G unwritten rows masked via the
+        # filled-rows mask that kv_write_index installs.
+        S = P + G
+        Hkv, hd = cfg.effective_n_kv_heads, cfg.head_dim
+        z = jnp.zeros((B, S, Hkv, hd), prefix_embeds.dtype)
+        cache_l = [(z, z) for _ in params["blocks"]]
+        kvv = None
+        if prefix_valid is not None:
+            kvv = jnp.concatenate(
+                [prefix_valid, jnp.ones((B, G), bool)], axis=1)
+        _, cache_l = llada_model.forward(
+            params, cfg, prefix_embeds, kv_cache=cache_l,
+            kv_write_index=jnp.asarray(0, jnp.int32), kv_valid=kvv,
+            self_valid=prefix_valid,
+            use_cache=True, return_logits=False,
+            use_flash=use_flash or use_flash_prefill,
+            act_int8=act_int8_prefill,
+        )
+        return _denoise_scan_cached_body(
+            dec_p, cfg, x, cache_l, k_table, block_end, positions,
+            prefix_valid, key, temperature, remasking, use_flash, kv8=kv8,
+        )
     _, cache = llada_model.forward(
         params, cfg, prefix_embeds,
         self_valid=prefix_valid,
@@ -137,11 +171,8 @@ def _generate_cached_fused_body(
         use_flash=use_flash or use_flash_prefill,
         act_int8=act_int8_prefill,
     )
-    P = prefix_embeds.shape[1]
-    G = x.shape[1]
-    positions = jnp.arange(P, P + G, dtype=jnp.int32)
     return _denoise_scan_cached_body(
-        decode_params if decode_params is not None else params,
+        dec_p,
         cfg, x, cache, k_table, block_end, positions,
         prefix_valid, key, temperature, remasking, use_flash, kv8=kv8,
     )
@@ -173,15 +204,29 @@ def _denoise_scan_cached_body(
     B, G = x.shape
 
     if isinstance(params["blocks"], (list, tuple)) and not use_flash:
-        # WRITE-INDEX decode: pad each layer's cache to [P+G] once and
-        # write the gen K/V in place every step — the concat path copies
-        # the whole 1056-row prefix per layer per step (~1.3GB/step of
-        # pure memcpy at 8B scale).
-        P = cache["k"].shape[2]
-        if kv8:
+        # WRITE-INDEX decode: the cache is (or becomes) a per-layer list
+        # of [B, P+G] buffers and the gen K/V are written in place every
+        # step — the concat path copies the whole 1056-row prefix per
+        # layer per step (~1.3GB/step of pure memcpy at 8B scale).
+        if isinstance(cache, (list, tuple)):
+            # PREALLOCATED [B, P+G] buffers from the fused prefill
+            # (_generate_cached_fused_body): no stack/pad copies needed
+            P = cache[0][0].shape[1] - G
+            if kv8:
+                from ..ops.kv8_attention import quantize_kv
+
+                cache_l = []
+                for kf, vf in cache:
+                    k8, ks = quantize_kv(kf)
+                    v8, vs = quantize_kv(vf)
+                    cache_l.append((k8, ks, v8, vs))
+            else:
+                cache_l = list(cache)
+        elif kv8:
             # int8 KV cache (serving): per-(head, position) symmetric
             # quantization + the fused kv8 decode-attention kernel —
             # halves the ~570 MB/step of cache reads (ops/kv8_attention)
+            P = cache["k"].shape[2]
             from ..ops.kv8_attention import quantize_kv
 
             def q8pad(a):
@@ -195,6 +240,7 @@ def _denoise_scan_cached_body(
                 v8, vs = q8pad(cache["v"][li])
                 cache_l.append((k8, ks, v8, vs))
         else:
+            P = cache["k"].shape[2]
             cache_l = [
                 (
                     jnp.pad(cache["k"][li],

@@ -601,20 +601,27 @@ def forward(
         scanned = (block_params, None if kv_cache is None
                    else (kv_cache["k"], kv_cache["v"]))
         if remat == "nested":
-            # sqrt-checkpointing: outer scan over G groups whose body is
-            # a CHECKPOINTED inner scan over L/G layers.  Saved boundary
-            # activations drop from L to ~G + L/G (12 instead of 32 at
-            # 8B), the lever that fits stage-2 global-batch 16 on a v5e-8
-            # (NOTES_ROUND3 AOT table); costs one extra forward of
-            # recompute like whole_layer.
+            # sqrt-checkpointing: outer scan over G CHECKPOINTED groups
+            # whose body is an inner scan of CHECKPOINTED layers.  Both
+            # levels must be rematted: with only the group checkpointed,
+            # the bwd recompute of one group differentiates a plain inner
+            # scan, which stacks every inner layer's residuals (incl. the
+            # f32 [H, T, S] dense-attention scores) simultaneously — AOT
+            # shows a single 34 GB f32[L/G, .., T, S] buffer at the 8B
+            # stage-2 shapes.  Double-level remat keeps only ~G + L/G
+            # boundary activations + ONE layer's internals (12+1 instead
+            # of 32+1 at 8B), for ~one more forward of recompute than
+            # whole_layer.
             L = jax.tree.leaves(block_params)[0].shape[0]
             G = next(g for g in (8, 4, 2, 1)
                      if L % g == 0 and L // g >= g) if L >= 4 else 1
             grouped = jax.tree.map(
                 lambda a: a.reshape((G, L // G) + a.shape[1:]), scanned)
 
+            ckpt_layer = jax.checkpoint(layer_fn, prevent_cse=False)
+
             def group_fn(h, g):
-                return jax.lax.scan(layer_fn, h, g)
+                return jax.lax.scan(ckpt_layer, h, g)
 
             x, presents = jax.lax.scan(
                 jax.checkpoint(group_fn, prevent_cse=False), x, grouped)

@@ -86,8 +86,16 @@ def diffusion_loss(
     attention_impl: str = "dense",
     mesh=None,
     batch_constraint=None,
+    ce_chunk: Optional[int] = None,
 ):
     """Returns (loss, metrics dict). Batch is doubled internally.
+
+    ce_chunk: memory-efficient LM head — compute the cross-entropy in
+    checkpointed chunks of `ce_chunk` sequence positions so the full f32
+    [2B, L, V] logits never materialize (at the 8B stage-2 shapes that
+    buffer alone is ~8.3 GB/chip, the B=16 blocker after nested remat —
+    AOT-verified).  Loss/grad math is identical (per-position softmax);
+    only the reduction order changes.
 
     batch_constraint: optional fn(x) -> x applying a GSPMD sharding
     constraint that pins dim 0 (batch) to the data axes.  Without it, XLA's
@@ -139,8 +147,10 @@ def diffusion_loss(
         key, kp = jax.random.split(key)
         offset = jax.random.randint(kp, (), 0, pos_skip_range)
         positions = offset + jnp.arange(L, dtype=jnp.int32)
-    logits, _ = llada_model.forward(
-        params, cfg, embeds2,
+    sup = labels2 != -100
+    tgt = jnp.where(sup, labels2, 0)
+    denom = jnp.maximum(sup.sum(), 1)
+    fwd_kwargs = dict(
         positions=positions,
         prefix_lengths=prefix_lengths,
         remat=remat, use_flash=use_flash,
@@ -152,11 +162,50 @@ def diffusion_loss(
         mesh=mesh,
     )
 
-    sup = labels2 != -100
-    tgt = jnp.where(sup, labels2, 0)
+    if ce_chunk:
+        # ln_f-normalized hidden states instead of logits
+        hidden, _ = llada_model.forward(
+            params, cfg, embeds2, return_logits=False, **fwd_kwargs)
+        if "ff_out" in params:
+            W = params["ff_out"]["kernel"]          # [D, V]
+        else:  # weight tying (modeling_llada.py:1419)
+            W = params["wte"].T
+        c = int(ce_chunk)
+        Lp = -(-L // c) * c
+        if Lp != L:
+            hidden = jnp.pad(hidden, ((0, 0), (0, Lp - L), (0, 0)))
+            tgt_p = jnp.pad(tgt, ((0, 0), (0, Lp - L)))
+            sup_p = jnp.pad(sup, ((0, 0), (0, Lp - L)))
+        else:
+            tgt_p, sup_p = tgt, sup
+
+        def head_chunk(args):
+            h_c, t_c, s_c = args                    # [2B, c, ...]
+            lg = jax.lax.dot_general(
+                h_c, W.astype(h_c.dtype), (((2,), (0,)), ((), ())),
+            ).astype(jnp.float32)                   # [2B, c, V]
+            lp = jax.nn.log_softmax(lg, axis=-1)
+            nll_c = -jnp.take_along_axis(lp, t_c[..., None], axis=-1)[..., 0]
+            hit_c = (jnp.argmax(lg, axis=-1) == t_c) & s_c
+            return (jnp.where(s_c, nll_c, 0.0).sum(), hit_c.sum())
+
+        nc = Lp // c
+        # chunk along the SEQUENCE axis (batch stays sharded on dim 0)
+        chunks = (
+            hidden.reshape(2 * B, nc, c, D).transpose(1, 0, 2, 3),
+            tgt_p.reshape(2 * B, nc, c).transpose(1, 0, 2),
+            sup_p.reshape(2 * B, nc, c).transpose(1, 0, 2),
+        )
+        nll_sum, hits = jax.lax.map(
+            jax.checkpoint(head_chunk, prevent_cse=False), chunks)
+        loss = nll_sum.sum() / denom
+        acc = hits.sum() / denom
+        return loss, {"loss": loss, "acc_mask": acc,
+                      "num_supervised": sup.sum()}
+
+    logits, _ = llada_model.forward(params, cfg, embeds2, **fwd_kwargs)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    denom = jnp.maximum(sup.sum(), 1)
     loss = jnp.where(sup, nll, 0.0).sum() / denom
 
     pred = jnp.argmax(logits, axis=-1)

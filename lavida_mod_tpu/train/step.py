@@ -110,6 +110,7 @@ def make_train_step(
     attention_impl: str = "dense",
     mesh=None,
     batch_axes: tuple = ("dp", "fsdp"),
+    ce_chunk=None,
 ):
     """Returns train_step(params, opt_state, batch, key) -> (params,
     opt_state, metrics).  `batch` = {"inputs_embeds": [B,L,D],
@@ -129,6 +130,7 @@ def make_train_step(
             remat=remat, use_flash=use_flash,
             attention_impl=attention_impl, mesh=mesh,
             batch_constraint=_batch_constraint(mesh, batch_axes),
+            ce_chunk=ce_chunk,
         )
 
     def train_step(params, opt_state, batch, key):
@@ -160,6 +162,7 @@ def make_multimodal_train_step(
     attention_impl: str = "dense",
     mesh=None,
     batch_axes: tuple = ("dp", "fsdp"),
+    ce_chunk=None,
 ):
     """End-to-end train step: pixels -> SigLIP -> projector -> pool ->
     gather-splice -> diffusion loss.  Gradients reach every module, so the
@@ -184,6 +187,7 @@ def make_multimodal_train_step(
             fim_id=fim_id, remat=remat, use_flash=use_flash,
             attention_impl=attention_impl, mesh=mesh,
             batch_constraint=_batch_constraint(mesh, batch_axes),
+            ce_chunk=ce_chunk,
         )
 
     def train_step(params, opt_state, batch, key):

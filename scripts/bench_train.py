@@ -48,6 +48,8 @@ def main():
                     help="auto = prefix_flash on TPU, dense elsewhere "
                          "(same rule as train.py); explicit values drive "
                          "the seq-sweep A/B table in NOTES")
+    ap.add_argument("--ce-chunk", type=int, default=None,
+                    help="chunked CE head (train/loss.py ce_chunk)")
     ap.add_argument("--multimodal", action="store_true",
                     help="bench make_multimodal_train_step: pixels -> "
                          "SigLIP so400m tower -> projector -> pool -> "
@@ -147,6 +149,7 @@ def main():
         opt_state = opt.init(params)
         step = jit_train_step(make_multimodal_train_step(
             cfg, opt, prefix_lm=True, remat=remat, attention_impl=impl,
+            ce_chunk=args.ce_chunk,
         ))
     else:
         params = L.init_params(lm, jax.random.PRNGKey(0), jnp.bfloat16)
@@ -154,6 +157,7 @@ def main():
         opt_state = opt.init(params)
         step = jit_train_step(make_train_step(
             cfg, opt, prefix_lm=True, remat=remat, attention_impl=impl,
+            ce_chunk=args.ce_chunk,
         ))
         ids = jnp.asarray(rng.integers(3, 31000, (B, S)), jnp.int32)
         labels = np.asarray(ids).copy()

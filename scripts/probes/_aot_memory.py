@@ -39,7 +39,7 @@ from lavida_mod_tpu.train.step import make_optimizer, make_train_step
 
 
 def analyze(dp, fsdp, tp, remat, L=4096, B_global=32, dtype=jnp.bfloat16,
-            attention_impl="dense", devices=None):
+            attention_impl="dense", devices=None, ce_chunk=None):
     cfg = LaViDaConfig()  # full 8B llada geometry
     mesh = make_mesh(dp=dp, fsdp=fsdp, tp=tp, devices=devices)
 
@@ -66,7 +66,8 @@ def analyze(dp, fsdp, tp, remat, L=4096, B_global=32, dtype=jnp.bfloat16,
     key_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
 
     step = make_train_step(cfg, opt, prefix_lm=True, remat=remat,
-                           mesh=mesh, attention_impl=attention_impl)
+                           mesh=mesh, attention_impl=attention_impl,
+                           ce_chunk=ce_chunk)
     jitted = jax.jit(step, donate_argnums=(0, 1))
     lowered = jitted.lower(p_abs, o_shapes, batch_abs, key_abs)
     compiled = lowered.compile()
@@ -78,7 +79,7 @@ def analyze(dp, fsdp, tp, remat, L=4096, B_global=32, dtype=jnp.bfloat16,
         return x / gb
 
     print(f"mesh dp={dp} fsdp={fsdp} tp={tp} remat={remat} "
-          f"B={B_global} L={L} attn={attention_impl} "
+          f"B={B_global} L={L} attn={attention_impl} ce={ce_chunk} "
           f"backend={'tpu-topo' if devices is not None else 'cpu'}")
     print(f"  args   {g(ma.argument_size_in_bytes):7.2f} GiB  "
           f"(params+opt+batch at rest, per device)")
@@ -100,6 +101,10 @@ if __name__ == "__main__":
     ap.add_argument("--B", type=int, default=32)
     ap.add_argument("--configs", default="8,1;4,2")
     ap.add_argument("--attn", default="dense")
+    ap.add_argument("--ce-chunk", type=int, default=None,
+                    help="chunked cross-entropy head (train/loss.py): the "
+                         "full f32 [2B, L, V] logits (~8.3 GB/chip at 8B "
+                         "stage-2) never materialize")
     ap.add_argument("--tpu-topo", action="store_true",
                     help="AOT-compile against a detached v5e:2x4 topology "
                          "(real TPU memory numbers, no chips needed)")
@@ -115,6 +120,7 @@ if __name__ == "__main__":
         fsdp, dp = (int(x) for x in part.split(","))
         try:
             analyze(dp=dp, fsdp=fsdp, tp=1, remat=a.remat, L=a.L,
-                    B_global=a.B, attention_impl=a.attn, devices=devices)
+                    B_global=a.B, attention_impl=a.attn, devices=devices,
+                    ce_chunk=a.ce_chunk)
         except Exception as e:
             print(f"fsdp={fsdp} dp={dp} FAILED: {str(e)[:300]}")

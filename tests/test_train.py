@@ -246,6 +246,40 @@ def test_remat_strategies_exact(strategy):
                                    atol=1e-7)
 
 
+@pytest.mark.parametrize("tied", [False, True])
+def test_ce_chunk_loss_and_grads_exact(tied):
+    """Chunked cross-entropy head (memory-efficient LM head for the 8B
+    stage-2: the f32 [2B, L, V] logits are ~8.3 GB/chip, AOT-verified
+    B=16 blocker) — loss, acc, and grads must match the monolithic head;
+    L deliberately not a multiple of the chunk (pad positions are
+    unsupervised)."""
+    cfg = tiny_llada_config(weight_tying=tied)
+    params = jl.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    B, T = 2, 100
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, 500)
+    emb = jl.embed_tokens(params, ids)
+    labels = np.array(ids)
+    labels[:, :30] = -100
+    labels = jnp.asarray(labels)
+    key = jax.random.PRNGKey(3)
+
+    def loss_with(p, ce):
+        loss, m = diffusion_loss(p, cfg, emb, labels, key,
+                                 prefix_lm=True, ce_chunk=ce)
+        return loss, m
+
+    (l0, m0), g0 = jax.value_and_grad(
+        lambda p: loss_with(p, None), has_aux=True)(params)
+    (l1, m1), g1 = jax.value_and_grad(
+        lambda p: loss_with(p, 32), has_aux=True)(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(float(m0["acc_mask"]),
+                               float(m1["acc_mask"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_remat_policy_memory_ladder():
     """Memory-delta assertion for the activation-checkpointing knob.
 

@@ -79,6 +79,13 @@ def main():
                          "modeling_llada.py:685-710) and dense elsewhere; "
                          "'dense' materializes the O(T^2) bias (3.8 GB/layer "
                          "at the 30720 truncation — debugging only)")
+    ap.add_argument("--ce-chunk", type=int, default=None,
+                    help="chunked cross-entropy head: compute the loss in "
+                         "checkpointed chunks of N positions so the f32 "
+                         "[2B, L, V] logits never materialize (~8.3 GB/chip "
+                         "at the 8B stage-2 shapes — with --remat nested "
+                         "this is what fits global-batch 16 on a v5e-8, "
+                         "AOT-verified).  512 is a good default at 8B")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -197,7 +204,7 @@ def main():
         cfg, opt, prefix_lm=not args.no_prefix_lm, policy=args.t_policy,
         fim_id=LLADA_FIM_ID if args.fim else None,
         remat=(False if args.remat == "none" else args.remat), mesh=mesh,
-        attention_impl=attn_impl,
+        attention_impl=attn_impl, ce_chunk=args.ce_chunk,
     ))
 
     logger = MetricsLogger(args.output_dir, use_wandb=args.wandb)
