@@ -80,19 +80,30 @@ def main():
                          "per denoise step) — the reference's cache-off "
                          "protocol rows (BASELINE.md: 6.65s at 100%% NFE, "
                          "3.57s at 50%%)")
-    ap.add_argument("--mixed", action="store_true",
+    ap.add_argument("--mixed", action="store_true", default=None,
                     help="mixed-precision serving: per-channel int8 LM "
                          "weights + int8 activations for the COMPUTE-"
                          "bound prefill (s8xs8 MXU measured 400 TF/s on "
                          "v5e - 2.1x the 188 TF bf16 rate), grouped-int4 "
                          "for the BANDWIDTH-bound decode; both copies "
-                         "fit HBM (7.5G + 1.9G)")
+                         "fit HBM (7.5G + 1.9G).  DEFAULT on the B=1 "
+                         "W4A8 single-dispatch path (same-session A/B: "
+                         "0.196 vs 0.201; the round-3 compile-time "
+                         "blocker is gone — full run 2m17s fresh)")
+    ap.add_argument("--no-mixed", dest="mixed", action="store_false",
+                    help="single-layout W4A8 (prefill rides the int4 "
+                         "grouped kernels too)")
     ap.add_argument("--vision-int8", action="store_true",
                     help="int8 SigLIP tower weights + per-token int8 "
                          "activations (s8xs8 MXU, fused Pallas epilogue "
                          "where shapes allow): the compute-bound 5-view "
                          "anyres encode at 2x the bf16 rate; gate per "
                          "checkpoint like W4A8")
+    ap.add_argument("--kv4", action="store_true",
+                    help="int4 KV cache (native XLA S4; quarter the bf16 "
+                         "cache reads, ~3%% row rms err — memory-headroom "
+                         "lever, quality-gate per checkpoint with "
+                         "verify_checkpoint --kv4-check)")
     ap.add_argument("--kv8", action="store_true",
                     help="int8 KV cache + fused Pallas decode attention "
                          "(ops/kv8_attention.py): halves the per-step "
@@ -111,6 +122,15 @@ def main():
         # 0.206 vs 0.188, dllm-64 0.582 vs 0.473 (same-session A/Bs)
         args.fused = (args.batch == 1 and args.gen_len <= 32
                       and args.dllm is None)
+    if args.mixed is None:
+        # mixed only exists on the B=1 int4 single-dispatch serve path
+        args.mixed = (args.int4 and args.batch == 1 and args.dllm is None
+                      and not args.no_cache and not args.ar
+                      and not args.dream)
+    if args.kv4:
+        if args.kv8:
+            ap.error("--kv4 and --kv8 are exclusive")
+        args.kv8 = 4          # kv-quant width rides the kv8 plumbing
     if args.dllm is not None and (args.kv8 or args.mixed):
         ap.error("--dllm has no kv8/mixed variant (the partial-recompute "
                  "path has no quantized scattered cache writes)")
@@ -426,7 +446,7 @@ def main():
             + ("_w4a8" if args.int4 else "_int8")
             + ("_mixed" if args.mixed else "")
             + ("_v8" if args.vision_int8 else "")
-            + ("_kv8" if args.kv8 else "")
+            + ("_kv4" if args.kv8 == 4 else "_kv8" if args.kv8 else "")
             + ("_nocache" if args.no_cache else "")
             + ("_dream" if args.dream else "")
             + ("_ar" if args.ar else "")

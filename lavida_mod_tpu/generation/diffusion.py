@@ -215,10 +215,11 @@ def _denoise_scan_cached_body(
             if kv8:
                 from ..ops.kv8_attention import quantize_kv
 
+                bits = 4 if kv8 == 4 else 8
                 cache_l = []
                 for kf, vf in cache:
-                    k8, ks = quantize_kv(kf)
-                    v8, vs = quantize_kv(vf)
+                    k8, ks = quantize_kv(kf, bits)
+                    v8, vs = quantize_kv(vf, bits)
                     cache_l.append((k8, ks, v8, vs))
             else:
                 cache_l = list(cache)
@@ -229,8 +230,10 @@ def _denoise_scan_cached_body(
             P = cache["k"].shape[2]
             from ..ops.kv8_attention import quantize_kv
 
+            bits = 4 if kv8 == 4 else 8
+
             def q8pad(a):
-                q, s = quantize_kv(a)
+                q, s = quantize_kv(a, bits)
                 return (jnp.pad(q, ((0, 0), (0, 0), (0, G), (0, 0))),
                         jnp.pad(s, ((0, 0), (0, 0), (0, 0), (0, G)),
                                 constant_values=1.0))

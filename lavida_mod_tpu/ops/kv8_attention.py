@@ -38,15 +38,21 @@ NEG_INF = -1e30
 _INTERPRET = [False]
 
 
-def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """[B, S, H, hd] float -> ([B, H, S, hd] int8, [B, H, 1, S] f32).
+def quantize_kv(x: jax.Array, bits: int = 8) -> tuple[jax.Array, jax.Array]:
+    """[B, S, H, hd] float -> ([B, H, S, hd] int8/int4, [B, H, 1, S] f32).
 
-    Per-(b, h, s) symmetric scale; head-major layout for the kernel."""
+    Per-(b, h, s) symmetric scale; head-major layout for the kernel.
+    bits=4: native jnp.int4 storage (XLA S4 packs 2/byte on TPU HBM —
+    quarter the bf16 cache traffic; ~3% rms row error vs int8's ~0.4%,
+    quality-gate per checkpoint with verify_checkpoint --kv4-check)."""
+    assert bits in (8, 4), bits
     xt = x.transpose(0, 2, 1, 3)                       # [B, H, S, hd]
     xf = xt.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    qmax = 127.0 if bits == 8 else 7.0
+    scale = jnp.maximum(amax, 1e-8) / qmax
+    q = jnp.clip(jnp.round(xf / scale), -qmax, qmax).astype(
+        jnp.int8 if bits == 8 else jnp.int4)
     return q, scale[..., 0][:, :, None, :]             # [B, H, 1, S]
 
 
@@ -145,9 +151,11 @@ def kv8_decode_attention(
 
 def write_rows(k8, ks, v8, vs, k_new, v_new, index):
     """Quantize this step's K/V rows and write them into the cache at
-    [index, index+T): k_new/v_new [B, T, H, hd], traced `index` ok."""
-    nk8, nks = quantize_kv(k_new)
-    nv8, nvs = quantize_kv(v_new)
+    [index, index+T): k_new/v_new [B, T, H, hd], traced `index` ok.
+    Quantization width follows the cache dtype (int8 or int4)."""
+    bits = 4 if k8.dtype == jnp.int4 else 8
+    nk8, nks = quantize_kv(k_new, bits)
+    nv8, nvs = quantize_kv(v_new, bits)
     k8 = jax.lax.dynamic_update_slice(k8, nk8, (0, 0, index, 0))
     v8 = jax.lax.dynamic_update_slice(v8, nv8, (0, 0, index, 0))
     ks = jax.lax.dynamic_update_slice(ks, nks, (0, 0, 0, index))

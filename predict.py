@@ -47,6 +47,9 @@ def main():
                          "fastest config, half the LM weight HBM, ~1% "
                          "logit rel-err — gate quality per checkpoint "
                          "with scripts/verify_checkpoint.py")
+    ap.add_argument("--kv4", action="store_true",
+                    help="int4 KV cache (memory-headroom lever; gate with "
+                         "scripts/verify_checkpoint.py --kv4-check)")
     ap.add_argument("--kv8", action="store_true",
                     help="int8 KV cache + fused decode attention (bench "
                          "--kv8; quality-gate per checkpoint with "
@@ -190,7 +193,9 @@ def main():
     )
 
     gen_kw = dict(image_features=shirg_blocks) if shirg_blocks else {}
-    if args.kv8:
+    if args.kv4:
+        gen_kw["kv8"] = 4
+    elif args.kv8:
         gen_kw["kv8"] = True
     if args.warmup:
         model.generate(input_ids, images, image_sizes, gen, **gen_kw)

@@ -55,6 +55,11 @@ def main() -> int:
                          "serving layout and compare tokens")
     ap.add_argument("--kv8-agree", type=float, default=0.9,
                     help="min token agreement for the kv8 gate")
+    ap.add_argument("--kv4-check", action="store_true",
+                    help="gate the int4 KV cache (serving --kv4): same "
+                         "protocol as --kv8-check at 4-bit width")
+    ap.add_argument("--kv4-agree", type=float, default=0.85,
+                    help="min token agreement for the kv4 gate")
     args = ap.parse_args()
 
     import jax
@@ -149,7 +154,7 @@ def main() -> int:
               "[verify:w4a8] FAIL — serve with --int8 for this checkpoint")
         ok = ok and q_ok
 
-    if args.kv8_check and ok:
+    if (args.kv8_check or args.kv4_check) and ok:
         # int8-KV decode gate, isolated on the weight-only int8 layout
         # (kv8 and W4A8 are independent quality knobs)
         from lavida_mod_tpu.config import GenerationConfig
@@ -160,13 +165,27 @@ def main() -> int:
                                step_per_block=8, prefix_lm=True)
         emb = jl.embed_tokens(p8, jnp.asarray(ids))
         base = np.asarray(diffusion.generate(p8, lcfg, emb, gen))
-        k8 = np.asarray(diffusion.generate(p8, lcfg, emb, gen, kv8=True))
-        kagree = (base == k8).mean()
-        print(f"[verify:kv8] token agreement vs bf16 cache = {kagree:.3f}")
-        k_ok = kagree >= args.kv8_agree
-        print("[verify:kv8] PASS" if k_ok else
-              "[verify:kv8] FAIL — serve without --kv8 for this checkpoint")
-        ok = ok and k_ok
+        if args.kv8_check:
+            k8 = np.asarray(diffusion.generate(p8, lcfg, emb, gen,
+                                               kv8=True))
+            kagree = (base == k8).mean()
+            print(f"[verify:kv8] token agreement vs bf16 cache = "
+                  f"{kagree:.3f}")
+            k_ok = kagree >= args.kv8_agree
+            print("[verify:kv8] PASS" if k_ok else
+                  "[verify:kv8] FAIL — serve without --kv8 for this "
+                  "checkpoint")
+            ok = ok and k_ok
+        if args.kv4_check:
+            k4 = np.asarray(diffusion.generate(p8, lcfg, emb, gen, kv8=4))
+            k4agree = (base == k4).mean()
+            print(f"[verify:kv4] token agreement vs bf16 cache = "
+                  f"{k4agree:.3f}")
+            k4_ok = k4agree >= args.kv4_agree
+            print("[verify:kv4] PASS" if k4_ok else
+                  "[verify:kv4] FAIL — serve without --kv4 for this "
+                  "checkpoint")
+            ok = ok and k4_ok
     return 0 if ok else 1
 
 

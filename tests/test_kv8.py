@@ -103,6 +103,52 @@ def test_generate_kv8_end_to_end():
     assert agree >= 0.8, f"kv8 trajectory diverged: {agree:.2f} agreement"
 
 
+def test_quantize_kv4_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 48, 2, 128),
+                          jnp.float32) * 2.0
+    q, s = KV8.quantize_kv(x, bits=4)
+    assert q.dtype == jnp.int4
+    back = KV8.dequantize_kv(q, s)
+    err = np.abs(np.asarray(back) - np.asarray(x)).max()
+    scale = np.abs(np.asarray(x)).max()
+    assert err <= scale / 7.0 + 1e-6
+
+
+def test_kv4_kernel_matches_dense_on_dequant():
+    """int4 cache through the SAME kernel (astype handles S4): parity vs
+    dense attention over the dequantized values."""
+    B, T, H, hd, S = 1, 16, 2, 128, 96
+    ks = jax.random.split(jax.random.PRNGKey(8), 3)
+    q = jax.random.normal(ks[0], (B, T, H, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (B, S, H, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (B, S, H, hd), jnp.float32)
+    k4, ksc = KV8.quantize_kv(k, bits=4)
+    v4, vsc = KV8.quantize_kv(v, bits=4)
+    out = KV8.kv8_decode_attention(q, k4, ksc, v4, vsc)
+    ref = dense_attention(q, KV8.dequantize_kv(k4, ksc).astype(jnp.float32),
+                          KV8.dequantize_kv(v4, vsc).astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=6e-3, rtol=6e-3)
+
+
+def test_generate_kv4_end_to_end():
+    """Full denoise loop with the int4 KV cache (kv8=4 plumbing): fills
+    every mask; trajectory may drift more than int8 but must stay close
+    on the tiny model."""
+    cfg = tiny_llada_config()
+    params = L.unstack_blocks(
+        L.init_params(cfg, jax.random.PRNGKey(0), jnp.float32))
+    prefix = L.embed_tokens(
+        params, jnp.arange(5, 21)[None].astype(jnp.int32))
+    gen = GenerationConfig(max_new_tokens=16, block_length=8,
+                           step_per_block=4, prefix_lm=True)
+    x_ref = np.asarray(generate(params, cfg, prefix, gen))
+    x_kv4 = np.asarray(generate(params, cfg, prefix, gen, kv8=4))
+    assert (x_kv4 != cfg.mask_token_id).all()
+    agree = (x_ref == x_kv4).mean()
+    assert agree >= 0.6, f"kv4 trajectory diverged: {agree:.2f}"
+
+
 def test_kernel_gqa_matches_dense_on_dequant():
     """GQA (Hq = 4, Hkv = 2): query head j*G+g reads KV head j — same
     oracle as the MHA test with K/V heads repeated."""
