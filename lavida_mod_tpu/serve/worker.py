@@ -306,6 +306,9 @@ def main():
     ap.add_argument("--kv8", action="store_true",
                     help="int8 KV cache + fused decode attention "
                          "(bench --kv8; quality-gate per checkpoint)")
+    ap.add_argument("--kv4", action="store_true",
+                    help="int4 KV cache (memory headroom; gate with "
+                         "verify_checkpoint --kv4-check)")
     ap.add_argument("--gen-len-hint", type=int, default=32,
                     help="expected max_new_tokens of the serving traffic; "
                          "the fused W4A8 layout is applied only when this "
@@ -370,7 +373,7 @@ def main():
 
     eval_model = LavidaEvalModel(model, tokenizer,
                                  conv_template=args.conv_template,
-                                 kv8=args.kv8)
+                                 kv8=(4 if args.kv4 else args.kv8))
     worker = ModelWorker(
         eval_model, args.model_name,
         controller_addr=args.controller_address,
