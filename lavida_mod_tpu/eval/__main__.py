@@ -73,7 +73,10 @@ def main():
 
     cfg = LaViDaConfig()
     if args.model_path:
-        model = LaViDa.load(args.model_path, cfg, lm_family=args.lm_family)
+        # host_staging when quantizing: bf16-8B-in-HBM pre-quantize OOMs
+        # a single v5e (rehearse_8b_load); .to_device() ships the layout
+        model = LaViDa.load(args.model_path, cfg, lm_family=args.lm_family,
+                            host_staging=args.quant != "none")
         if args.quant != "none":
             from ..models import llada as llada_model
 
@@ -84,6 +87,7 @@ def main():
                 model.cfg = model.cfg.replace(llada=lcfg)
             model.params["llada"] = llada_model.quantize_params(
                 lp, bits=4 if args.quant == "int4" else 8)
+            model.to_device()
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
         tokenizer = load_hf_or_offline(args.model_path)

@@ -200,7 +200,8 @@ class LaViDa:
     @classmethod
     def load(cls, path: str, cfg: Optional[LaViDaConfig] = None,
              dtype=jnp.bfloat16, lm_family: str = "llada",
-             base: Optional[str] = None) -> "LaViDa":
+             base: Optional[str] = None,
+             host_staging: bool = False) -> "LaViDa":
         """Load a checkpoint directory.  The reference's three load modes
         (builder.py:62-170) map onto `base`:
 
@@ -212,6 +213,14 @@ class LaViDa:
             (adapter_config.json + adapter_model.*): LoRA checkpoint —
             non_lora_trainables.bin overlaid, LoRA pairs merged into the
             base weights (builder.py:102-121 merge_and_unload).
+
+        `host_staging=True` converts onto the CPU backend instead of the
+        default device.  REQUIRED for 8B-scale load->quantize on one v5e:
+        the bf16 LM alone is ~15.45G — putting it in HBM before int4/int8
+        quantization leaves no room for the quantized copy (measured OOM,
+        rehearse_8b_load).  Quantize host-side, then call `.to_device()`.
+        (The reference loads through torch CPU then `.cuda()`, same idea:
+        builder.py:62-123 device_map handling.)
         """
         cfg = cfg or LaViDaConfig()
         if base is None:
@@ -232,10 +241,23 @@ class LaViDa:
                     f"{path}: expected mm_projector.bin or a peft adapter "
                     f"when base= is given (builder.py:62-170 load modes)"
                 )
-        return cls(
-            cfg, convert_lavida_state_dict(state, cfg, dtype, lm_family),
-            lm_family,
-        )
+        import contextlib
+
+        ctx = (jax.default_device(jax.devices("cpu")[0]) if host_staging
+               else contextlib.nullcontext())
+        with ctx:
+            params = convert_lavida_state_dict(state, cfg, dtype, lm_family)
+        return cls(cfg, params, lm_family)
+
+    def to_device(self, device=None) -> "LaViDa":
+        """Move params to `device` (default: first default-backend device).
+        Pairs with `load(host_staging=True)`: quantize host-side first, so
+        only the serving layout (int4 ~4.2G for the 8B LM) ever touches
+        HBM.  Leaves already on the target are no-ops."""
+        device = device or jax.devices()[0]
+        self.params = jax.device_put(self.params, device)
+        jax.block_until_ready(jax.tree.leaves(self.params))
+        return self
 
     @classmethod
     def random_init(cls, cfg: LaViDaConfig, seed: int = 0,

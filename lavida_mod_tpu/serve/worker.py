@@ -346,7 +346,9 @@ def main():
     else:
         from ..models import llada as llada_model
 
-        model = LaViDa.load(args.model_path)
+        # host_staging: bf16 8B in HBM pre-quantize OOMs one v5e
+        # (rehearse_8b_load); quantize host-side, ship via .to_device()
+        model = LaViDa.load(args.model_path, host_staging=True)
         # serving layout: unrolled layers + int8 (default, near-lossless)
         # or W4A8 (--int4, the bench default) — predict.py:103-108.
         # int4 fuses QKV+gate/up first (exact; engages the fused decode
@@ -364,6 +366,7 @@ def main():
             model.cfg = model.cfg.replace(llada=lcfg)
         model.params["llada"] = llada_model.quantize_params(
             lp, bits=4 if args.int4 else 8)
+        model.to_device()
         tokenizer = None
         tok_file = os.path.join(args.model_path, "tokenizer.json")
         if os.path.exists(tok_file):

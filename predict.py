@@ -98,7 +98,12 @@ def main():
         )
 
     if args.model_path:
-        model = LaViDa.load(args.model_path, cfg, dtype)
+        # host_staging: convert on CPU so the bf16 8B never hits HBM
+        # pre-quantization (measured OOM otherwise, rehearse_8b_load);
+        # .to_device() below ships the final serving layout
+        model = LaViDa.load(
+            args.model_path, cfg, dtype,
+            host_staging=not (args.no_quant or args.tiny))
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
         tokenizer = load_hf_or_offline(args.model_path)
@@ -129,6 +134,7 @@ def main():
         model.params["llada"] = llada_model.quantize_params(
             lp, bits=4 if args.int4 else 8,
         )
+        model.to_device()
 
     conv = get_conv_template(args.conv_template)
     if tokenizer is not None:

@@ -81,13 +81,15 @@ def main():
         print("[predict_fim] random-init tiny model")
     else:
         cfg = LaViDaConfig()
-        model = LaViDa.load(args.model_path, cfg)
+        model = LaViDa.load(args.model_path, cfg, host_staging=True)
         # serving layout (predict.py:111-119): the 8B bf16 weights cannot
-        # co-reside with the KV cache in one v5e's HBM
+        # co-reside with the KV cache in one v5e's HBM; host_staging keeps
+        # the bf16 copy off-chip until quantized (measured OOM otherwise)
         from lavida_mod_tpu.models import llada as llada_model
 
         model.params["llada"] = llada_model.quantize_params(
             llada_model.unstack_blocks(model.params["llada"]))
+        model.to_device()
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
         tokenizer = load_hf_or_offline(args.model_path)

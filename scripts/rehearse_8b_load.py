@@ -200,8 +200,10 @@ def main():
     from lavida_mod_tpu.models import llada as llada_model
     from lavida_mod_tpu.models.lavida import LaViDa
 
+    # host_staging: the bf16 8B (~15.45G) must NOT land in HBM before
+    # quantization — measured TPU OOM without it (this script found it)
     t0 = time.perf_counter()
-    model = LaViDa.load(args.path, cfg, jnp.bfloat16)
+    model = LaViDa.load(args.path, cfg, jnp.bfloat16, host_staging=True)
     stages["load_convert_s"] = round(time.perf_counter() - t0, 1)
     stages["rss_after_load_gb"] = round(_rss_gb(), 1)
 
@@ -210,10 +212,12 @@ def main():
     lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
     model.cfg = model.cfg.replace(llada=lcfg)
     model.params["llada"] = llada_model.quantize_params(lp, bits=4)
-    # force materialization before timing ends
-    jax.block_until_ready(jax.tree.leaves(model.params["llada"])[0])
     stages["fuse_quantize_s"] = round(time.perf_counter() - t0, 1)
     stages["rss_after_quant_gb"] = round(_rss_gb(), 1)
+
+    t0 = time.perf_counter()
+    model.to_device()
+    stages["to_device_s"] = round(time.perf_counter() - t0, 1)
     hbm_bytes = sum(
         x.nbytes for x in jax.tree.leaves(model.params))
     stages["param_bytes_on_device_gb"] = round(hbm_bytes / (1 << 30), 2)

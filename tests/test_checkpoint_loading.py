@@ -214,3 +214,27 @@ def test_load_then_int4_fused_serving_layout(ref_state, tmp_path):
     out = model.generate(np.arange(5, 13), gen=gen)
     assert out.shape[-1] == 8
     assert (np.asarray(out) != model.cfg.llada.mask_token_id).all()
+
+
+def test_host_staging_load_matches_direct(ref_state, tmp_path):
+    """load(host_staging=True) converts onto the CPU backend (the 8B
+    serving path: bf16-in-HBM pre-quantize OOMs one v5e — found by
+    scripts/rehearse_8b_load.py); .to_device() then ships the params.
+    Must be numerically identical to the direct load, and every leaf
+    must land on the default device afterwards."""
+    import jax
+
+    cfg = _tiny_cfg()
+    _save_safetensor_shards(ref_state, tmp_path / "hs", n_shards=2)
+    staged = LaViDa.load(str(tmp_path / "hs"), cfg, dtype=jnp.float32,
+                         host_staging=True)
+    cpu = jax.devices("cpu")[0]
+    assert all(list(x.devices()) == [cpu]
+               for x in jax.tree.leaves(staged.params))
+    staged.to_device()
+    dev = jax.devices()[0]
+    assert all(list(x.devices()) == [dev]
+               for x in jax.tree.leaves(staged.params))
+    direct = LaViDa.load(str(tmp_path / "hs"), cfg, dtype=jnp.float32)
+    np.testing.assert_allclose(_logits_of(staged), _logits_of(direct),
+                               atol=1e-5, rtol=1e-5)
