@@ -85,8 +85,10 @@ def main():
                 lp, lcfg = llada_model.to_fused_layout(
                     lp, model.cfg.llada)
                 model.cfg = model.cfg.replace(llada=lcfg)
+            model.params["llada"] = None  # free bf16 before quantize
             model.params["llada"] = llada_model.quantize_params(
-                lp, bits=4 if args.quant == "int4" else 8)
+                lp, bits=4 if args.quant == "int4" else 8, consume=True)
+            del lp
             model.to_device()
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 

@@ -805,7 +805,7 @@ def unstack_blocks(params: Params) -> Params:
 
 
 def quantize_params(params: Params, bits: int = 8,
-                    group: int = 128) -> Params:
+                    group: int = 128, consume: bool = False) -> Params:
     """Quantize every linear kernel (ops/quant.py); norms, embeddings and
     biases stay bf16.  bits=8: per-channel int8 (near-lossless).  bits=4:
     the W4A8 serving layout (grouped int4 through the Pallas bitcast
@@ -819,10 +819,18 @@ def quantize_params(params: Params, bits: int = 8,
     back to int8."""
     from ..ops.quant import quantize_linear4
 
+    # consume=True: clear each source linear dict once quantized so the
+    # full-precision kernels free INCREMENTALLY — at 8B on host staging,
+    # holding the bf16 tree(s) alive across the whole quantize drove host
+    # RSS past 125G (rehearse_8b_load host-OOM)
     def quant_one(d):
         if bits == 8 or d["kernel"].shape[-2] % group != 0:
-            return quantize_linear(d)
-        return quantize_linear4(d, group)
+            q = quantize_linear(d)
+        else:
+            q = quantize_linear4(d, group)
+        if consume and q is not d:
+            d.clear()
+        return q
 
     def quant_tree(d):
         if isinstance(d, (list, tuple)):

@@ -364,8 +364,10 @@ def main():
             # --decode-batch > 1 anyway
             lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
             model.cfg = model.cfg.replace(llada=lcfg)
+        model.params["llada"] = None  # free bf16 before quantize
         model.params["llada"] = llada_model.quantize_params(
-            lp, bits=4 if args.int4 else 8)
+            lp, bits=4 if args.int4 else 8, consume=True)
+        del lp
         model.to_device()
         tokenizer = None
         tok_file = os.path.join(args.model_path, "tokenizer.json")

@@ -131,9 +131,11 @@ def main():
             # tiles — fat tiles regress (bench A/Bs: B=4, dllm)
             lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
             model.cfg = model.cfg.replace(llada=lcfg)
+        model.params["llada"] = None  # free pre-fuse bf16 before quantize
         model.params["llada"] = llada_model.quantize_params(
-            lp, bits=4 if args.int4 else 8,
+            lp, bits=4 if args.int4 else 8, consume=True,
         )
+        del lp
         model.to_device()
 
     conv = get_conv_template(args.conv_template)

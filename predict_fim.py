@@ -87,8 +87,11 @@ def main():
         # the bf16 copy off-chip until quantized (measured OOM otherwise)
         from lavida_mod_tpu.models import llada as llada_model
 
+        lp = llada_model.unstack_blocks(model.params["llada"])
+        model.params["llada"] = None  # free source bf16 incrementally
         model.params["llada"] = llada_model.quantize_params(
-            llada_model.unstack_blocks(model.params["llada"]))
+            lp, consume=True)
+        del lp
         model.to_device()
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 

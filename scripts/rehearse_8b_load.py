@@ -211,7 +211,12 @@ def main():
     lp = llada_model.unstack_blocks(model.params["llada"])
     lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
     model.cfg = model.cfg.replace(llada=lcfg)
-    model.params["llada"] = llada_model.quantize_params(lp, bits=4)
+    # drop the pre-fuse bf16 tree, and consume the fused one as it
+    # quantizes: holding both across the quantize host-OOM'd at 125G
+    model.params["llada"] = None
+    model.params["llada"] = llada_model.quantize_params(
+        lp, bits=4, consume=True)
+    del lp
     stages["fuse_quantize_s"] = round(time.perf_counter() - t0, 1)
     stages["rss_after_quant_gb"] = round(_rss_gb(), 1)
 
