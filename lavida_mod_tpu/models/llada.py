@@ -805,7 +805,8 @@ def unstack_blocks(params: Params) -> Params:
 
 
 def quantize_params(params: Params, bits: int = 8,
-                    group: int = 128, consume: bool = False) -> Params:
+                    group: int = 128, consume: bool = False,
+                    progress=None) -> Params:
     """Quantize every linear kernel (ops/quant.py); norms, embeddings and
     biases stay bf16.  bits=8: per-channel int8 (near-lossless).  bits=4:
     the W4A8 serving layout (grouped int4 through the Pallas bitcast
@@ -847,7 +848,19 @@ def quantize_params(params: Params, bits: int = 8,
             "unstack_blocks(p), bits=4)"
         )
     out = dict(params)
-    out["blocks"] = quant_tree(params["blocks"])
+    if progress is not None and isinstance(params["blocks"], (list, tuple)):
+        # per-block walk so `progress(i, n, quantized_block)` can log and
+        # e.g. block_until_ready to flush async host->device transfers
+        # (the axon tunnel queues them; unflushed staging buffers
+        # accumulate host RSS at 8B scale — rehearse_8b_load)
+        qb = []
+        n = len(params["blocks"])
+        for i, b in enumerate(params["blocks"]):
+            qb.append(quant_tree(b))
+            progress(i, n, qb[-1])
+        out["blocks"] = type(params["blocks"])(qb)
+    else:
+        out["blocks"] = quant_tree(params["blocks"])
     if "ff_out" in params:
         out["ff_out"] = quant_one(params["ff_out"])
     return out

@@ -200,23 +200,45 @@ def main():
     from lavida_mod_tpu.models import llada as llada_model
     from lavida_mod_tpu.models.lavida import LaViDa
 
+    import gc
+
+    def _stage(name):
+        print(f"[stage] {name} rss={_rss_gb():.1f}G "
+              f"t={time.perf_counter() - t_start:.0f}s", flush=True)
+
+    t_start = time.perf_counter()
     # host_staging: the bf16 8B (~15.45G) must NOT land in HBM before
     # quantization — measured TPU OOM without it (this script found it)
     t0 = time.perf_counter()
     model = LaViDa.load(args.path, cfg, jnp.bfloat16, host_staging=True)
     stages["load_convert_s"] = round(time.perf_counter() - t0, 1)
     stages["rss_after_load_gb"] = round(_rss_gb(), 1)
+    _stage("load+convert done")
 
     t0 = time.perf_counter()
     lp = llada_model.unstack_blocks(model.params["llada"])
     lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
     model.cfg = model.cfg.replace(llada=lcfg)
+    _stage("fused layout built")
     # drop the pre-fuse bf16 tree, and consume the fused one as it
     # quantizes: holding both across the quantize host-OOM'd at 125G
     model.params["llada"] = None
+    gc.collect()
+    _stage("pre-fuse tree dropped")
+
+    def _progress(i, n, qblock):
+        # flush the async tunnel transfers every block — unflushed
+        # host->device staging buffers are a host-RSS leak at this scale
+        jax.block_until_ready(jax.tree.leaves(qblock))
+        if i % 4 == 0 or i == n - 1:
+            print(f"[quant] block {i + 1}/{n} rss={_rss_gb():.1f}G",
+                  flush=True)
+
     model.params["llada"] = llada_model.quantize_params(
-        lp, bits=4, consume=True)
+        lp, bits=4, consume=True, progress=_progress)
     del lp
+    gc.collect()
+    _stage("quantize done")
     stages["fuse_quantize_s"] = round(time.perf_counter() - t0, 1)
     stages["rss_after_quant_gb"] = round(_rss_gb(), 1)
 
