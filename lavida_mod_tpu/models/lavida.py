@@ -247,6 +247,15 @@ class LaViDa:
                else contextlib.nullcontext())
         with ctx:
             params = convert_lavida_state_dict(state, cfg, dtype, lm_family)
+        if host_staging:
+            # COMMIT to CPU: arrays created under default_device(cpu) are
+            # uncommitted, so any later op on them (e.g. to_fused_layout's
+            # concats) would run on the default accelerator — at 8B that
+            # ships the bf16 tree through the device tunnel and defeats
+            # the staging entirely (observed: minutes-long fuse + host
+            # staging-buffer blowup).  device_put pins placement so all
+            # pre-quantize math stays host-side.
+            params = jax.device_put(params, jax.devices("cpu")[0])
         return cls(cfg, params, lm_family)
 
     def to_device(self, device=None) -> "LaViDa":

@@ -231,6 +231,11 @@ def test_host_staging_load_matches_direct(ref_state, tmp_path):
     cpu = jax.devices("cpu")[0]
     assert all(list(x.devices()) == [cpu]
                for x in jax.tree.leaves(staged.params))
+    # leaves must be COMMITTED to cpu — uncommitted arrays would migrate
+    # to the default accelerator at the first downstream op (the fuse
+    # concats), shipping the full-precision tree through the tunnel
+    assert all(getattr(x, "committed", getattr(x, "_committed", True))
+               for x in jax.tree.leaves(staged.params))
     staged.to_device()
     dev = jax.devices()[0]
     assert all(list(x.devices()) == [dev]
