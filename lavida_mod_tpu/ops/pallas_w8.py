@@ -66,6 +66,16 @@ def w8a8_matmul(
     T, K = x8.shape
     N = w8.shape[1]
     assert w8.shape[0] == K and scale.shape == (N,), (x8.shape, w8.shape)
+    # Pad N to a 128 multiple (zero int8 columns emit zero outputs that
+    # the final trim drops — exact): SigLIP's fc1 N=4304 (= 2^4*269) now
+    # rides the kernel instead of the N%128 XLA fallback.  The pad copies
+    # ~5 MB of int8 weight per call — noise next to the matmul it fixes.
+    N_out = N
+    if N % 128:
+        Np_ = -(-N // 128) * 128
+        w8 = jnp.pad(w8, ((0, 0), (0, Np_ - N)))
+        scale = jnp.pad(scale, (0, Np_ - N))
+        N = Np_
     if N % block_n:
         block_n = next(b for b in (512, 256, 128) if N % b == 0)
     if T <= 256:
@@ -133,7 +143,7 @@ def w8a8_matmul(
             ),
             interpret=interpret,
         )(x8, sx, w8, scale[None])
-        return out[:T]
+        return out[:T, :N_out]
 
     block_k = next((b for b in (4096, 2048, 1024, 512, 256, 128)
                     if K % b == 0), 128)  # K is 128-padded above
@@ -190,7 +200,7 @@ def w8a8_matmul(
         ),
         interpret=interpret,
     )(x8, sx, w8, scale[None])
-    return out[:T]
+    return out[:T, :N_out]
 
 
 def linear_w8a8(x: jax.Array, p: dict, preferred=None,

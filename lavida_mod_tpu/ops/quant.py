@@ -164,9 +164,9 @@ def linear_act_int8(x: jax.Array, p: dict, preferred=None) -> jax.Array:
     -> 51 ms fused, 287 TOPS)."""
     if "kernel_q" not in p:
         return linear(x, p, preferred)
-    K, N = p["kernel_q"].shape[-2], p["kernel_q"].shape[-1]
-    if (jax.default_backend() == "tpu" and p["kernel_q"].ndim == 2
-            and N % 128 == 0):  # kernel pads T and K itself (128-exact)
+    if jax.default_backend() == "tpu" and p["kernel_q"].ndim == 2:
+        # kernel pads T, K and N itself (128-exact, zero-pad = exact):
+        # SigLIP's fc1 (N=4304) and fc2 (K=4304) both ride it now
         from .pallas_w8 import linear_w8a8
 
         return linear_w8a8(x, p, preferred)

@@ -120,3 +120,34 @@ def test_w8a8_fullk_nonpow2():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=1e-2,
     )
+
+
+def test_w8a8_fullk_n_not_multiple_of_128():
+    """N=4304 (SigLIP fc1 out-dim, 4304 % 128 = 80) zero-pads the weight
+    columns to 4352 inside the kernel and trims the output — exact, since
+    zero int8 columns emit zeros.  fc1 no longer falls to the XLA
+    fallback (the old linear_act_int8 gate excluded N % 128 != 0)."""
+    rng = np.random.default_rng(7)
+    x, p = _mk(rng, T=16, K=1152, N=4304)
+    x8, sx = quantize_act_int8(x)
+    out = w8a8_matmul(x8, sx, p["kernel_q"], p["scale"], interpret=True)
+    assert out.shape == (16, 4304)
+    ref = linear_act_int8(x, p)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=1e-2,
+    )
+
+
+def test_w8a8_multik_n_padded():
+    """N-padding also holds on the k-blocked (K > 4608) path."""
+    rng = np.random.default_rng(8)
+    x, p = _mk(rng, T=16, K=8192, N=160)
+    x8, sx = quantize_act_int8(x)
+    out = w8a8_matmul(x8, sx, p["kernel_q"], p["scale"], interpret=True)
+    assert out.shape == (16, 160)
+    ref = linear_act_int8(x, p)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=1e-2,
+    )
