@@ -369,20 +369,21 @@ def prefix_flash_attention(
         o = _prefix_flash_core(qt, kt, vt, plen32, kval32, scale, bq, bk)
         return o.transpose(0, 2, 1, 3)[:, :T]
 
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     batch = tuple(a for a in batch_axes if a in mesh.axis_names)
     head = head_axis if head_axis in mesh.axis_names else None
     qkv_spec = P(batch, head, None, None)     # [B, H, T, hd]
-    wrapped = shard_map(
-        lambda a, b, c, d, e: _prefix_flash_core(a, b, c, d, e,
-                                                 scale, bq, bk),
-        mesh=mesh,
-        in_specs=(qkv_spec, qkv_spec, qkv_spec, P(batch), P(batch, None,
-                                                           None)),
-        out_specs=qkv_spec,
-        check_rep=False,
-    )
+    fn = lambda a, b, c, d, e: _prefix_flash_core(a, b, c, d, e,
+                                                  scale, bq, bk)
+    in_specs = (qkv_spec, qkv_spec, qkv_spec, P(batch), P(batch, None, None))
+    try:  # jax >= 0.8 top-level API (check_rep was renamed check_vma)
+        wrapped = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                out_specs=qkv_spec, check_vma=False)
+    except (AttributeError, TypeError):  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+        wrapped = shard_map(fn, mesh=mesh, in_specs=in_specs,
+                            out_specs=qkv_spec, check_rep=False)
     o = wrapped(qt, kt, vt, plen32, kval32)
     return o.transpose(0, 2, 1, 3)[:, :T]
