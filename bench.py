@@ -124,9 +124,10 @@ def main():
                       and args.dllm is None)
     if args.mixed is None:
         # mixed only exists on the B=1 int4 single-dispatch serve path
+        # (LLaDA and Dream; the AR row's decode reads causal growing
+        # caches the split isn't plumbed for)
         args.mixed = (args.int4 and args.batch == 1 and args.dllm is None
-                      and not args.no_cache and not args.ar
-                      and not args.dream)
+                      and not args.no_cache and not args.ar)
     if args.kv4:
         if args.kv8:
             ap.error("--kv4 and --kv8 are exclusive")
@@ -134,6 +135,9 @@ def main():
     if args.dllm is not None and (args.kv8 or args.mixed):
         ap.error("--dllm has no kv8/mixed variant (the partial-recompute "
                  "path has no quantized scattered cache writes)")
+    if (args.dream or args.ar) and args.kv8:
+        ap.error("--kv8/--kv4 are only plumbed on the LLaDA denoise scan "
+                 "(ops/kv8_attention.py) — loud, not silently ignored")
     if args.no_cache:
         nfe = args.steps / args.gen_len
         if nfe not in BASELINE_NOCACHE:
@@ -343,7 +347,9 @@ def main():
                 )
                 return dream_generate(
                     params["llada"], lm_cfg, prefix, dgen, key=key,
-                    use_flash_prefill=flash)
+                    use_flash_prefill=flash,
+                    prefill_params=prefill_llada if args.mixed else None,
+                    act_int8_prefill=args.mixed)
             x = jnp.full((1, args.gen_len), mask_id, jnp.int32)
             if args.mixed:
                 # int8 prefill weights + A8 (s8xs8 MXU), int4 decode

@@ -560,6 +560,7 @@ def generate(
     dllm_cache: Optional[int] = None,
     verbose: bool = False,
     kv8: bool = False,
+    decode_params=None,
 ):
     """Generate `gen.max_new_tokens` tokens after the given prefix embeddings.
 
@@ -567,6 +568,9 @@ def generate(
     (the analogue of generate.py's `inputs_embeds`).
     draft_tokens: [B, Td] FIM skeleton written into the head of the gen
     buffer (generate.py:189-191); `mask_id` holes get denoised.
+    decode_params: mixed-precision serving — `params` (int8 + A8) runs the
+    compute-bound prefill, `decode_params` (int4 fused layout) the
+    bandwidth-bound denoise scan (fused non-verbose path only).
     Returns x: [B, gen_length] tokens (prompt never included, matching the
     prefix_lm return shape; the non-cache path slices it off).
     When verbose, returns (x, history list of [B, gen_length] snapshots).
@@ -599,11 +603,11 @@ def generate(
             # loud, not silent: these combinations have no implementation —
             # falling through would silently drop the flag and misreport
             # what was measured (flags checked BEFORE the verbose branch)
-            if kv8 or act_int8_prefill:
+            if kv8 or act_int8_prefill or decode_params is not None:
                 raise NotImplementedError(
-                    "kv8 / act_int8_prefill are not implemented for the "
-                    "dLLM partial-recompute path; drop --kv8/--mixed or "
-                    "--dllm")
+                    "kv8 / act_int8_prefill / mixed decode_params are not "
+                    "implemented for the dLLM partial-recompute path; "
+                    "drop --kv8/--mixed or --dllm")
             if verbose:
                 raise NotImplementedError(
                     "verbose history is not implemented for the dLLM "
@@ -624,11 +628,13 @@ def generate(
                 temperature=gen.temperature, remasking=gen.remasking,
                 use_flash=use_flash, act_int8_prefill=act_int8_prefill,
                 use_flash_prefill=use_flash_prefill, kv8=kv8,
+                decode_params=decode_params,
             )
-        if kv8 or act_int8_prefill:
+        if kv8 or act_int8_prefill or decode_params is not None:
             raise NotImplementedError(
-                "kv8 / act_int8_prefill are only wired on the fused "
-                "non-verbose path; drop --kv8/--mixed or verbose")
+                "kv8 / act_int8_prefill / mixed decode_params are only "
+                "wired on the fused non-verbose path; drop --kv8/--mixed "
+                "or verbose")
         cache = prefill(params, cfg, prefix_embeds, prefix_valid,
                         use_flash or use_flash_prefill)
         positions = jnp.arange(P, P + G, dtype=jnp.int32)
@@ -641,6 +647,11 @@ def generate(
             args, gen, cached=True, use_flash=use_flash
         )
     else:
+        if decode_params is not None:
+            raise NotImplementedError(
+                "mixed decode_params needs the prefix-cache mode "
+                "(prefix_lm=True) — the no-cache path has no "
+                "prefill/decode split")
         prompt_len = P
         # Control table is computed in absolute coordinates: a virtual
         # [B, P+G] buffer whose prefix is never masked.

@@ -169,7 +169,8 @@ def _commit_step(x, logits, mask_index, k_i, p_i, ks, kt,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "gen_length", "alg", "alg_temp", "temperature",
-                     "top_p", "top_k", "use_flash", "use_flash_prefill"),
+                     "top_p", "top_k", "use_flash", "use_flash_prefill",
+                     "act_int8_prefill"),
 )
 def _dream_fused(
     params,
@@ -186,35 +187,56 @@ def _dream_fused(
     top_k: Optional[int],
     use_flash: bool,
     use_flash_prefill: bool = False,
+    prefill_params=None,
+    act_int8_prefill: bool = False,
 ):
     B, P, D = prefix_embeds.shape
     G = gen_length
     mask_id = cfg.mask_token_id
+    # mixed-precision serving (same split as diffusion's fused body):
+    # int8 weights + A8 for the compute-bound prefill, `params` (int4
+    # fused layout) for the bandwidth-bound decode scan + embeddings
+    pre_p = prefill_params if prefill_params is not None else params
 
-    # flash for the compute-bound prefill only; the cached decode keeps
-    # the dense/write-index path like the LLaDA sampler (diffusion.py)
-    logits_last, cache = llada_model.forward(
-        params, cfg, prefix_embeds, use_cache=True,
-        last_logits_only=True, use_flash=use_flash or use_flash_prefill,
-    )
+    # WRITE-INDEX decode (serving, unrolled list-of-layers params): the
+    # [B, P+G] per-layer cache buffers are PREALLOCATED and the prefill
+    # writes its rows in place (kv_write_index=0), so the decode scan
+    # starts with zero re-stack/pad copies — the old pad-after-prefill
+    # re-copied the whole prefix cache once (~9 ms at 8B, NOTES floor
+    # table); prefill attention masks the G unwritten rows via the
+    # filled-rows mask kv_write_index installs.  Per-step K/V writes
+    # land at [P, P+G) — the concat path re-copied the whole P-row
+    # prefix per layer per step.  Token parity is exact (every gen
+    # position is rewritten each step); same machinery as
+    # diffusion._generate_cached_fused_body.
+    unrolled = (isinstance(params["blocks"], (list, tuple))
+                and (prefill_params is None
+                     or isinstance(pre_p["blocks"], (list, tuple)))
+                and not use_flash)
+    if unrolled:
+        Hkv, hd = cfg.effective_n_kv_heads, cfg.head_dim
+        z = jnp.zeros((B, P + G, Hkv, hd), prefix_embeds.dtype)
+        cache = [(z, z) for _ in params["blocks"]]
+        logits_last, cache = llada_model.forward(
+            pre_p, cfg, prefix_embeds, kv_cache=cache,
+            kv_write_index=jnp.asarray(0, jnp.int32), use_cache=True,
+            last_logits_only=True,
+            use_flash=use_flash or use_flash_prefill,
+            act_int8=act_int8_prefill,
+        )
+    else:
+        # flash for the compute-bound prefill only; the cached decode
+        # keeps the dense path like the LLaDA sampler (diffusion.py)
+        logits_last, cache = llada_model.forward(
+            pre_p, cfg, prefix_embeds, use_cache=True,
+            last_logits_only=True,
+            use_flash=use_flash or use_flash_prefill,
+            act_int8=act_int8_prefill,
+        )
     first = jnp.argmax(logits_last[:, -1], axis=-1).astype(jnp.int32)  # [B]
     x = jnp.full((B, G), mask_id, jnp.int32)
     x = x.at[:, 0].set(first)
     positions = jnp.arange(P, P + G, dtype=jnp.int32)
-
-    # WRITE-INDEX decode (serving, unrolled list-of-layers params): pad
-    # each layer's cache to [P+G] once and write this step's K/V in place
-    # — the concat path re-copies the whole P-row prefix per layer per
-    # step (~70 MB/step of pure memcpy at 7B Qwen2 scale).  Same
-    # machinery as diffusion._denoise_scan_cached_body; token parity is
-    # exact (every gen position is rewritten each step).
-    unrolled = isinstance(params["blocks"], (list, tuple)) and not use_flash
-    if unrolled:
-        cache = [
-            (jnp.pad(cache["k"][li], ((0, 0), (0, G), (0, 0), (0, 0))),
-             jnp.pad(cache["v"][li], ((0, 0), (0, G), (0, 0), (0, 0))))
-            for li in range(cache["k"].shape[0])
-        ]
 
     def step(carry, ctl):
         x, cache, key = carry
@@ -302,6 +324,8 @@ def dream_generate(
     tokens_hook=None,
     logits_hook=None,
     verbose: bool = False,
+    prefill_params=None,
+    act_int8_prefill: bool = False,
 ):
     """Generate via the Dream sampler. Returns [B, max_new_tokens] ids
     (or (ids, history) when verbose).
@@ -310,7 +334,11 @@ def dream_generate(
     reference's public sampler extension surface
     (generation_utils.py:308-309).  Passing either (or verbose) routes
     through the host-side step loop — the fused single-executable scan
-    cannot call back into python mid-trace."""
+    cannot call back into python mid-trace.
+
+    prefill_params / act_int8_prefill: mixed-precision serving (int8
+    weights + A8 MXU prefill, `params` for the bandwidth-bound decode)
+    — same split as the LLaDA fused body (diffusion.py)."""
     assert gen.prefix_lm, "Dream non-cached path: use prefix_lm=True (the "\
         "reference eval configs always do; run_dream.sh:13)"
     if key is None:
@@ -323,6 +351,10 @@ def dream_generate(
     if steps > 0:
         p_transfer[-1] = 1.0  # final step commits everything (origin)
     if tokens_hook is not None or logits_hook is not None or verbose:
+        if prefill_params is not None or act_int8_prefill:
+            raise NotImplementedError(
+                "mixed-precision prefill is only wired on the fused "
+                "Dream path — drop hooks/verbose or the mixed flags")
         return _dream_hooked(
             params, cfg, prefix_embeds,
             jnp.asarray(ks, jnp.int32), jnp.asarray(p_transfer), key, G,
@@ -335,4 +367,5 @@ def dream_generate(
         alg=gen.alg, alg_temp=gen.alg_temp, temperature=gen.temperature,
         top_p=gen.top_p, top_k=gen.top_k, use_flash=use_flash,
         use_flash_prefill=use_flash_prefill,
+        prefill_params=prefill_params, act_int8_prefill=act_int8_prefill,
     )

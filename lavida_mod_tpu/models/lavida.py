@@ -152,7 +152,7 @@ def merge_lora_state(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "gen_length", "temperature", "remasking",
-                     "use_flash_prefill", "kv8"),
+                     "use_flash_prefill", "kv8", "act_int8_prefill"),
 )
 def _fused_predict(
     params,
@@ -169,6 +169,8 @@ def _fused_predict(
     prefix_valid: Optional[jax.Array] = None,
     use_flash_prefill: bool = False,
     kv8: bool = False,
+    prefill_llada=None,
+    act_int8_prefill: bool = False,
 ):
     from ..generation.diffusion import _generate_cached_fused_body
     from . import multimodal as mm
@@ -177,6 +179,16 @@ def _fused_predict(
         params, cfg, pixel_values, text_ids, gather_idx
     )
     x = jnp.full((1, gen_length), cfg.llada.mask_token_id, jnp.int32)
+    if prefill_llada is not None:
+        # mixed-precision serving: int8 weights + A8 MXU prefill,
+        # params["llada"] (int4 fused layout) for the decode scan
+        return _generate_cached_fused_body(
+            prefill_llada, cfg.llada, x, prefix, k_table, block_end,
+            prefix_valid, key, temperature, remasking, False,
+            act_int8_prefill=act_int8_prefill,
+            use_flash_prefill=use_flash_prefill,
+            decode_params=params["llada"], kv8=kv8,
+        )
     return _generate_cached_fused_body(
         params["llada"], cfg.llada, x, prefix, k_table, block_end,
         prefix_valid, key, temperature, remasking, False,
@@ -196,6 +208,11 @@ class LaViDa:
         self.cfg = cfg
         self.params = params
         self.lm_family = lm_family
+        # mixed-precision serving: optional int8 LM tree for the
+        # compute-bound prefill (generate_fused uses it when set; the
+        # bandwidth-bound decode keeps params["llada"]).  Populate via
+        # quantize_params(bits=8) on the host-staged bf16 tree.
+        self.prefill_params = None
 
     @classmethod
     def load(cls, path: str, cfg: Optional[LaViDaConfig] = None,
@@ -266,6 +283,10 @@ class LaViDa:
         device = device or jax.devices()[0]
         self.params = jax.device_put(self.params, device)
         jax.block_until_ready(jax.tree.leaves(self.params))
+        if self.prefill_params is not None:
+            self.prefill_params = jax.device_put(self.prefill_params,
+                                                 device)
+            jax.block_until_ready(jax.tree.leaves(self.prefill_params))
         return self
 
     @classmethod
@@ -370,24 +391,32 @@ class LaViDa:
             assert prefix_valid is None, (
                 "prefix bucketing for the Dream sampler is not wired yet"
             )
+            mixed = (self.prefill_params is not None
+                     and tokens_hook is None and logits_hook is None)
             out = dream_generate(
                 self.params["llada"], self.cfg.llada, prefix, gen,
                 key=key, use_flash=use_flash,
                 tokens_hook=tokens_hook, logits_hook=logits_hook,
+                prefill_params=self.prefill_params if mixed else None,
+                act_int8_prefill=mixed,
             )
             return np.asarray(out)[0]
         assert tokens_hook is None and logits_hook is None, (
             "generation hooks are a Dream-sampler surface "
             "(generation_utils.py:308-309); the LLaDA sampler has none "
             "in the reference either")
+        mixed = self.prefill_params is not None
         out = diffusion.generate(
-            self.params["llada"], self.cfg.llada, prefix, gen,
+            self.prefill_params if mixed else self.params["llada"],
+            self.cfg.llada, prefix, gen,
             draft_tokens=(
                 jnp.asarray(draft_tokens)[None]
                 if draft_tokens is not None else None
             ),
             prefix_valid=prefix_valid,
             key=key, use_flash=use_flash, kv8=kv8,
+            act_int8_prefill=mixed,
+            decode_params=self.params["llada"] if mixed else None,
         )
         return np.asarray(out)[0]
 
@@ -452,6 +481,8 @@ class LaViDa:
             remasking=gen.remasking, prefix_valid=prefix_valid,
             use_flash_prefill=use_flash_prefill,
             kv8=kv8,
+            prefill_llada=self.prefill_params,
+            act_int8_prefill=self.prefill_params is not None,
         )
         return np.asarray(out)[0]
 

@@ -303,6 +303,11 @@ def main():
                          "~1%% logit rel-err; gate per checkpoint with "
                          "scripts/verify_checkpoint.py).  Default here "
                          "stays weight-only int8 (near-lossless)")
+    ap.add_argument("--mixed", action="store_true",
+                    help="mixed-precision serving (implies --int4): int8 "
+                         "LM tree for the compute-bound prefill next to "
+                         "the int4 decode tree (bench.py B=1 default; "
+                         "+~7.5G HBM for the 8B int8 tree)")
     ap.add_argument("--kv8", action="store_true",
                     help="int8 KV cache + fused decode attention "
                          "(bench --kv8; quality-gate per checkpoint)")
@@ -317,6 +322,8 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="random tiny model (no checkpoint; smoke/dev)")
     args = ap.parse_args()
+    if args.mixed:
+        args.int4 = True  # the mixed split rides the int4 decode tree
 
     import os
 
@@ -364,6 +371,12 @@ def main():
             # --decode-batch > 1 anyway
             lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
             model.cfg = model.cfg.replace(llada=lcfg)
+        if args.mixed:
+            # int8 prefill tree from the SAME (fused) layout, quantized
+            # BEFORE the consuming int4 pass frees the bf16 kernels —
+            # generate()/generate_fused() then run the mixed split
+            # (measured 0.195 vs 0.201 LLaDA, 0.182 vs 0.196 Dream)
+            model.prefill_params = llada_model.quantize_params(lp, bits=8)
         model.params["llada"] = None  # free bf16 before quantize
         model.params["llada"] = llada_model.quantize_params(
             lp, bits=4 if args.int4 else 8, consume=True)

@@ -47,6 +47,13 @@ def main():
                          "fastest config, half the LM weight HBM, ~1% "
                          "logit rel-err — gate quality per checkpoint "
                          "with scripts/verify_checkpoint.py")
+    ap.add_argument("--mixed", action="store_true",
+                    help="mixed-precision serving (bench.py B=1 default; "
+                         "implies --int4): keep an int8 LM tree for the "
+                         "compute-bound prefill (s8xs8 MXU) next to the "
+                         "int4 decode tree — measured 0.195 vs 0.201 "
+                         "(LLaDA) / 0.182 vs 0.196 (Dream) s/image; "
+                         "costs ~+7.5G HBM for the 8B int8 tree")
     ap.add_argument("--kv4", action="store_true",
                     help="int4 KV cache (memory-headroom lever; gate with "
                          "scripts/verify_checkpoint.py --kv4-check)")
@@ -122,6 +129,8 @@ def main():
         # cannot co-reside with the KV cache in a v5e's HBM (README)
         from lavida_mod_tpu.models import llada as llada_model
 
+        if args.mixed:
+            args.int4 = True  # the mixed split rides the int4 decode tree
         lp = llada_model.unstack_blocks(model.params["llada"])
         if args.int4 and args.max_new_tokens <= 32:
             # fused QKV + gate/up layout BEFORE quantization: exact
@@ -131,6 +140,10 @@ def main():
             # tiles — fat tiles regress (bench A/Bs: B=4, dllm)
             lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
             model.cfg = model.cfg.replace(llada=lcfg)
+        if args.mixed:
+            # int8 prefill tree from the SAME (fused) layout — quantize
+            # BEFORE the consuming int4 pass frees the bf16 kernels
+            model.prefill_params = llada_model.quantize_params(lp, bits=8)
         model.params["llada"] = None  # free pre-fuse bf16 before quantize
         model.params["llada"] = llada_model.quantize_params(
             lp, bits=4 if args.int4 else 8, consume=True,

@@ -300,3 +300,56 @@ def test_dream_fuzz_parity(tiny_pair):
         np.testing.assert_array_equal(
             np.asarray(ours), ref, err_msg=f"trial {trial}: {gen_cfg}"
         )
+
+
+def test_dream_mixed_prefill_identity_tree_parity(tiny_pair):
+    """prefill_params = the SAME tree must be token-identical to the
+    plain fused path (the mixed split is pure plumbing when both trees
+    hold the same weights; bench.py --dream --mixed swaps in the int8
+    tree for the prefill only)."""
+    _, cfg, params = tiny_pair
+    prompt = np.arange(3, 13)[None]
+    gen_cfg = DreamGenerationConfig(
+        max_new_tokens=16, steps=8, alg="topk_margin", prefix_lm=True
+    )
+    prefix = jl.embed_tokens(params, jnp.asarray(prompt))
+    unrolled = jl.unstack_blocks(params)
+    ref = dream_generate(unrolled, cfg, prefix, gen_cfg)
+    ours = dream_generate(unrolled, cfg, prefix, gen_cfg,
+                          prefill_params=unrolled)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_dream_mixed_act_int8_prefill_runs(tiny_pair):
+    """int8-quantized prefill tree + A8 prefill completes and fills every
+    masked position (tokens may differ from bf16 — weight quantization —
+    so this checks the contract, not token parity)."""
+    from lavida_mod_tpu.models.llada import quantize_params
+
+    _, cfg, params = tiny_pair
+    prompt = np.arange(3, 13)[None]
+    gen_cfg = DreamGenerationConfig(
+        max_new_tokens=16, steps=8, alg="topk_margin", prefix_lm=True
+    )
+    prefix = jl.embed_tokens(params, jnp.asarray(prompt))
+    unrolled = jl.unstack_blocks(params)
+    q8 = quantize_params(unrolled)
+    out = dream_generate(unrolled, cfg, prefix, gen_cfg,
+                         prefill_params=q8, act_int8_prefill=True)
+    out = np.asarray(out)
+    assert out.shape == (1, 16)
+    assert (out != cfg.mask_token_id).all()
+
+
+def test_dream_mixed_rejects_hooks():
+    from lavida_mod_tpu.models.dream import tiny_dream_config
+
+    cfg = tiny_dream_config()
+    params = jl.init_params(cfg, jax.random.PRNGKey(0))
+    prefix = jl.embed_tokens(params, jnp.arange(3, 13)[None])
+    gen_cfg = DreamGenerationConfig(
+        max_new_tokens=8, steps=4, alg="topk_margin", prefix_lm=True
+    )
+    with pytest.raises(NotImplementedError):
+        dream_generate(params, cfg, prefix, gen_cfg, verbose=True,
+                       act_int8_prefill=True)

@@ -260,3 +260,63 @@ def test_fuzz_parity_random_configs(tiny_pair):
             ours, ref,
             err_msg=f"trial {trial}: {ours_cfg}",
         )
+
+
+def test_mixed_decode_params_identity_tree_parity(tiny_pair):
+    """generate(decode_params=) with the SAME tree for both
+    halves must be token-identical to the plain fused path (the mixed
+    serving split — int8 prefill / int4 decode, bench.py default — is
+    pure plumbing when the trees hold the same weights)."""
+    _, cfg, params = tiny_pair
+    unrolled = jl.unstack_blocks(params)
+    prefix = jl.embed_tokens(params, jnp.arange(3, 13)[None])
+    gen = GenerationConfig(max_new_tokens=16, steps=8,
+                           block_length=16, prefix_lm=True)
+    ref = generate(unrolled, cfg, prefix, gen)
+    ours = generate(unrolled, cfg, prefix, gen,
+                              decode_params=unrolled)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_mixed_decode_params_rejects_no_cache_and_verbose(tiny_pair):
+    _, cfg, params = tiny_pair
+    prefix = jl.embed_tokens(params, jnp.arange(3, 13)[None])
+    with pytest.raises(NotImplementedError):
+        generate(
+            params, cfg, prefix,
+            GenerationConfig(max_new_tokens=8, steps=4, block_length=8,
+                             prefix_lm=False),
+            decode_params=params)
+    with pytest.raises(NotImplementedError):
+        generate(
+            params, cfg, prefix,
+            GenerationConfig(max_new_tokens=8, steps=4, block_length=8,
+                             prefix_lm=True),
+            decode_params=params, verbose=True)
+
+
+def test_lavida_prefill_params_surface(tiny_pair):
+    """LaViDa.prefill_params drives the mixed split through generate():
+    with an int8 prefill tree the model still fills every masked position
+    (weight quantization may change tokens; the contract is exercised
+    end-to-end the way predict.py --mixed builds it)."""
+    _, cfg, params = tiny_pair
+    from lavida_mod_tpu.config import (
+        LaViDaConfig, VisionConfig, tiny_siglip_config,
+    )
+    from lavida_mod_tpu.models.lavida import LaViDa
+
+    vcfg = LaViDaConfig(
+        llada=cfg,
+        vision=VisionConfig(siglip=tiny_siglip_config(), mm_hidden_size=32),
+    )
+    model = LaViDa.random_init(vcfg, 0, jnp.float32)
+    lp = jl.unstack_blocks(model.params["llada"])
+    model.prefill_params = jl.quantize_params(lp)
+    model.params["llada"] = jl.quantize_params(lp, bits=4)
+    ids = np.arange(3, 13, dtype=np.int64)
+    gen = GenerationConfig(max_new_tokens=16, steps=8,
+                           block_length=16, prefix_lm=True)
+    out = model.generate(ids, (), (), gen)
+    assert out.shape == (16,)
+    assert (out != cfg.mask_token_id).all()
