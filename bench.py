@@ -138,6 +138,10 @@ def main():
     if (args.dream or args.ar) and args.kv8:
         ap.error("--kv8/--kv4 are only plumbed on the LLaDA denoise scan "
                  "(ops/kv8_attention.py) — loud, not silently ignored")
+    if args.ar and args.mixed:
+        ap.error("--mixed has no AR plumbing (the causal cached decode "
+                 "has no prefill/denoise weight-tree split) — loud, not "
+                 "silently ignored")
     if args.no_cache:
         nfe = args.steps / args.gen_len
         if nfe not in BASELINE_NOCACHE:
@@ -400,7 +404,10 @@ def main():
                 max_new_tokens=args.gen_len, steps=args.steps,
                 alg="topk_margin", prefix_lm=True,  # run_dream.sh:13
             )
-            out = dream_generate(params["llada"], lm_cfg, prefix, dgen)
+            out = dream_generate(
+                params["llada"], lm_cfg, prefix, dgen,
+                prefill_params=prefill_llada if args.mixed else None,
+                act_int8_prefill=args.mixed)
         elif B > 4 and args.dllm is None:
             # the monolithic B=8 prefill graph blows the XLA compile
             # budget; prefill in 4-row chunks (one compile, overlapping
@@ -409,6 +416,18 @@ def main():
                 params["llada"], lm_cfg, prefix, gen, chunk=4,
                 use_flash_prefill=not args.no_flash_prefill,
                 kv8=args.kv8,
+                prefill_params=prefill_llada if args.mixed else None,
+                act_int8_prefill=args.mixed,
+            )
+        elif args.mixed:
+            # batched mixed split: int8+A8 prefill (compute-bound, work
+            # scales with B), int4 decode tree for the merged scan
+            out = diffusion.generate(
+                prefill_llada, lm_cfg, prefix, gen,
+                use_flash_prefill=not args.no_flash_prefill,
+                dllm_cache=args.dllm, kv8=args.kv8,
+                act_int8_prefill=True,
+                decode_params=params["llada"],
             )
         else:
             out = diffusion.generate(

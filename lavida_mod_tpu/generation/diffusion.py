@@ -49,6 +49,7 @@ def prefill(
     prefix_embeds: jax.Array,
     prefix_valid: Optional[jax.Array] = None,
     use_flash: bool = False,
+    act_int8: bool = False,
 ):
     """Encode the multimodal prefix once, returning the rotated-key KV cache
     (reference generate.py:176: `model(..., use_cache=True).attn_key_values`).
@@ -57,6 +58,7 @@ def prefill(
         params, cfg, prefix_embeds,
         self_valid=prefix_valid,
         use_cache=True, return_logits=False, use_flash=use_flash,
+        act_int8=act_int8,
     )
     return cache
 
@@ -307,15 +309,18 @@ _denoise_scan_cached = jax.jit(
 )
 
 
-_prefill_jit = jax.jit(prefill, static_argnames=("cfg", "use_flash"))
+_prefill_jit = jax.jit(prefill,
+                       static_argnames=("cfg", "use_flash", "act_int8"))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"),
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash",
+                                             "act_int8"),
                    donate_argnums=(0,))
-def _prefill_into(buf, params, cfg, embeds, valid, lo, use_flash):
+def _prefill_into(buf, params, cfg, embeds, valid, lo, use_flash,
+                  act_int8=False):
     """Prefill one chunk and write its cache into the merged buffer at
     batch offset `lo` (traced: one compile serves every chunk)."""
-    part = prefill(params, cfg, embeds, valid, use_flash)
+    part = prefill(params, cfg, embeds, valid, use_flash, act_int8)
     return jax.tree.map(
         lambda b, p: jax.lax.dynamic_update_slice_in_dim(
             b, p.astype(b.dtype), lo, axis=1),
@@ -338,6 +343,8 @@ def generate_chunked_prefill(
     key: Optional[jax.Array] = None,
     use_flash_prefill: bool = False,
     kv8: bool = False,
+    prefill_params=None,
+    act_int8_prefill: bool = False,
 ):
     """Large-batch serving: prefill in fixed `chunk`-size slices (ONE
     compile, reused; the monolithic B=8 prefill graph blows XLA's compile
@@ -345,7 +352,11 @@ def generate_chunked_prefill(
     Decode is weight-read-bound, so only the batched denoise amortizes —
     chunking the compute-bound prefill costs nothing.  The reference has
     no batched serving path at all (its eval adapter loops batch=1,
-    llava_llada.py:556-650)."""
+    llava_llada.py:556-650).
+
+    prefill_params / act_int8_prefill: mixed-precision split — the int8
+    tree runs the chunked prefills, `params` the merged denoise scan."""
+    pre_p = prefill_params if prefill_params is not None else params
     B, P, _ = prefix_embeds.shape
     chunk = min(chunk, B)
     # Non-divisible batches (B=5,7,...) run the LAST chunk as an
@@ -367,18 +378,20 @@ def generate_chunked_prefill(
     # cache is ~5GB; the list+concat peak OOMed the chip)
     shapes = jax.eval_shape(
         lambda p, e, v: prefill(p, cfg, e, v,
-                                use_flash=use_flash_prefill),
-        params, prefix_embeds[:chunk],
+                                use_flash=use_flash_prefill,
+                                act_int8=act_int8_prefill),
+        pre_p, prefix_embeds[:chunk],
         prefix_valid[:chunk] if prefix_valid is not None else None)
     cache = jax.tree.map(
         lambda s: jnp.zeros(s.shape[:1] + (B,) + s.shape[2:], s.dtype),
         shapes)
     for lo in starts:
         cache = _prefill_into(
-            cache, params, cfg, prefix_embeds[lo:lo + chunk],
+            cache, pre_p, cfg, prefix_embeds[lo:lo + chunk],
             prefix_valid[lo:lo + chunk] if prefix_valid is not None
             else None,
-            jnp.int32(lo), use_flash_prefill)
+            jnp.int32(lo), use_flash_prefill,
+            act_int8=act_int8_prefill)
 
     x = jnp.full((B, G), mask_id, jnp.int32)
     k_table, block_end = build_control_table(

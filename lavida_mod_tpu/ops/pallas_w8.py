@@ -147,6 +147,16 @@ def w8a8_matmul(
 
     block_k = next((b for b in (4096, 2048, 1024, 512, 256, 128)
                     if K % b == 0), 128)  # K is 128-padded above
+    # The int32 accumulator scratch [Tp, block_n] persists across the
+    # whole k sweep (that is what lets each weight block be fetched from
+    # HBM exactly once).  At batched-prefill T (e.g. 4224 = 4x1056 rows,
+    # K=12288 ff_out) a 512-wide scratch is 8.6 MB and the kernel blows
+    # the 16 MB scoped-VMEM budget (measured: 17.98M requested) — shrink
+    # block_n until the scratch fits a ~6 MB slice of it (128 always
+    # divides N, which is 128-padded above).
+    while Tp * block_n * 4 > 6 * 1024 * 1024 and block_n > 128:
+        nb = block_n // 2
+        block_n = nb if N % nb == 0 else 128
     nk = K // block_k
     nt = Tp // block_t
 

@@ -68,3 +68,17 @@ def test_chunked_prefill_unrolled_params():
     out = np.asarray(diffusion.generate_chunked_prefill(
         params_u, CFG, prefix, gen, chunk=1))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_chunked_prefill_mixed_identity_tree():
+    """prefill_params= with the SAME tree must be token-exact (the mixed
+    int8-prefill/int4-decode split is pure plumbing when both trees hold
+    the same weights; bench.py --batch N --mixed)."""
+    B = 5
+    prefix = _prefix(B)
+    gen = _gen_cfg()
+    ref = np.asarray(diffusion.generate_chunked_prefill(
+        PARAMS, CFG, prefix, gen, chunk=2))
+    out = np.asarray(diffusion.generate_chunked_prefill(
+        PARAMS, CFG, prefix, gen, chunk=2, prefill_params=PARAMS))
+    np.testing.assert_array_equal(out, ref)

@@ -151,3 +151,32 @@ def test_w8a8_multik_n_padded():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=1e-2,
     )
+
+
+def test_w8a8_kblocked_scratch_bounded_at_batched_prefill_t():
+    """The k-blocked path's persistent int32 accumulator [Tp, block_n]
+    must fit the 16M scoped-VMEM budget at batched-prefill row counts
+    (measured blow-up: T=4224, K=12288, block_n=512 -> 17.98M requested
+    on chip).  Small-geometry interpret parity for the shrunken-block_n
+    path, plus a direct check of the selection rule."""
+    # the selection logic (mirrors w8a8_matmul)
+    for T, n0, expect in ((1056, 512, 512), (4224, 512, 256),
+                          (16896, 512, 128)):
+        bn = n0
+        N = 4096
+        while T * bn * 4 > 6 * 1024 * 1024 and bn > 128:
+            nb = bn // 2
+            bn = nb if N % nb == 0 else 128
+        assert bn == expect, (T, bn)
+        assert T * bn * 4 <= 6 * 1024 * 1024 or bn == 128
+    # interpret parity at a shrunken block_n (k-blocked path: K > 4608)
+    rng = np.random.default_rng(9)
+    x, p = _mk(rng, T=8, K=5120, N=256)
+    x8, sx = quantize_act_int8(x)
+    out = w8a8_matmul(x8, sx, p["kernel_q"], p["scale"],
+                      block_n=512, interpret=True)
+    ref = linear_act_int8(x, p)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=1e-2,
+    )
