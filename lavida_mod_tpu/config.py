@@ -205,6 +205,118 @@ class LaViDaConfig:
         return dataclasses.replace(self, **kw)
 
 
+def _sniff_llada(cj: dict) -> LLaDAConfig:
+    """Flat OLMo-style fields (configuration_llada.py:130-384 ModelConfig,
+    serialized flat by the HF LLaDAConfig wrapper :398-414)."""
+    kw = {}
+    for f in (
+        "d_model", "n_heads", "n_kv_heads", "n_layers", "mlp_hidden_size",
+        "mlp_ratio", "rope", "rope_theta", "rope_full_precision",
+        "rms_norm_eps", "attention_layer_norm", "layer_norm_with_affine",
+        "attention_layer_norm_with_affine", "include_bias",
+        "include_qkv_bias", "input_emb_norm", "scale_logits", "vocab_size",
+        "embedding_size", "weight_tying", "max_sequence_length",
+        "mask_token_id", "eos_token_id", "pad_token_id",
+    ):
+        if cj.get(f) is not None:
+            kw[f] = cj[f]
+    if cj.get("activation_type") in ("gelu", "relu", "silu", "swiglu"):
+        kw["activation"] = cj["activation_type"]
+    if cj.get("block_type") in ("llama", "sequential"):
+        kw["block_type"] = cj["block_type"]
+    lnt = cj.get("layer_norm_type")
+    if isinstance(lnt, str):
+        kw["layer_norm_type"] = ("gemma_rms" if "gemma" in lnt
+                                 else "rms" if "rms" in lnt else "default")
+    return LLaDAConfig(**kw)
+
+
+def _sniff_dream(cj: dict) -> LLaDAConfig:
+    """Qwen2-style fields (dream/configuration_dream.py:28-86)."""
+    from .models.dream import dream_7b_config  # deferred: dream imports us
+
+    kw = {}
+    for src, dst in (
+        ("hidden_size", "d_model"), ("num_attention_heads", "n_heads"),
+        ("num_key_value_heads", "n_kv_heads"),
+        ("num_hidden_layers", "n_layers"),
+        ("intermediate_size", "mlp_hidden_size"),
+        ("rope_theta", "rope_theta"), ("rms_norm_eps", "rms_norm_eps"),
+        ("vocab_size", "vocab_size"),
+        ("max_position_embeddings", "max_sequence_length"),
+        ("tie_word_embeddings", "weight_tying"),
+        ("mask_token_id", "mask_token_id"),
+        ("eos_token_id", "eos_token_id"), ("pad_token_id", "pad_token_id"),
+    ):
+        if cj.get(src) is not None:
+            kw[dst] = cj[src]
+    if "vocab_size" in kw:
+        kw.setdefault("embedding_size", kw["vocab_size"])
+    return dream_7b_config(**kw)
+
+
+def _sniff_vision(cj: dict) -> VisionConfig:
+    """LLaVA composition fields the trainer writes onto the composed HF
+    config (llava_arch.py:42-110: mm_vision_tower, mm_projector_type,
+    mm_hidden_size, mm_patch_merge_type, ...; train.py mm_spatial_pool_*
+    and image_grid_pinpoints args)."""
+    kw = {}
+    for src, dst in (
+        ("mm_projector_type", "projector_type"),
+        ("mm_hidden_size", "mm_hidden_size"),
+        ("mm_spatial_pool_mode", "spatial_pool_mode"),
+        ("mm_spatial_pool_stride", "spatial_pool_stride"),
+        ("image_aspect_ratio", "image_aspect_ratio"),
+        ("mm_patch_merge_type", "mm_patch_merge_type"),
+        ("mm_newline_position", "mm_newline_position"),
+    ):
+        if cj.get(src) is not None:
+            kw[dst] = cj[src]
+    gp = cj.get("image_grid_pinpoints")
+    if isinstance(gp, str):  # mm_utils.py accepts the stringified form
+        import ast
+
+        gp = ast.literal_eval(gp)
+    if gp:
+        kw["grid_pinpoints"] = tuple(tuple(int(v) for v in p) for p in gp)
+    # tower geometry: known names map to their published configs; a
+    # nested vision_tower_config dict (our own synth checkpoints) wins
+    vt = cj.get("vision_tower_config")
+    if isinstance(vt, dict):
+        kw["siglip"] = SigLIPConfig(**{
+            k: (tuple(v) if isinstance(v, list) else v)
+            for k, v in vt.items()
+            if k in {f.name for f in dataclasses.fields(SigLIPConfig)}})
+    return VisionConfig(**kw)
+
+
+def config_from_checkpoint(path: str):
+    """Sniff (LaViDaConfig, lm_family) from a checkpoint dir's config.json
+    — the analogue of the reference builder's AutoConfig.from_pretrained
+    step (builder.py:128-146), which is how a user loads any geometry
+    without hand-building a config.  Returns (None, None) when no
+    config.json exists (caller falls back to defaults)."""
+    import json
+    import os
+
+    cfile = os.path.join(path, "config.json")
+    if not os.path.exists(cfile):
+        return None, None
+    with open(cfile) as f:
+        cj = json.load(f)
+    mt = str(cj.get("model_type", "")).lower()
+    if "dream" in mt or ("hidden_size" in cj and "d_model" not in cj
+                         and "num_attention_heads" in cj):
+        lm_family, lm = "dream", _sniff_dream(cj)
+    else:
+        lm_family, lm = "llada", _sniff_llada(cj)
+    cfg = LaViDaConfig(
+        llada=lm, vision=_sniff_vision(cj),
+        tokenizer_model_max_length=cj.get("tokenizer_model_max_length"),
+    )
+    return cfg, lm_family
+
+
 @dataclass(frozen=True)
 class DreamGenerationConfig:
     """Dream sampler knobs (dream/generation_utils.py:99-147)."""

@@ -39,7 +39,9 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="random-init tiny model + whitespace tokenizer "
                          "(pipeline smoke runs without a checkpoint)")
-    ap.add_argument("--lm-family", default="llada", choices=["llada", "dream"])
+    ap.add_argument("--lm-family", default=None, choices=["llada", "dream"],
+                    help="default: sniffed from the checkpoint's "
+                         "config.json model_type (llada without one)")
     ap.add_argument("--conv-template", default=None)
     ap.add_argument("--tasks", required=True, help="comma-separated")
     ap.add_argument("--data-path", default=None,
@@ -47,7 +49,7 @@ def main():
     ap.add_argument("--gen-kwargs", default="")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--mc-num", type=int, default=16)
-    ap.add_argument("--quant", choices=["none", "int8", "int4"],
+    ap.add_argument("--quant", choices=["none", "int8", "int4", "mixed"],
                     default="int8",
                     help="LM serving layout for real checkpoints: int8 "
                          "(default; near-lossless — the 8B bf16 weights "
@@ -55,6 +57,8 @@ def main():
                          "HBM), int4 (W4A8 + fused layout, the bench "
                          "default; gate per checkpoint with "
                          "scripts/verify_checkpoint.py --quant-check), "
+                         "mixed (int8 prefill tree + int4 decode tree, "
+                         "the bench B=1 default; +~7.5G HBM), "
                          "or none (bf16 — small models / big hosts)")
     ap.add_argument("--kv8", action="store_true",
                     help="int8 KV cache + fused decode attention "
@@ -71,23 +75,30 @@ def main():
     from .adapter import LavidaEvalModel
     from .evaluator import simple_evaluate
 
-    cfg = LaViDaConfig()
     if args.model_path:
-        # host_staging when quantizing: bf16-8B-in-HBM pre-quantize OOMs
-        # a single v5e (rehearse_8b_load); .to_device() ships the layout
-        model = LaViDa.load(args.model_path, cfg, lm_family=args.lm_family,
+        # geometry + lm family sniff from the checkpoint's config.json
+        # (builder.py:128-146); host_staging when quantizing: bf16-8B-in-
+        # HBM pre-quantize OOMs a single v5e (rehearse_8b_load);
+        # .to_device() ships the layout
+        model = LaViDa.load(args.model_path, lm_family=args.lm_family,
                             host_staging=args.quant != "none")
         if args.quant != "none":
             from ..models import llada as llada_model
 
             lp = llada_model.unstack_blocks(model.params["llada"])
-            if args.quant == "int4":
+            if args.quant in ("int4", "mixed"):
                 lp, lcfg = llada_model.to_fused_layout(
                     lp, model.cfg.llada)
                 model.cfg = model.cfg.replace(llada=lcfg)
+            if args.quant == "mixed":
+                # int8 prefill tree from the SAME fused layout, quantized
+                # BEFORE the consuming int4 pass frees the bf16 kernels
+                model.prefill_params = llada_model.quantize_params(
+                    lp, bits=8)
             model.params["llada"] = None  # free bf16 before quantize
             model.params["llada"] = llada_model.quantize_params(
-                lp, bits=4 if args.quant == "int4" else 8, consume=True)
+                lp, bits=4 if args.quant in ("int4", "mixed") else 8,
+                consume=True)
             del lp
             model.to_device()
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
@@ -108,6 +119,7 @@ def main():
             ),
         )
         model = LaViDa.random_init(cfg, 0, jnp.float32)
+        model.lm_family = args.lm_family or "llada"
 
         class _ToyTokenizer:
             bos_token_id = 1
@@ -129,7 +141,7 @@ def main():
 
     adapter = LavidaEvalModel(
         model, tokenizer,
-        conv_template=args.conv_template or args.lm_family,
+        conv_template=args.conv_template or model.lm_family,
         mc_num=args.mc_num, kv8=args.kv8,
     )
     data_paths = {}

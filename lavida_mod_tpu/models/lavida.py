@@ -216,7 +216,7 @@ class LaViDa:
 
     @classmethod
     def load(cls, path: str, cfg: Optional[LaViDaConfig] = None,
-             dtype=jnp.bfloat16, lm_family: str = "llada",
+             dtype=jnp.bfloat16, lm_family: Optional[str] = None,
              base: Optional[str] = None,
              host_staging: bool = False) -> "LaViDa":
         """Load a checkpoint directory.  The reference's three load modes
@@ -239,6 +239,16 @@ class LaViDa:
         (The reference loads through torch CPU then `.cuda()`, same idea:
         builder.py:62-123 device_map handling.)
         """
+        if cfg is None or lm_family is None:
+            # sniff geometry/family from config.json — the builder's
+            # AutoConfig.from_pretrained step (builder.py:128-146); the
+            # composed config lives with the delta, not the base, in the
+            # projector/LoRA load modes (builder.py:67,128)
+            from ..config import config_from_checkpoint
+
+            scfg, sfam = config_from_checkpoint(path)
+            cfg = cfg if cfg is not None else scfg
+            lm_family = lm_family or sfam or "llada"
         cfg = cfg or LaViDaConfig()
         if base is None:
             state = load_state_shards(path)

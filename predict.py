@@ -36,7 +36,9 @@ def main():
     ap.add_argument("--schedule-shift", type=float, default=3.0)
     ap.add_argument("--remasking", default="low_confidence")
     ap.add_argument("--no-prefix-cache", action="store_true")
-    ap.add_argument("--aspect", default="anyres")
+    ap.add_argument("--aspect", default=None,
+                    help="anyres|square; default: the checkpoint's "
+                         "image_aspect_ratio (anyres without one)")
     ap.add_argument("--shirg", action="store_true",
                     help="SHIRG-Fovea 2-view token selection instead of anyres")
     ap.add_argument("--shirg-method", default="base")
@@ -96,12 +98,15 @@ def main():
             vision=VisionConfig(
                 siglip=tiny_siglip_config(), mm_hidden_size=32,
                 grid_pinpoints=((56, 112), (112, 56), (112, 112)),
-                image_aspect_ratio=args.aspect,
+                image_aspect_ratio=args.aspect or "anyres",
             ),
         )
     else:
+        # geometry comes from the checkpoint's config.json when loading
+        # (LaViDa.load sniffs it — builder.py:128-146); this default only
+        # serves the no-checkpoint zero-init smoke path
         cfg = LaViDaConfig(
-            vision=VisionConfig(image_aspect_ratio=args.aspect)
+            vision=VisionConfig(image_aspect_ratio=args.aspect or "anyres")
         )
 
     if args.model_path:
@@ -109,8 +114,11 @@ def main():
         # pre-quantization (measured OOM otherwise, rehearse_8b_load);
         # .to_device() below ships the final serving layout
         model = LaViDa.load(
-            args.model_path, cfg, dtype,
+            args.model_path, cfg if args.tiny else None, dtype,
             host_staging=not (args.no_quant or args.tiny))
+        if args.aspect:  # explicit CLI override beats the checkpoint's
+            model.cfg = model.cfg.replace(vision=model.cfg.vision.replace(
+                image_aspect_ratio=args.aspect))
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
         tokenizer = load_hf_or_offline(args.model_path)
@@ -162,7 +170,7 @@ def main():
         from PIL import Image
 
         img = Image.open(args.image)
-        size = cfg.vision.siglip.image_size
+        size = model.cfg.vision.siglip.image_size
         proc = SigLIPImageProcessor(size=size)
         if args.shirg:
             import jax.numpy as _jnp
@@ -173,11 +181,11 @@ def main():
 
             views = process_shirg_2view(img, proc)
             shirg_blocks = [shirg_encode(
-                model.params, cfg, _jnp.asarray(views),
+                model.params, model.cfg, _jnp.asarray(views),
                 method=args.shirg_method,
             )]
         else:
-            views = process_images([img], proc, cfg.vision)[0]
+            views = process_images([img], proc, model.cfg.vision)[0]
             images, image_sizes = [views], [img.size]
         user_msg = "<image>\n" + args.prompt
     else:

@@ -155,9 +155,35 @@ def synthesize(path: str, cfg) -> float:
         tok.save(os.path.join(path, "tokenizer.json"))
     except Exception as e:  # tokenizers lib absent: ids fall back
         print(f"[synth] no tokenizer.json ({e})")
+    # full flat HF form (configuration_llada.py serialization) so
+    # config_from_checkpoint sniffs the real geometry — what the serving
+    # CLIs (worker/eval/predict) rely on when given only a path
+    lm = cfg.llada
     with open(os.path.join(path, "config.json"), "w") as f:
-        json.dump({"model_type": "llava_llada",
-                   "vocab_size": E, "hidden_size": D}, f)
+        json.dump({
+            "model_type": "llava_llada", "d_model": lm.d_model,
+            "n_heads": lm.n_heads, "n_kv_heads": lm.n_kv_heads,
+            "n_layers": lm.n_layers,
+            "mlp_hidden_size": lm.mlp_hidden_size,
+            "block_type": lm.block_type, "activation_type": lm.activation,
+            "rope": lm.rope, "rope_theta": lm.rope_theta,
+            "layer_norm_type": lm.layer_norm_type,
+            "rms_norm_eps": lm.rms_norm_eps,
+            "include_qkv_bias": lm.include_qkv_bias,
+            "vocab_size": lm.vocab_size,
+            "embedding_size": lm.embedding_size,
+            "weight_tying": lm.weight_tying,
+            "max_sequence_length": lm.max_sequence_length,
+            "mask_token_id": lm.mask_token_id,
+            "eos_token_id": lm.eos_token_id,
+            "pad_token_id": lm.pad_token_id,
+            "mm_hidden_size": cfg.vision.mm_hidden_size,
+            "mm_projector_type": cfg.vision.projector_type,
+            "image_aspect_ratio": cfg.vision.image_aspect_ratio,
+            "image_grid_pinpoints": [list(p) for p in
+                                     cfg.vision.grid_pinpoints],
+            "mm_patch_merge_type": cfg.vision.mm_patch_merge_type,
+        }, f)
     return total / (1 << 30)
 
 

@@ -216,6 +216,42 @@ def test_load_then_int4_fused_serving_layout(ref_state, tmp_path):
     assert (np.asarray(out) != model.cfg.llada.mask_token_id).all()
 
 
+def test_load_then_mixed_serving_layout(ref_state, tmp_path):
+    """The eval/worker `--quant mixed` sequence on a LOADED checkpoint:
+    unstack -> to_fused_layout -> int8 prefill tree (quantized BEFORE the
+    consuming int4 pass frees the bf16 kernels) -> consuming int4 decode
+    tree -> generate with the mixed split (eval/__main__.py --quant
+    mixed, worker.py --mixed).  The consume ordering is the part a unit
+    test of quantize_params alone cannot catch."""
+    from lavida_mod_tpu.config import GenerationConfig
+    from lavida_mod_tpu.models import llada as jl
+
+    cfg = _tiny_cfg()
+    _save_safetensor_shards(ref_state, tmp_path / "mx", n_shards=2)
+    model = LaViDa.load(str(tmp_path / "mx"), cfg, dtype=jnp.float32)
+
+    lp = jl.unstack_blocks(model.params["llada"])
+    lp, lcfg = jl.to_fused_layout(lp, model.cfg.llada)
+    model.cfg = model.cfg.replace(llada=lcfg)
+    model.prefill_params = jl.quantize_params(lp, bits=8)
+    model.params["llada"] = jl.quantize_params(
+        lp, bits=4, group=64, consume=True)
+
+    # consume=True must have freed the full-precision linear kernels out
+    # of the source blocks — the ordering the CLIs rely on (prefill int8
+    # quantized BEFORE the consuming pass; embeddings/norms stay)
+    assert not any(
+        hasattr(x, "ndim") and x.ndim == 2
+        and x.dtype in (jnp.float32, jnp.bfloat16)
+        for x in jax.tree.leaves(lp["blocks"]))
+
+    gen = GenerationConfig(max_new_tokens=8, block_length=8,
+                           prefix_lm=True)
+    out = model.generate(np.arange(5, 13), gen=gen)
+    assert out.shape[-1] == 8
+    assert (np.asarray(out) != model.cfg.llada.mask_token_id).all()
+
+
 def test_host_staging_load_matches_direct(ref_state, tmp_path):
     """load(host_staging=True) converts onto the CPU backend (the 8B
     serving path: bf16-in-HBM pre-quantize OOMs one v5e — found by
