@@ -203,10 +203,33 @@ class LavidaEvalModel:
             n = p.shape[0]
             batch = batch.at[b, Pb - n:].set(p)   # front-pad (masked)
             valid[b, Pb - n:] = True
-        out = diffusion.generate(
-            self.model.params["llada"], self.model.cfg.llada, batch, gen,
-            prefix_valid=jnp.asarray(valid), kv8=self.kv8,
-        )
+        mixed = getattr(self.model, "prefill_params", None) is not None
+        if B > 4 and gen.prefix_lm:
+            # the monolithic B>4 prefill graph blows XLA's compile
+            # budget at 8B (bench.py batched path, same rule): prefill
+            # in 4-row chunks (one compile), decode the merged batch
+            out = diffusion.generate_chunked_prefill(
+                self.model.params["llada"], self.model.cfg.llada, batch,
+                gen, chunk=4, prefix_valid=jnp.asarray(valid),
+                kv8=self.kv8,
+                prefill_params=(self.model.prefill_params
+                                if mixed else None),
+                act_int8_prefill=mixed,
+            )
+        elif mixed and gen.prefix_lm:
+            # mixed serving split (worker --mixed): int8 tree + A8 MXU
+            # for the compute-bound prefill, int4 tree for the decode
+            out = diffusion.generate(
+                self.model.prefill_params, self.model.cfg.llada, batch,
+                gen, prefix_valid=jnp.asarray(valid), kv8=self.kv8,
+                act_int8_prefill=True,
+                decode_params=self.model.params["llada"],
+            )
+        else:
+            out = diffusion.generate(
+                self.model.params["llada"], self.model.cfg.llada, batch,
+                gen, prefix_valid=jnp.asarray(valid), kv8=self.kv8,
+            )
         dt = time.perf_counter() - t0
         self.latencies.extend([dt / B] * B)
         return [

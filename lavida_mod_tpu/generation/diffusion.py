@@ -212,7 +212,11 @@ def _denoise_scan_cached_body(
         # layer per step (~1.3GB/step of pure memcpy at 8B scale).
         if isinstance(cache, (list, tuple)):
             # PREALLOCATED [B, P+G] buffers from the fused prefill
-            # (_generate_cached_fused_body): no stack/pad copies needed
+            # (_generate_cached_fused_body / _chunk_prefill_prealloc):
+            # no stack/pad copies needed.  kv8 quantizes HERE, at decode
+            # entry — quantizing at chunk-write time and shipping int8
+            # buffers across the dispatch boundary measured 3.4x slower
+            # (see generate_chunked_prefill)
             P = cache[0][0].shape[1] - G
             if kv8:
                 from ..ops.kv8_attention import quantize_kv
@@ -332,6 +336,40 @@ def _prefill_into(buf, params, cfg, embeds, valid, lo, use_flash,
 # caches into ONE merged buffer in place (donated, same-shape).
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "use_flash", "act_int8"),
+    donate_argnums=(0,),
+)
+def _chunk_prefill_prealloc(buf, params, cfg, embeds, valid, lo,
+                            use_flash, act_int8=False):
+    """Prefill one chunk into fresh [chunk, P+G] buffers
+    (kv_write_index=0; the G gen rows stay zero and masked) and write
+    them into the DONATED merged [B, P+G] buffers at batch offset `lo`.
+    The merged tree is already decode-shaped, so _denoise_scan_cached
+    starts with zero pad copies — at B=8/8B the [B,P]->[B,P+G] pad was a
+    second ~4.6G cache that spilled (see generate_chunked_prefill)."""
+    C, P = embeds.shape[0], embeds.shape[1]
+    S = buf[0][0].shape[1]
+    Hkv, hd = cfg.effective_n_kv_heads, cfg.head_dim
+    zc = jnp.zeros((C, S, Hkv, hd), embeds.dtype)
+    chunk_cache = [(zc, zc) for _ in buf]
+    kvv = None
+    if valid is not None:
+        kvv = jnp.concatenate(
+            [valid, jnp.ones((C, S - P), bool)], axis=1)
+    _, chunk_cache = llada_model.forward(
+        params, cfg, embeds, kv_cache=chunk_cache,
+        kv_write_index=jnp.asarray(0, jnp.int32), kv_valid=kvv,
+        self_valid=valid, use_cache=True, return_logits=False,
+        use_flash=use_flash, act_int8=act_int8,
+    )
+    return jax.tree.map(
+        lambda b, p: jax.lax.dynamic_update_slice_in_dim(
+            b, p.astype(b.dtype), lo, axis=0),
+        buf, chunk_cache)
+
+
 def generate_chunked_prefill(
     params,
     cfg: LLaDAConfig,
@@ -376,22 +414,61 @@ def generate_chunked_prefill(
     # (buffer donated per call): peak extra memory is ONE chunk cache,
     # not the full per-chunk list + concat copy (at 8B/B=8 the merged
     # cache is ~5GB; the list+concat peak OOMed the chip)
-    shapes = jax.eval_shape(
-        lambda p, e, v: prefill(p, cfg, e, v,
-                                use_flash=use_flash_prefill,
-                                act_int8=act_int8_prefill),
-        pre_p, prefix_embeds[:chunk],
-        prefix_valid[:chunk] if prefix_valid is not None else None)
-    cache = jax.tree.map(
-        lambda s: jnp.zeros(s.shape[:1] + (B,) + s.shape[2:], s.dtype),
-        shapes)
-    for lo in starts:
-        cache = _prefill_into(
-            cache, pre_p, cfg, prefix_embeds[lo:lo + chunk],
-            prefix_valid[lo:lo + chunk] if prefix_valid is not None
-            else None,
-            jnp.int32(lo), use_flash_prefill,
-            act_int8=act_int8_prefill)
+    if (isinstance(params["blocks"], (list, tuple))
+            and isinstance(pre_p["blocks"], (list, tuple))):
+        # PREALLOCATED [B, P+G] merged buffers (the serve-path prealloc,
+        # _generate_cached_fused_body): each chunk prefills into its own
+        # [chunk, P+G] buffers (kv_write_index=0), which land in the
+        # merged tree at batch offset lo.  Without this the decode scan
+        # pads [B,P]->[B,P+G] — a second full-size cache copy that at
+        # B=8/8B (~4.6G bf16) pushed HBM into remat_compressed spill
+        # copies (measured: 0.347 s/image vs 0.186 at B=4;
+        # scripts/probes/_batch_decomp.py).
+        S = P + G
+        Hkv, hd = cfg.effective_n_kv_heads, cfg.head_dim
+        nL = len(params["blocks"])
+        dt = prefix_embeds.dtype
+        # DISTINCT buffers per layer/slot, allocated in ONE dispatch: a
+        # single zeros() aliased 2L times trips "donate the same buffer
+        # twice" in _chunk_prefill_prealloc; 2L eager zeros = 2L RPCs.
+        # kv8 quantizes at DECODE entry (inside _denoise_scan_cached),
+        # not at chunk-write time: the write-time variant (int8 merged
+        # buffers, each chunk quantized before its DUS) was measured
+        # 3.4x SLOWER end-to-end at B=8/8B (0.657 vs 0.193 s/image,
+        # same session) — quantized buffers crossing the dispatch
+        # boundary as scan-carry arguments defeat XLA's layout/aliasing
+        # choices.  Cost of decode-entry: the bf16 merged cache stays
+        # pinned as an argument, so kv8 batches are HBM-capped around
+        # B=8 (B=16 needs ~9.1G bf16 + the int8 copy) — past the
+        # measured throughput knee anyway (B=16 kv8: 0.230 s/image).
+        cache = jax.jit(lambda: [
+            (jnp.zeros((B, S, Hkv, hd), dt),
+             jnp.zeros((B, S, Hkv, hd), dt))
+            for _ in range(nL)])()
+        for lo in starts:
+            cache = _chunk_prefill_prealloc(
+                cache, pre_p, cfg, prefix_embeds[lo:lo + chunk],
+                prefix_valid[lo:lo + chunk] if prefix_valid is not None
+                else None,
+                jnp.int32(lo), use_flash_prefill,
+                act_int8=act_int8_prefill)
+    else:
+        shapes = jax.eval_shape(
+            lambda p, e, v: prefill(p, cfg, e, v,
+                                    use_flash=use_flash_prefill,
+                                    act_int8=act_int8_prefill),
+            pre_p, prefix_embeds[:chunk],
+            prefix_valid[:chunk] if prefix_valid is not None else None)
+        cache = jax.tree.map(
+            lambda s: jnp.zeros(s.shape[:1] + (B,) + s.shape[2:], s.dtype),
+            shapes)
+        for lo in starts:
+            cache = _prefill_into(
+                cache, pre_p, cfg, prefix_embeds[lo:lo + chunk],
+                prefix_valid[lo:lo + chunk] if prefix_valid is not None
+                else None,
+                jnp.int32(lo), use_flash_prefill,
+                act_int8=act_int8_prefill)
 
     x = jnp.full((B, G), mask_id, jnp.int32)
     k_table, block_end = build_control_table(

@@ -70,6 +70,29 @@ def test_chunked_prefill_unrolled_params():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_chunked_prefill_kv8():
+    """kv8/kv4 over the chunked prealloc path (quantized at decode
+    entry; the write-time variant measured 3.4x slower on chip — see
+    generate_chunked_prefill) must be token-exact vs the monolithic
+    fused path, which quantizes the same prealloc'd [B, P+G] rows."""
+    from lavida_mod_tpu.ops import kv8_attention as KV8
+
+    B = 5
+    params_u = jl.unstack_blocks(PARAMS)
+    prefix = _prefix(B)
+    gen = _gen_cfg()
+    KV8._INTERPRET[0] = True  # Pallas decode kernel on the CPU backend
+    try:
+        for kv8 in (True, 4):
+            ref = np.asarray(diffusion.generate(
+                params_u, CFG, prefix, gen, kv8=kv8))
+            out = np.asarray(diffusion.generate_chunked_prefill(
+                params_u, CFG, prefix, gen, chunk=2, kv8=kv8))
+            np.testing.assert_array_equal(out, ref), kv8
+    finally:
+        KV8._INTERPRET[0] = False
+
+
 def test_chunked_prefill_mixed_identity_tree():
     """prefill_params= with the SAME tree must be token-exact (the mixed
     int8-prefill/int4-decode split is pure plumbing when both trees hold

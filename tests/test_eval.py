@@ -236,6 +236,41 @@ def test_evaluate_batched_generation(tiny_eval_model):
     assert out["results"]["n"] == 5
 
 
+def test_evaluate_batched_generation_chunked_route(tiny_eval_model):
+    """batch_size > 4 routes through generate_chunked_prefill (the
+    monolithic B>4 prefill graph blows XLA's compile budget at 8B) with
+    the front-padded prefix_valid mask; predictions stay per-doc."""
+    from lavida_mod_tpu.eval.evaluator import evaluate
+
+    task = Task(
+        name="synthetic_batched6",
+        generation_kwargs={"max_new_tokens": 8},
+        score_doc=lambda doc, pred: {"len": len(pred)},
+        aggregate=lambda rows: {"n": len(rows)},
+    )
+    docs = _synth_docs(6)
+    out = evaluate(tiny_eval_model, task, docs, progress=False,
+                   batch_size=6)
+    assert out["results"]["n"] == 6
+
+
+def test_batched_generation_mixed_identity_tree(tiny_eval_model):
+    """An identity mixed split (prefill_params = the same tree) must not
+    change batched predictions — the worker --mixed + --decode-batch
+    plumbing is pure routing when both trees hold the same weights."""
+    texts = [f"count to {i}" for i in range(3)]
+    base = tiny_eval_model.generate_until_batch(
+        texts, [[] for _ in texts], {"max_new_tokens": 8})
+    tiny_eval_model.model.prefill_params = \
+        tiny_eval_model.model.params["llada"]
+    try:
+        mixed = tiny_eval_model.generate_until_batch(
+            texts, [[] for _ in texts], {"max_new_tokens": 8})
+    finally:
+        tiny_eval_model.model.prefill_params = None
+    assert mixed == base
+
+
 def test_multi_image_doc_uses_pad_mode(tiny_eval_model):
     """Two images in a doc route through the pad facade (reference
     multi-image behavior) and still generate."""
