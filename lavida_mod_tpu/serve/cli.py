@@ -13,6 +13,13 @@ def main():
     ap.add_argument("--conv-template", default="llada")
     ap.add_argument("--max-new-tokens", type=int, default=64)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--quant", choices=["none", "int8", "int4", "mixed"],
+                    default="int8",
+                    help="LM serving layout (int8 default: the bf16 8B "
+                         "cannot co-reside with its KV cache in one "
+                         "v5e's HBM; int4 = W4A8 fused, mixed = int8 "
+                         "prefill + int4 decode; none = bf16 for small "
+                         "models/big hosts)")
     args = ap.parse_args()
 
     import numpy as np
@@ -39,11 +46,31 @@ def main():
         tokenizer = None
         print("[cli] tiny random model (no checkpoint)")
     else:
-        cfg = LaViDaConfig()
-        model = LaViDa.load(args.model_path, cfg)
+        # geometry sniffed from the checkpoint's config.json; host
+        # staging + quantized serving layout — a bf16 8B straight into
+        # HBM OOMs next to its KV cache (rehearse_8b_load, README)
+        model = LaViDa.load(args.model_path,
+                            host_staging=args.quant != "none")
+        if args.quant != "none":
+            from ..models import llada as llada_model
+
+            lp = llada_model.unstack_blocks(model.params["llada"])
+            if args.quant in ("int4", "mixed"):
+                lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
+                model.cfg = model.cfg.replace(llada=lcfg)
+            if args.quant == "mixed":
+                model.prefill_params = llada_model.quantize_params(
+                    lp, bits=8)
+            model.params["llada"] = None  # free bf16 before quantize
+            model.params["llada"] = llada_model.quantize_params(
+                lp, bits=4 if args.quant in ("int4", "mixed") else 8,
+                consume=True)
+            del lp
+            model.to_device()
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
         tokenizer = load_hf_or_offline(args.model_path)
+    cfg = model.cfg
 
     images, sizes = [], []
     if args.image:

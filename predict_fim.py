@@ -80,11 +80,12 @@ def main():
         tokenizer = None
         print("[predict_fim] random-init tiny model")
     else:
-        cfg = LaViDaConfig()
-        model = LaViDa.load(args.model_path, cfg, host_staging=True)
-        # serving layout (predict.py:111-119): the 8B bf16 weights cannot
-        # co-reside with the KV cache in one v5e's HBM; host_staging keeps
-        # the bf16 copy off-chip until quantized (measured OOM otherwise)
+        # geometry sniffed from the checkpoint's config.json
+        # (config_from_checkpoint); serving layout (predict.py:111-119):
+        # the 8B bf16 weights cannot co-reside with the KV cache in one
+        # v5e's HBM; host_staging keeps the bf16 copy off-chip until
+        # quantized (measured OOM otherwise)
+        model = LaViDa.load(args.model_path, host_staging=True)
         from lavida_mod_tpu.models import llada as llada_model
 
         lp = llada_model.unstack_blocks(model.params["llada"])
@@ -96,6 +97,7 @@ def main():
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
         tokenizer = load_hf_or_offline(args.model_path)
+    cfg = model.cfg
 
     images, sizes = [], []
     if args.image:
