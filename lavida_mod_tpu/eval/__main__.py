@@ -70,6 +70,10 @@ def main():
                          "per-sample jsonl per task")
     args = ap.parse_args()
 
+    from ..utils.compile_cache import enable as _cc
+
+    _cc()  # 8B serve graphs compile 5-15 min cold; cache restarts
+
     from ..config import LaViDaConfig
     from ..models.lavida import LaViDa
     from .adapter import LavidaEvalModel

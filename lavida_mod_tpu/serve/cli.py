@@ -22,6 +22,10 @@ def main():
                          "models/big hosts)")
     args = ap.parse_args()
 
+    from ..utils.compile_cache import enable as _cc
+
+    _cc()  # 8B serve graphs compile 5-15 min cold; cache restarts
+
     import numpy as np
     import jax.numpy as jnp
 

@@ -331,6 +331,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from ..utils.compile_cache import enable as _cc
+
+    _cc()  # 8B serve graphs compile 5-15 min cold; cache restarts
 
     import jax.numpy as jnp
 

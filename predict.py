@@ -68,6 +68,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--warmup", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-compile-cache", action="store_true",
+                    help="disable the persistent XLA compilation cache "
+                         "(default ~/.cache/lavida_mod_tpu/xla — 8B "
+                         "serve graphs compile 5-15 min cold)")
     args = ap.parse_args()
 
     import os as _os
@@ -78,6 +82,10 @@ def main():
             _jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+    if not args.no_compile_cache:
+        from lavida_mod_tpu.utils.compile_cache import enable as _cc
+
+        _cc()
 
     import jax.numpy as jnp
 

@@ -56,6 +56,9 @@ def main():
             _jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+    from lavida_mod_tpu.utils.compile_cache import enable as _cc
+
+    _cc()  # 8B serve graphs compile 5-15 min cold; cache restarts
 
     import jax.numpy as jnp
 
