@@ -86,25 +86,11 @@ def main():
         # .to_device() ships the layout
         model = LaViDa.load(args.model_path, lm_family=args.lm_family,
                             host_staging=args.quant != "none")
-        if args.quant != "none":
-            from ..models import llada as llada_model
-
-            lp = llada_model.unstack_blocks(model.params["llada"])
-            if args.quant in ("int4", "mixed"):
-                lp, lcfg = llada_model.to_fused_layout(
-                    lp, model.cfg.llada)
-                model.cfg = model.cfg.replace(llada=lcfg)
-            if args.quant == "mixed":
-                # int8 prefill tree from the SAME fused layout, quantized
-                # BEFORE the consuming int4 pass frees the bf16 kernels
-                model.prefill_params = llada_model.quantize_params(
-                    lp, bits=8)
-            model.params["llada"] = None  # free bf16 before quantize
-            model.params["llada"] = llada_model.quantize_params(
-                lp, bits=4 if args.quant in ("int4", "mixed") else 8,
-                consume=True)
-            del lp
-            model.to_device()
+        # fuse=True: eval generation lengths are task-dependent and
+        # unknown up-front; the fused layout is token-exact, its
+        # kernels self-disengage on fat decode tiles (rows > 32)
+        model.to_serving_layout(quant=args.quant,
+                                fuse=args.quant in ("int4", "mixed"))
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
         tokenizer = load_hf_or_offline(args.model_path)

@@ -204,6 +204,15 @@ class LavidaEvalModel:
             batch = batch.at[b, Pb - n:].set(p)   # front-pad (masked)
             valid[b, Pb - n:] = True
         mixed = getattr(self.model, "prefill_params", None) is not None
+        if mixed and not gen.prefix_lm:
+            # loud, not silent (repo flag convention): the mixed split
+            # IS a prefill/decode split — no-cache generation has
+            # neither, and falling through would serve plain int4 while
+            # the operator believes --mixed is active
+            raise NotImplementedError(
+                "mixed decode_params needs the prefix-cache mode "
+                "(prefix_lm=True) — the no-cache path has no "
+                "prefill/decode split; drop --mixed or prefix_lm=False")
         if B > 4 and gen.prefix_lm:
             # the monolithic B>4 prefill graph blows XLA's compile
             # budget at 8B (bench.py batched path, same rule): prefill

@@ -336,6 +336,15 @@ def _prefill_into(buf, params, cfg, embeds, valid, lo, use_flash,
 # caches into ONE merged buffer in place (donated, same-shape).
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _alloc_kv_buffers(nL, B, S, Hkv, hd, dt):
+    """nL (k, v) zero buffers of [B, S, Hkv, hd] in ONE dispatch.
+    Module-level jit so repeat calls at the same geometry hit the pjit
+    cache (a fresh lambda per call re-traces every request)."""
+    return [(jnp.zeros((B, S, Hkv, hd), dt),
+             jnp.zeros((B, S, Hkv, hd), dt)) for _ in range(nL)]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "use_flash", "act_int8"),
@@ -441,10 +450,7 @@ def generate_chunked_prefill(
         # pinned as an argument, so kv8 batches are HBM-capped around
         # B=8 (B=16 needs ~9.1G bf16 + the int8 copy) — past the
         # measured throughput knee anyway (B=16 kv8: 0.230 s/image).
-        cache = jax.jit(lambda: [
-            (jnp.zeros((B, S, Hkv, hd), dt),
-             jnp.zeros((B, S, Hkv, hd), dt))
-            for _ in range(nL)])()
+        cache = _alloc_kv_buffers(nL, B, S, Hkv, hd, dt)
         for lo in starts:
             cache = _chunk_prefill_prealloc(
                 cache, pre_p, cfg, prefix_embeds[lo:lo + chunk],

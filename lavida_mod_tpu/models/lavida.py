@@ -285,6 +285,42 @@ class LaViDa:
             params = jax.device_put(params, jax.devices("cpu")[0])
         return cls(cfg, params, lm_family)
 
+    def to_serving_layout(self, quant: str = "int8",
+                          fuse: bool = False) -> "LaViDa":
+        """Quantize the LM into the serving layout and ship it to the
+        device — the sequence every serving CLI runs after
+        `load(host_staging=True)` (the 8B bf16 weights cannot co-reside
+        with a KV cache in one v5e's HBM, rehearse_8b_load):
+
+          unstack -> (fuse: fused QKV+gate/up layout, token-exact,
+          required for the fused W4A8 decode-layer kernels) ->
+          (mixed: int8 prefill tree, quantized BEFORE the consuming
+          pass frees the bf16 kernels) -> consuming int4/int8 quantize
+          -> to_device.
+
+        quant: "int8" (near-lossless default), "int4" (W4A8),
+        "mixed" (int8 prefill tree + int4 decode tree), "none" (no-op).
+        fuse: engage the fused decode-layer layout — its winning regime
+        is B=1 with <=32-row decode tiles; fat tiles regress (measured:
+        B=4 0.206 vs 0.188, dllm-64 0.582 vs 0.473).  Callers gate it
+        on their traffic shape (predict: max_new_tokens<=32; worker:
+        additionally decode_batch<=1)."""
+        if quant == "none":
+            return self
+        from . import llada as llada_model
+
+        lp = llada_model.unstack_blocks(self.params["llada"])
+        if fuse and quant in ("int4", "mixed"):
+            lp, lcfg = llada_model.to_fused_layout(lp, self.cfg.llada)
+            self.cfg = self.cfg.replace(llada=lcfg)
+        if quant == "mixed":
+            self.prefill_params = llada_model.quantize_params(lp, bits=8)
+        self.params["llada"] = None  # free pre-fuse bf16 before quantize
+        self.params["llada"] = llada_model.quantize_params(
+            lp, bits=4 if quant in ("int4", "mixed") else 8, consume=True)
+        del lp
+        return self.to_device()
+
     def to_device(self, device=None) -> "LaViDa":
         """Move params to `device` (default: first default-backend device).
         Pairs with `load(host_staging=True)`: quantize host-side first, so

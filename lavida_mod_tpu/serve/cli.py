@@ -55,22 +55,13 @@ def main():
         # HBM OOMs next to its KV cache (rehearse_8b_load, README)
         model = LaViDa.load(args.model_path,
                             host_staging=args.quant != "none")
-        if args.quant != "none":
-            from ..models import llada as llada_model
-
-            lp = llada_model.unstack_blocks(model.params["llada"])
-            if args.quant in ("int4", "mixed"):
-                lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
-                model.cfg = model.cfg.replace(llada=lcfg)
-            if args.quant == "mixed":
-                model.prefill_params = llada_model.quantize_params(
-                    lp, bits=8)
-            model.params["llada"] = None  # free bf16 before quantize
-            model.params["llada"] = llada_model.quantize_params(
-                lp, bits=4 if args.quant in ("int4", "mixed") else 8,
-                consume=True)
-            del lp
-            model.to_device()
+        model.to_serving_layout(
+            quant=args.quant,
+            # fused layout only in its winning regime (<=32-row decode
+            # tiles; fat tiles regress — see to_serving_layout)
+            fuse=(args.quant in ("int4", "mixed")
+                  and args.max_new_tokens <= 32),
+        )
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
         tokenizer = load_hf_or_offline(args.model_path)

@@ -354,37 +354,21 @@ def main():
         tokenizer = None
         print("[worker] tiny random model (no checkpoint)")
     else:
-        from ..models import llada as llada_model
-
         # host_staging: bf16 8B in HBM pre-quantize OOMs one v5e
         # (rehearse_8b_load); quantize host-side, ship via .to_device()
         model = LaViDa.load(args.model_path, host_staging=True)
-        # serving layout: unrolled layers + int8 (default, near-lossless)
-        # or W4A8 (--int4, the bench default) — predict.py:103-108.
-        # int4 fuses QKV+gate/up first (exact; engages the fused decode
-        # kernels — llama-type blocks skip them)
-        lp = llada_model.unstack_blocks(model.params["llada"])
-        if args.int4 and args.decode_batch <= 1 and args.gen_len_hint <= 32:
-            # fused layout wins single-request short-gen decode (0.200
-            # vs 0.210 at 32 tokens) and LOSES fat decode tiles (B=4
-            # 0.206 vs 0.188, dllm-64 0.582 vs 0.473, same-session) —
-            # fuse only when the batcher is off AND traffic is short-gen
-            # (--gen-len-hint, mirroring predict.py's max_new_tokens<=32
-            # gate); long-generation-heavy deployments should prefer
-            # --decode-batch > 1 anyway
-            lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
-            model.cfg = model.cfg.replace(llada=lcfg)
-        if args.mixed:
-            # int8 prefill tree from the SAME (fused) layout, quantized
-            # BEFORE the consuming int4 pass frees the bf16 kernels —
-            # generate()/generate_fused() then run the mixed split
-            # (measured 0.195 vs 0.201 LLaDA, 0.182 vs 0.196 Dream)
-            model.prefill_params = llada_model.quantize_params(lp, bits=8)
-        model.params["llada"] = None  # free bf16 before quantize
-        model.params["llada"] = llada_model.quantize_params(
-            lp, bits=4 if args.int4 else 8, consume=True)
-        del lp
-        model.to_device()
+        # fused layout wins single-request short-gen decode (0.200 vs
+        # 0.210 at 32 tokens) and LOSES fat decode tiles — fuse only
+        # when the batcher is off AND traffic is short-gen
+        # (--gen-len-hint mirrors predict.py's max_new_tokens<=32 gate);
+        # long-generation-heavy deployments should prefer
+        # --decode-batch > 1 anyway (see LaViDa.to_serving_layout)
+        model.to_serving_layout(
+            quant=("mixed" if args.mixed else
+                   "int4" if args.int4 else "int8"),
+            fuse=(args.int4 and args.decode_batch <= 1
+                  and args.gen_len_hint <= 32),
+        )
         tokenizer = None
         tok_file = os.path.join(args.model_path, "tokenizer.json")
         if os.path.exists(tok_file):

@@ -141,31 +141,15 @@ def main():
                                      quantized=not args.no_quant)
 
     if args.model_path and not args.tiny and not args.no_quant:
-        # serving layout: int8 LM + unrolled layers — the 8B bf16 weights
-        # cannot co-reside with the KV cache in a v5e's HBM (README)
-        from lavida_mod_tpu.models import llada as llada_model
-
         if args.mixed:
             args.int4 = True  # the mixed split rides the int4 decode tree
-        lp = llada_model.unstack_blocks(model.params["llada"])
-        if args.int4 and args.max_new_tokens <= 32:
-            # fused QKV + gate/up layout BEFORE quantization: exact
-            # (column-independent scales) and required for the fused
-            # W4A8 decode-layer kernels (llama-type blocks skip them;
-            # measured 0.200 vs 0.210 s/image).  Only for 32-row decode
-            # tiles — fat tiles regress (bench A/Bs: B=4, dllm)
-            lp, lcfg = llada_model.to_fused_layout(lp, model.cfg.llada)
-            model.cfg = model.cfg.replace(llada=lcfg)
-        if args.mixed:
-            # int8 prefill tree from the SAME (fused) layout — quantize
-            # BEFORE the consuming int4 pass frees the bf16 kernels
-            model.prefill_params = llada_model.quantize_params(lp, bits=8)
-        model.params["llada"] = None  # free pre-fuse bf16 before quantize
-        model.params["llada"] = llada_model.quantize_params(
-            lp, bits=4 if args.int4 else 8, consume=True,
+        model.to_serving_layout(
+            quant=("mixed" if args.mixed else
+                   "int4" if args.int4 else "int8"),
+            # fused layout only in its winning regime: B=1, <=32-row
+            # decode tiles (fat tiles regress — see to_serving_layout)
+            fuse=args.int4 and args.max_new_tokens <= 32,
         )
-        del lp
-        model.to_device()
 
     conv = get_conv_template(args.conv_template)
     if tokenizer is not None:

@@ -89,14 +89,7 @@ def main():
         # v5e's HBM; host_staging keeps the bf16 copy off-chip until
         # quantized (measured OOM otherwise)
         model = LaViDa.load(args.model_path, host_staging=True)
-        from lavida_mod_tpu.models import llada as llada_model
-
-        lp = llada_model.unstack_blocks(model.params["llada"])
-        model.params["llada"] = None  # free source bf16 incrementally
-        model.params["llada"] = llada_model.quantize_params(
-            lp, consume=True)
-        del lp
-        model.to_device()
+        model.to_serving_layout(quant="int8")
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
         tokenizer = load_hf_or_offline(args.model_path)

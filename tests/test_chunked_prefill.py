@@ -88,7 +88,7 @@ def test_chunked_prefill_kv8():
                 params_u, CFG, prefix, gen, kv8=kv8))
             out = np.asarray(diffusion.generate_chunked_prefill(
                 params_u, CFG, prefix, gen, chunk=2, kv8=kv8))
-            np.testing.assert_array_equal(out, ref), kv8
+            np.testing.assert_array_equal(out, ref, err_msg=f"kv8={kv8}")
     finally:
         KV8._INTERPRET[0] = False
 

@@ -5,8 +5,21 @@ happen once per machine, not once per process."""
 import os
 
 import jax
+import pytest
 
 from lavida_mod_tpu.utils import compile_cache
+
+
+@pytest.fixture(autouse=True)
+def _restore_jax_cache_config():
+    """Tests mutate global jax config; leaking a tmp_path cache dir into
+    the rest of the suite would persist every >3s CPU-mesh compile."""
+    before = (jax.config.jax_compilation_cache_dir,
+              jax.config.jax_persistent_cache_min_compile_time_secs)
+    yield
+    jax.config.update("jax_compilation_cache_dir", before[0])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      before[1])
 
 
 def test_enable_sets_config(tmp_path, monkeypatch):
@@ -16,6 +29,17 @@ def test_enable_sets_config(tmp_path, monkeypatch):
     assert got == d and os.path.isdir(d)
     assert jax.config.jax_compilation_cache_dir == d
     assert jax.config.jax_persistent_cache_min_compile_time_secs == 3.0
+
+
+def test_unwritable_dir_degrades_to_uncached(tmp_path, monkeypatch):
+    """A read-only HOME (serving containers) must not crash CLI startup
+    — enable() returns None and leaves jax config untouched."""
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    before = jax.config.jax_compilation_cache_dir
+    blocked = tmp_path / "blocked"
+    blocked.write_text("a file, not a dir")  # makedirs -> OSError
+    assert compile_cache.enable(str(blocked / "xla")) is None
+    assert jax.config.jax_compilation_cache_dir == before
 
 
 def test_user_env_wins(tmp_path, monkeypatch):
