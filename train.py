@@ -86,6 +86,10 @@ def main():
                          "at the 8B stage-2 shapes — with --remat nested "
                          "this is what fits global-batch 16 on a v5e-8, "
                          "AOT-verified).  512 is a good default at 8B")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of steps 2-4 "
+                         "(post-compile) to DIR — inspect with "
+                         "TensorBoard/xprof (utils/profiling.py)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -252,12 +256,25 @@ def main():
         }
 
     rank0_print(f"[train] starting at step {start_step}/{args.steps}")
+    profiler_ctx = None
     t0 = time.time()
     for step in range(start_step, args.steps):
+        if args.profile and step == start_step + 1:
+            # skip the compile step; trace 3 steady-state steps
+            from lavida_mod_tpu.utils.profiling import trace
+
+            profiler_ctx = trace(args.profile)
+            profiler_ctx.__enter__()
+            rank0_print(f"[train] profiler tracing -> {args.profile}")
         batch = make_batch()
         params, opt_state, metrics = step_fn(
             params, opt_state, batch, jax.random.PRNGKey(args.seed * 131 + step)
         )
+        if profiler_ctx is not None and step == start_step + 3:
+            jax.block_until_ready(jax.tree.leaves(metrics))
+            profiler_ctx.__exit__(None, None, None)
+            profiler_ctx = None
+            rank0_print(f"[train] profiler trace saved: {args.profile}")
         if (step + 1) % args.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             m["steps_per_s"] = args.log_every / (time.time() - t0)
@@ -289,6 +306,8 @@ def main():
                     args.output_dir, step + 1, params, opt_state
                 )
             rank0_print(f"[train] saved {p}")
+    if profiler_ctx is not None:  # fewer than 3 steps after compile
+        profiler_ctx.__exit__(None, None, None)
     logger.close()
 
 
