@@ -119,10 +119,13 @@ class LavidaEvalModel:
         return input_ids, views, sizes, model
 
     def generate_until(self, text: str, images: Sequence,
-                       gen_kwargs: Optional[dict] = None) -> str:
+                       gen_kwargs: Optional[dict] = None,
+                       video: bool = False) -> str:
         gen = gen_kwargs_to_config(
             gen_kwargs or {}, self.model.lm_family
         )
+        if video and images:
+            return self._generate_video(text, images, gen)
         input_ids, views, sizes, model = self._build_inputs(text, images)
         t0 = time.perf_counter()
         if not isinstance(gen, DreamGenerationConfig) and gen.prefix_lm:
@@ -148,6 +151,43 @@ class LavidaEvalModel:
 
         stop_ids = get_conv_template(self.conv_template).stop_token_ids
         return model.decode_output(out, self.tokenizer, stop_ids)
+
+    def _generate_video(self, text: str, frames: Sequence, gen) -> str:
+        """Video request: all frames behind ONE <image> placeholder,
+        encoded by the video path (per-frame encode + 2x2 pool, frames
+        flattened, one newline token — multimodal.encode_video,
+        llava_arch.py:600-610).  The reference eval model does the same
+        for "video" modality visuals (llava_llada.py:327-345) instead of
+        the multi-image pad mode."""
+        import jax.numpy as jnp
+
+        from ..models import multimodal
+
+        conv = get_conv_template(self.conv_template)
+        if self.tokenizer is not None and getattr(
+            self.tokenizer, "chat_template", None
+        ):
+            conv.tokenizer = self.tokenizer
+        conv.append_message(conv.roles[0], "<image>\n" + text)
+        input_ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
+
+        # frames are plain square views (no anyres tiling per frame)
+        pad_cfg = self.model.cfg.vision.replace(image_aspect_ratio="pad")
+        views = np.concatenate(
+            process_images(list(frames), self.processor, pad_cfg), axis=0)
+        block = multimodal.encode_video(
+            self.model.params, self.model.cfg, jnp.asarray(views))
+        t0 = time.perf_counter()
+        out = self.model.generate(
+            input_ids, gen=gen, image_features=[block],
+            prefix_bucket=(self.prefix_bucket
+                           if not isinstance(gen, DreamGenerationConfig)
+                           else None),
+            kv8=self.kv8,
+        )
+        self.latencies.append(time.perf_counter() - t0)
+        stop_ids = get_conv_template(self.conv_template).stop_token_ids
+        return self.model.decode_output(out, self.tokenizer, stop_ids)
 
     def loglikelihood(self, text: str, images: Sequence,
                       continuation: str) -> float:

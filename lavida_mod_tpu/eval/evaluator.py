@@ -41,6 +41,16 @@ def evaluate(
         preds: list[str] = []
         for lo in range(0, len(docs), batch_size):
             chunk = docs[lo : lo + batch_size]
+            if any(d.get("is_video") for d in chunk):
+                # video docs carry per-doc frame stacks through the
+                # video encode path — serve them per-doc (the reference
+                # eval loops batch=1 for everything anyway)
+                preds.extend(
+                    model.generate_until(
+                        task.doc_to_text(d), d.get("images", []),
+                        merged_kwargs, video=bool(d.get("is_video")))
+                    for d in chunk)
+                continue
             preds.extend(model.generate_until_batch(
                 [task.doc_to_text(d) for d in chunk],
                 [d.get("images", []) for d in chunk],
@@ -74,8 +84,12 @@ def evaluate(
     for i, doc in enumerate(docs):
         text = task.doc_to_text(doc)
         if task.output_type == "generate_until":
-            pred = model.generate_until(text, doc.get("images", []),
-                                        merged_kwargs)
+            if doc.get("is_video"):
+                pred = model.generate_until(text, doc.get("images", []),
+                                            merged_kwargs, video=True)
+            else:
+                pred = model.generate_until(text, doc.get("images", []),
+                                            merged_kwargs)
             pred = task.apply_filters(pred, doc)
         elif "choices" in doc:
             # multiple-choice loglikelihood protocol: score every choice,

@@ -40,6 +40,9 @@ class Task:
     # answer-extraction chain applied to raw generations before scoring
     # (the reference's filter_list stage, lmms_eval/filters/__init__.py)
     filter_ensemble: Optional["F.FilterEnsemble"] = None
+    # video docs: frames uniformly sampled per video (the reference eval
+    # model's max_frames_num=32, lmms_eval/models/llava_llada.py:86)
+    max_frames_num: int = 32
 
     def apply_filters(self, pred: str, doc: dict) -> str:
         if self.filter_ensemble is None:
@@ -71,7 +74,7 @@ class Task:
                     doc = _normalize_doc(self._load_images(d, base, i), i)
                     if self.doc_mapper:
                         doc = self.doc_mapper(doc)
-                    docs.append(doc)
+                    docs.append(self._resolve_video(doc, base))
             return docs
         from datasets import load_dataset
 
@@ -85,8 +88,33 @@ class Task:
             doc = _normalize_doc(dict(d), i)
             if self.doc_mapper:
                 doc = self.doc_mapper(doc)
-            docs.append(doc)
+            docs.append(self._resolve_video(doc, ""))
         return docs
+
+    def _resolve_video(self, d: dict, base: str) -> dict:
+        """A `video`/`video_path` field (no images) becomes
+        `max_frames_num` uniformly-sampled PIL frames + is_video=True —
+        the reference eval model's load_video step
+        (lmms_eval/models/llava_llada.py:327,421-431).  The adapter
+        routes is_video docs through the video encode path (one <image>
+        placeholder, per-frame encode+pool, one newline)."""
+        if d.get("images"):
+            return d
+        for key in ("video", "video_path", "videos"):
+            v = d.get(key)
+            if v is None:
+                continue
+            if isinstance(v, list):
+                v = v[0]
+            if isinstance(v, str):
+                from ..data.video import load_video_frames
+
+                p = (v if os.path.isabs(v) or not base
+                     else os.path.join(base, v))
+                d["images"] = load_video_frames(p, self.max_frames_num)
+                d["is_video"] = True
+            break
+        return d
 
     @staticmethod
     def _load_images(d: dict, base: str, idx: int) -> dict:

@@ -271,6 +271,60 @@ def test_batched_generation_mixed_identity_tree(tiny_eval_model):
     assert mixed == base
 
 
+def _synth_video_gif(tmp_path, n=6):
+    from PIL import Image
+
+    frames = [Image.fromarray(
+        np.full((40, 40, 3), i * 30, np.uint8)) for i in range(n)]
+    gif = tmp_path / "v.gif"
+    frames[0].save(gif, save_all=True, append_images=frames[1:])
+    return gif
+
+
+def test_video_doc_resolution(tmp_path):
+    """A jsonl doc with a `video` field (no images) resolves into
+    max_frames_num uniformly-sampled frames + is_video=True — the
+    reference eval model's load_video step
+    (lmms_eval/models/llava_llada.py:327,421-431)."""
+    import json as _json
+
+    _synth_video_gif(tmp_path)
+    jl = tmp_path / "docs.jsonl"
+    with open(jl, "w") as f:
+        f.write(_json.dumps({"text": "What happens?", "target": "x",
+                             "video": "v.gif"}) + "\n")
+    task = Task(name="vid", max_frames_num=4)
+    docs = task.load_docs(str(jl))
+    assert docs[0]["is_video"] and len(docs[0]["images"]) == 4
+    assert docs[0]["images"][0].size == (40, 40)
+
+
+def test_video_generate_and_evaluate(tiny_eval_model, tmp_path):
+    """is_video docs route through the video encode path (one <image>
+    placeholder, per-frame encode+pool+flatten, one newline) in both the
+    per-doc and the batched evaluator loops."""
+    from PIL import Image
+
+    from lavida_mod_tpu.eval.evaluator import evaluate
+
+    frames = [Image.fromarray(
+        np.full((40, 40, 3), i * 25, np.uint8)) for i in range(3)]
+    out = tiny_eval_model.generate_until(
+        "What happens in the video?", frames,
+        {"max_new_tokens": 8}, video=True)
+    assert isinstance(out, str)
+
+    docs = [{"id": str(i), "text": f"video {i}?", "target": "x",
+             "images": frames, "is_video": True} for i in range(3)]
+    task = Task(name="vidtask", generation_kwargs={"max_new_tokens": 8},
+                score_doc=lambda doc, pred: {"len": len(pred)},
+                aggregate=lambda rows: {"n": len(rows)})
+    for bs in (1, 2):
+        res = evaluate(tiny_eval_model, task, docs, progress=False,
+                       batch_size=bs)
+        assert res["results"]["n"] == 3
+
+
 def test_multi_image_doc_uses_pad_mode(tiny_eval_model):
     """Two images in a doc route through the pad facade (reference
     multi-image behavior) and still generate."""
