@@ -92,6 +92,14 @@ def make_prefix(i):
          jnp.zeros((B, len(ids), D), jnp.bfloat16)], axis=1)
 
 
+@jax.jit
+def _lmfwd_jit(lp, emb):
+    _, cache = L.forward(lp, lm_cfg, emb, use_cache=True,
+                         return_logits=False, use_flash=True)
+    return sum(jnp.sum(v[:, 0].astype(jnp.float32))
+               for v in jax.tree.leaves(cache))
+
+
 def run(variant, i):
     if variant in ("lmfwd", "lmchunk"):
         # LM-only on a [4, P] chunk: forward alone vs the full
@@ -101,13 +109,10 @@ def run(variant, i):
         P = 196 * 5 + text_len + 1
         emb = jnp.full((C, P, lm_cfg.d_model), 0.001 * i, jnp.bfloat16)
         if variant == "lmfwd":
-            from lavida_mod_tpu.models import llada as L
-
-            _, cache = L.forward(params["llada"], lm_cfg, emb,
-                                 use_cache=True, return_logits=False,
-                                 use_flash=True)
-            return sum(jnp.sum(v[:, 0].astype(jnp.float32))
-                       for v in jax.tree.leaves(cache))
+            # MUST be jitted: a bare L.forward call runs eagerly through
+            # the tunnel (one RPC per op; measured 5.4 s/call of pure
+            # RPC — first probe run's garbage number)
+            return _lmfwd_jit(params["llada"], emb)
         S = P + 32
         nL = len(params["llada"]["blocks"])
         Hkv, hd = lm_cfg.effective_n_kv_heads, lm_cfg.head_dim
