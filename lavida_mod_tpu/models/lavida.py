@@ -321,6 +321,31 @@ class LaViDa:
         del lp
         return self.to_device()
 
+    def shard(self, tp: int = 1, dp: int = 1, fsdp: int = 1,
+              mesh=None) -> "LaViDa":
+        """Multi-chip bf16 serving: place the params on a (dp, fsdp, tp)
+        mesh per parallel/sharding's col/row-paired rules — the SAME
+        generate graphs then run GSPMD-sharded, XLA inserting one psum
+        per block (token parity: tests/test_sharded_inference.py).
+
+        This is the scale-out alternative to quantization: the bf16 8B
+        fused generate fits a v5e chip from tp=2 (9.36G/chip; AOT table,
+        NOTES_ROUND5 / scripts/probes/_aot_serve_tp.py) with zero
+        quantization error.  Call on the bf16 stacked tree — the
+        quantized/fused serving layouts have custom leaf structures the
+        sharding rules do not cover (CLIs enforce quant="none" with tp>1).
+        Pairs with load(host_staging=True): each device receives only its
+        1/tp shard, so the full bf16 tree never sits in one chip's HBM.
+        """
+        from ..parallel import make_mesh, shard_params
+
+        if mesh is None:
+            mesh = make_mesh(dp=dp, fsdp=fsdp, tp=tp)
+        self.params = shard_params(self.params, mesh)
+        jax.block_until_ready(jax.tree.leaves(self.params))
+        self.mesh = mesh
+        return self
+
     def to_device(self, device=None) -> "LaViDa":
         """Move params to `device` (default: first default-backend device).
         Pairs with `load(host_staging=True)`: quantize host-side first, so

@@ -353,6 +353,13 @@ def main():
         model = LaViDa.random_init(cfg, 0, jnp.float32)
         tokenizer = None
         print("[worker] tiny random model (no checkpoint)")
+    elif args.tp > 1:
+        # multi-chip bf16 serving: shard over the tp mesh instead of
+        # quantizing (fits a v5e chip from tp=2 — LaViDa.shard docstring)
+        if args.int4 or args.mixed:
+            raise SystemExit("--tp is bf16 serving; drop --int4/--mixed")
+        model = LaViDa.load(args.model_path, host_staging=True)
+        model.shard(tp=args.tp)
     else:
         # host_staging: bf16 8B in HBM pre-quantize OOMs one v5e
         # (rehearse_8b_load); quantize host-side, ship via .to_device()

@@ -83,10 +83,24 @@ def _adamw_builder(
     return adamw
 
 
+def _with_grad_accum(opt: optax.GradientTransformation, grad_accum: int):
+    """Gradient accumulation (reference --gradient_accumulation_steps 4 in
+    every cluster launch script, e.g. scripts/train/exps/cluster/
+    llada-hd-llada-s2.sh:55): optax.MultiSteps keeps a running MEAN of the
+    microbatch grads and applies the inner optimizer every k-th call, so k
+    equal microbatches step identically to one k-times-larger batch (the
+    LR schedule counts optimizer steps, not microbatches — MultiSteps only
+    advances the inner state on real updates)."""
+    if grad_accum <= 1:
+        return opt
+    return optax.MultiSteps(opt, every_k_schedule=grad_accum)
+
+
 def make_optimizer(
     lr: float = 2e-5,
     projector_lr: Optional[float] = None,
     vision_tower_lr: Optional[float] = None,
+    grad_accum: int = 1,
     **kw,
 ) -> optax.GradientTransformation:
     adamw = _adamw_builder(**kw)
@@ -95,7 +109,9 @@ def make_optimizer(
         "projector": adamw(projector_lr or lr),
         "vision_tower": adamw(vision_tower_lr or lr),
     }
-    return optax.multi_transform(transforms, label_params)
+    return _with_grad_accum(
+        optax.multi_transform(transforms, label_params), grad_accum
+    )
 
 
 def make_train_step(
@@ -207,6 +223,7 @@ def make_freeze_optimizer(
     lr: float = 2e-5,
     projector_lr: Optional[float] = None,
     vision_tower_lr: Optional[float] = None,
+    grad_accum: int = 1,
     **kw,
 ) -> optax.GradientTransformation:
     """mm_tunable_parts semantics (reference train.py:2059-2110):
@@ -234,4 +251,6 @@ def make_freeze_optimizer(
 
         return jax.tree_util.tree_map_with_path(lab, params)
 
-    return optax.multi_transform(transforms, label)
+    return _with_grad_accum(
+        optax.multi_transform(transforms, label), grad_accum
+    )

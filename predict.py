@@ -65,6 +65,12 @@ def main():
                          "scripts/verify_checkpoint.py --kv8-check)")
     ap.add_argument("--no-quant", action="store_true",
                     help="keep bf16 LM weights (full 8B won't fit one v5e)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel bf16 serving over N devices "
+                         "(implies --no-quant: zero quantization error; "
+                         "the bf16 8B fused generate fits a v5e chip "
+                         "from tp=2 — col/row-paired GSPMD sharding, "
+                         "parallel/sharding.py; AOT table NOTES_ROUND5)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--warmup", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
@@ -117,13 +123,23 @@ def main():
             vision=VisionConfig(image_aspect_ratio=args.aspect or "anyres")
         )
 
+    if args.tp > 1:
+        if args.int4 or args.mixed:
+            raise SystemExit(
+                "--tp is bf16 serving (quantized layouts have custom leaf "
+                "structures the sharding rules don't cover); drop "
+                "--int4/--mixed — tp>=2 fits the bf16 8B without them")
+        args.no_quant = True
+
     if args.model_path:
         # host_staging: convert on CPU so the bf16 8B never hits HBM
         # pre-quantization (measured OOM otherwise, rehearse_8b_load);
-        # .to_device() below ships the final serving layout
+        # .to_device() below ships the final serving layout.  tp>1 also
+        # stages: shard() then moves only 1/tp per device.
         model = LaViDa.load(
             args.model_path, cfg if args.tiny else None, dtype,
-            host_staging=not (args.no_quant or args.tiny))
+            host_staging=not args.tiny and (not args.no_quant
+                                            or args.tp > 1))
         if args.aspect:  # explicit CLI override beats the checkpoint's
             model.cfg = model.cfg.replace(vision=model.cfg.vision.replace(
                 image_aspect_ratio=args.aspect))
@@ -139,6 +155,9 @@ def main():
             print("[predict] no --model-path: zero weights (latency smoke)")
             model = LaViDa.zero_init(cfg, dtype,
                                      quantized=not args.no_quant)
+
+    if args.tp > 1:
+        model.shard(tp=args.tp)
 
     if args.model_path and not args.tiny and not args.no_quant:
         if args.mixed:

@@ -40,6 +40,15 @@ def main():
     ap.add_argument("--vision-tower-lr", type=float, default=None)
     ap.add_argument("--warmup-ratio", type=float, default=0.03)
     ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="gradient accumulation microsteps per optimizer "
+                         "step (reference --gradient_accumulation_steps 4 "
+                         "in every cluster script); --steps counts "
+                         "OPTIMIZER steps, so the loop runs "
+                         "steps*grad_accum microbatches — the stage-2 "
+                         "global-batch-32 recipe on v5e-8 is B=16 with "
+                         "--grad-accum 2 (B=32 OOMs, NOTES_ROUND5 AOT "
+                         "table)")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--seq-bucket", type=int, default=128)
     ap.add_argument("--view-bucket", type=int, default=8)
@@ -183,6 +192,7 @@ def main():
         vision_tower_lr=args.vision_tower_lr,
         warmup_steps=int(args.warmup_ratio * args.steps),
         total_steps=args.steps,
+        grad_accum=args.grad_accum,
     )
     opt_state = opt.init(params)
 
@@ -255,10 +265,14 @@ def main():
             "labels": jnp.asarray(labels),
         }
 
-    rank0_print(f"[train] starting at step {start_step}/{args.steps}")
+    ga = max(1, args.grad_accum)
+    total_iters = args.steps * ga
+    rank0_print(f"[train] starting at microstep {start_step}/{total_iters}"
+                + (f" (grad_accum={ga}, {args.steps} optimizer steps)"
+                   if ga > 1 else ""))
     profiler_ctx = None
     t0 = time.time()
-    for step in range(start_step, args.steps):
+    for step in range(start_step, total_iters):
         if args.profile and step == start_step + 1:
             # skip the compile step; trace 3 steady-state steps
             from lavida_mod_tpu.utils.profiling import trace
@@ -275,15 +289,20 @@ def main():
             profiler_ctx.__exit__(None, None, None)
             profiler_ctx = None
             rank0_print(f"[train] profiler trace saved: {args.profile}")
-        if (step + 1) % args.log_every == 0:
+        # log/eval/save cadence counts OPTIMIZER steps (the reference
+        # Trainer's max_steps convention); params only move on the
+        # grad_accum boundary, so gates fire there
+        on_update = (step + 1) % ga == 0
+        opt_step = (step + 1) // ga
+        if on_update and opt_step % args.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             m["steps_per_s"] = args.log_every / (time.time() - t0)
             t0 = time.time()
-            logger.log(step + 1, m)
-            rank0_print(f"[train] step {step + 1}: loss={m['loss']:.4f} "
+            logger.log(opt_step, m)
+            rank0_print(f"[train] step {opt_step}: loss={m['loss']:.4f} "
                         f"acc_mask={m['acc_mask']:.3f} "
                         f"({m['steps_per_s']:.2f} it/s)")
-        if args.eval_tasks and (step + 1) % args.eval_every == 0:
+        if args.eval_tasks and on_update and opt_step % args.eval_every == 0:
             from lavida_mod_tpu.train.eval_hook import run_in_training_eval
 
             data_paths = {}
@@ -296,9 +315,13 @@ def main():
                 data_paths or None, limit=args.eval_limit,
                 conv_template=args.style, lm_family=args.style,
             )
-            logger.log(step + 1, scores)
-            rank0_print(f"[train] eval @ {step + 1}: {scores}")
-        if (step + 1) % args.save_every == 0 or step + 1 == args.steps:
+            logger.log(opt_step, scores)
+            rank0_print(f"[train] eval @ {opt_step}: {scores}")
+        if (on_update and opt_step % args.save_every == 0) \
+                or step + 1 == total_iters:
+            # payload step is the MICROSTEP index so resume replays the
+            # exact microbatch position (checkpoints land on update
+            # boundaries, where MultiSteps' mini_step is 0)
             if args.adapter_only_save:
                 p = save_adapter_only(args.output_dir, step + 1, params)
             else:
