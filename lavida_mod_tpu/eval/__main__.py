@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--gen-kwargs", default="")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--mc-num", type=int, default=16)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel bf16 serving over N devices "
+                         "(requires --quant none; LaViDa.shard)")
     ap.add_argument("--quant", choices=["none", "int8", "int4", "mixed"],
                     default="int8",
                     help="LM serving layout for real checkpoints: int8 "
@@ -84,13 +87,21 @@ def main():
         # (builder.py:128-146); host_staging when quantizing: bf16-8B-in-
         # HBM pre-quantize OOMs a single v5e (rehearse_8b_load);
         # .to_device() ships the layout
+        if args.tp > 1 and args.quant != "none":
+            raise SystemExit("--tp is bf16 serving; use --quant none")
         model = LaViDa.load(args.model_path, lm_family=args.lm_family,
-                            host_staging=args.quant != "none")
-        # fuse=True: eval generation lengths are task-dependent and
-        # unknown up-front; the fused layout is token-exact, its
-        # kernels self-disengage on fat decode tiles (rows > 32)
-        model.to_serving_layout(quant=args.quant,
-                                fuse=args.quant in ("int4", "mixed"))
+                            host_staging=args.quant != "none"
+                            or args.tp > 1)
+        if args.tp > 1:
+            # multi-chip bf16 eval: shard instead of quantize
+            # (LaViDa.shard — fits a v5e chip from tp=2)
+            model.shard(tp=args.tp)
+        else:
+            # fuse=True: eval generation lengths are task-dependent and
+            # unknown up-front; the fused layout is token-exact, its
+            # kernels self-disengage on fat decode tiles (rows > 32)
+            model.to_serving_layout(quant=args.quant,
+                                    fuse=args.quant in ("int4", "mixed"))
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
         tokenizer = load_hf_or_offline(args.model_path)

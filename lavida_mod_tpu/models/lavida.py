@@ -340,7 +340,10 @@ class LaViDa:
         from ..parallel import make_mesh, shard_params
 
         if mesh is None:
-            mesh = make_mesh(dp=dp, fsdp=fsdp, tp=tp)
+            # serving uses exactly dp*fsdp*tp chips (a CLI --tp 2 on an
+            # 8-chip host must not demand an 8-way factorization)
+            mesh = make_mesh(dp=dp, fsdp=fsdp, tp=tp,
+                             devices=jax.devices()[:dp * fsdp * tp])
         self.params = shard_params(self.params, mesh)
         jax.block_until_ready(jax.tree.leaves(self.params))
         self.mesh = mesh

@@ -13,6 +13,9 @@ def main():
     ap.add_argument("--conv-template", default="llada")
     ap.add_argument("--max-new-tokens", type=int, default=64)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel bf16 serving over N devices "
+                         "(requires --quant none; LaViDa.shard)")
     ap.add_argument("--quant", choices=["none", "int8", "int4", "mixed"],
                     default="int8",
                     help="LM serving layout (int8 default: the bf16 8B "
@@ -53,15 +56,22 @@ def main():
         # geometry sniffed from the checkpoint's config.json; host
         # staging + quantized serving layout — a bf16 8B straight into
         # HBM OOMs next to its KV cache (rehearse_8b_load, README)
+        if args.tp > 1 and args.quant != "none":
+            raise SystemExit("--tp is bf16 serving; use --quant none")
         model = LaViDa.load(args.model_path,
-                            host_staging=args.quant != "none")
-        model.to_serving_layout(
-            quant=args.quant,
-            # fused layout only in its winning regime (<=32-row decode
-            # tiles; fat tiles regress — see to_serving_layout)
-            fuse=(args.quant in ("int4", "mixed")
-                  and args.max_new_tokens <= 32),
-        )
+                            host_staging=args.quant != "none"
+                            or args.tp > 1)
+        if args.tp > 1:
+            model.shard(tp=args.tp)
+        else:
+            model.to_serving_layout(
+                quant=args.quant,
+                # fused layout only in its winning regime (<=32-row
+                # decode tiles; fat tiles regress — see
+                # to_serving_layout)
+                fuse=(args.quant in ("int4", "mixed")
+                      and args.max_new_tokens <= 32),
+            )
         from lavida_mod_tpu.data.tokenizer import load_hf_or_offline
 
         tokenizer = load_hf_or_offline(args.model_path)

@@ -314,6 +314,10 @@ def main():
     ap.add_argument("--kv4", action="store_true",
                     help="int4 KV cache (memory headroom; gate with "
                          "verify_checkpoint --kv4-check)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel bf16 serving over N devices "
+                         "(no quantization; bf16 8B fits a v5e chip from "
+                         "tp=2 — LaViDa.shard)")
     ap.add_argument("--gen-len-hint", type=int, default=32,
                     help="expected max_new_tokens of the serving traffic; "
                          "the fused W4A8 layout is applied only when this "

@@ -64,3 +64,35 @@ def test_sharded_ar_decode_matches(tiny):
         sharded, cfg, jl.embed_tokens(sharded, prompt),
         jax.random.PRNGKey(0), 8, eos_id=-1))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_lavida_shard_method_multimodal_parity():
+    """The CLI surface behind predict.py/worker/eval `--tp`: LaViDa.shard
+    places the whole composed tree (tower + projector + LM) on a tp mesh
+    and model.generate must stay token-identical — the bf16 multi-chip
+    serving path (fits a v5e chip from tp=2, _aot_serve_tp AOT table)."""
+    from lavida_mod_tpu.config import (
+        LaViDaConfig, VisionConfig, tiny_siglip_config,
+    )
+    from lavida_mod_tpu.models.lavida import LaViDa
+
+    cfg = LaViDaConfig(
+        llada=tiny_llada_config(),
+        vision=VisionConfig(
+            siglip=tiny_siglip_config(), mm_hidden_size=32,
+            grid_pinpoints=((56, 112), (112, 56), (112, 112)),
+        ),
+    )
+    model = LaViDa.random_init(cfg, 0, jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 400, size=12).astype(np.int64)
+    ids[4] = -200  # image marker
+    # (100, 80) fits the (112, 112) pinpoint -> 2x2 grid + base = 5 views
+    views = rng.standard_normal((5, 3, 56, 56)).astype(np.float32)
+    gen_cfg = GenerationConfig(max_new_tokens=8, block_length=8,
+                               prefix_lm=True)
+
+    ref = np.asarray(model.generate(ids, [views], [(100, 80)], gen_cfg))
+    model.shard(tp=2, fsdp=2, dp=2)
+    out = np.asarray(model.generate(ids, [views], [(100, 80)], gen_cfg))
+    np.testing.assert_array_equal(out, ref)
