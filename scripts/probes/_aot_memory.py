@@ -39,7 +39,8 @@ from lavida_mod_tpu.train.step import make_optimizer, make_train_step
 
 
 def analyze(dp, fsdp, tp, remat, L=4096, B_global=32, dtype=jnp.bfloat16,
-            attention_impl="dense", devices=None, ce_chunk=None):
+            attention_impl="dense", devices=None, ce_chunk=None,
+            grad_accum=1):
     cfg = LaViDaConfig()  # full 8B llada geometry
     mesh = make_mesh(dp=dp, fsdp=fsdp, tp=tp, devices=devices)
 
@@ -51,7 +52,10 @@ def analyze(dp, fsdp, tp, remat, L=4096, B_global=32, dtype=jnp.bfloat16,
             s.shape, s.dtype, sharding=NamedSharding(mesh, sp)),
         p_shapes, specs)
 
-    opt = make_optimizer(lr=1e-5, total_steps=100)
+    # grad_accum>1 adds MultiSteps' acc_grads — a FULL f32 params tree
+    # (~4 GiB/chip at 8B fsdp=8) resident across the whole microstep, so
+    # the accumulation recipe must be AOT-verified, not assumed
+    opt = make_optimizer(lr=1e-5, total_steps=100, grad_accum=grad_accum)
     o_shapes = jax.eval_shape(opt.init, p_abs)
 
     D = cfg.llada.d_model
@@ -80,6 +84,7 @@ def analyze(dp, fsdp, tp, remat, L=4096, B_global=32, dtype=jnp.bfloat16,
 
     print(f"mesh dp={dp} fsdp={fsdp} tp={tp} remat={remat} "
           f"B={B_global} L={L} attn={attention_impl} ce={ce_chunk} "
+          f"ga={grad_accum} "
           f"backend={'tpu-topo' if devices is not None else 'cpu'}")
     print(f"  args   {g(ma.argument_size_in_bytes):7.2f} GiB  "
           f"(params+opt+batch at rest, per device)")
@@ -105,6 +110,10 @@ if __name__ == "__main__":
                     help="chunked cross-entropy head (train/loss.py): the "
                          "full f32 [2B, L, V] logits (~8.3 GB/chip at 8B "
                          "stage-2) never materialize")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="MultiSteps accumulation: verifies the stage-2 "
+                         "global-batch-32 recipe (B=16 x accum 2) fits "
+                         "WITH the f32 acc_grads tree resident")
     ap.add_argument("--tpu-topo", action="store_true",
                     help="AOT-compile against a detached v5e:2x4 topology "
                          "(real TPU memory numbers, no chips needed)")
@@ -121,6 +130,6 @@ if __name__ == "__main__":
         try:
             analyze(dp=dp, fsdp=fsdp, tp=1, remat=a.remat, L=a.L,
                     B_global=a.B, attention_impl=a.attn, devices=devices,
-                    ce_chunk=a.ce_chunk)
+                    ce_chunk=a.ce_chunk, grad_accum=a.grad_accum)
         except Exception as e:
             print(f"fsdp={fsdp} dp={dp} FAILED: {str(e)[:300]}")
