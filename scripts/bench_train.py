@@ -48,6 +48,11 @@ def main():
                     help="auto = prefix_flash on TPU, dense elsewhere "
                          "(same rule as train.py); explicit values drive "
                          "the seq-sweep A/B table in NOTES")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="MultiSteps accumulation: each bench step is one "
+                         "microbatch; overhead = the accumulator "
+                         "read-modify-write per step + the update every "
+                         "k-th (train.py --grad-accum)")
     ap.add_argument("--ce-chunk", type=int, default=None,
                     help="chunked CE head (train/loss.py ce_chunk)")
     ap.add_argument("--multimodal", action="store_true",
@@ -103,6 +108,8 @@ def main():
     B, S, D = args.batch, args.seq, args.d_model
     rng = np.random.default_rng(0)
     opt = optax.adamw(1e-4)
+    if args.grad_accum > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=args.grad_accum)
     key = jax.random.PRNGKey(1)
     n_vis_tokens = 0
     n_vis_params = 0
@@ -197,7 +204,9 @@ def main():
     hw_util = mfu_attn * (8 / 6 if remat else 1.0)
     print(json.dumps({
         "metric": f"train{'_mm' if args.multimodal else ''}_tokens_per_s"
-                  f"_{args.layers}L_d{args.d_model}_b{B}x{S}_{impl}",
+                  f"_{args.layers}L_d{args.d_model}_b{B}x{S}_{impl}"
+                  + (f"_ga{args.grad_accum}" if args.grad_accum > 1
+                     else ""),
         "value": round(tok_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(mfu, 4),   # field reused: achieved MFU

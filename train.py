@@ -45,10 +45,10 @@ def main():
                          "step (reference --gradient_accumulation_steps 4 "
                          "in every cluster script); --steps counts "
                          "OPTIMIZER steps, so the loop runs "
-                         "steps*grad_accum microbatches — the stage-2 "
-                         "global-batch-32 recipe on v5e-8 is B=16 with "
-                         "--grad-accum 2 (B=32 OOMs, NOTES_ROUND5 AOT "
-                         "table)")
+                         "steps*grad_accum microbatches — stage-2's "
+                         "effective global batch 128 runs on v5e-8 as "
+                         "--batch-size 16 --grad-accum 8 (instantaneous "
+                         "B=32 OOMs, NOTES_ROUND5 AOT table)")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--seq-bucket", type=int, default=128)
     ap.add_argument("--view-bucket", type=int, default=8)
