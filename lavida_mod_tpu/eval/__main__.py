@@ -89,6 +89,10 @@ def main():
         # .to_device() ships the layout
         if args.tp > 1 and args.quant != "none":
             raise SystemExit("--tp is bf16 serving; use --quant none")
+        if args.tp > 1 and args.kv8:
+            # quantized-KV decode attention has no shard_map partitioning
+            # or sharded parity coverage — reject the combination
+            raise SystemExit("--tp is bf16 serving; drop --kv8")
         model = LaViDa.load(args.model_path, lm_family=args.lm_family,
                             host_staging=args.quant != "none"
                             or args.tp > 1)

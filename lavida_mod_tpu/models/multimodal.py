@@ -344,9 +344,20 @@ def multimodal_embeds(
     gather_idx: jax.Array,       # [B, T]
     remat: bool = False,
     vision_act_int8: bool = False,
+    mesh=None,
+    batch_axes: tuple = ("dp", "fsdp"),
 ) -> jax.Array:
     """The jitted splice: encode all views, build the flat table, gather.
-    Differentiable end-to-end (tower -> projector -> newline -> wte)."""
+    Differentiable end-to-end (tower -> projector -> newline -> wte).
+
+    mesh: when given, the flat table is constrained replicated and the
+    gathered output pinned to the data axes.  The gather's indices are
+    global (any row may reference any view's tokens), so GSPMD cannot
+    shard the table by rows; left unconstrained it picks conflicting
+    layouts between the forward gather and its transpose (scatter-add)
+    and falls back to "involuntary full rematerialization" — observed on
+    the 8-device multimodal dryrun.  One explicit all-gather of the table
+    is the intended layout."""
     B = text_ids.shape[0]
     D = params["image_newline"].shape[-1]
     if pixel_values.shape[0] > 0:
@@ -368,6 +379,17 @@ def multimodal_embeds(
     from ..ops.pallas_gather import gather_rows_auto
 
     B2, T2 = gather_idx.shape
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axes = tuple(a for a in batch_axes if a in mesh.axis_names)
+        table = jax.lax.with_sharding_constraint(
+            table, NamedSharding(mesh, PartitionSpec()))
+        out = gather_rows_auto(table, gather_idx.reshape(-1))
+        out = jax.lax.with_sharding_constraint(
+            out.reshape(B2, T2, D),
+            NamedSharding(mesh, PartitionSpec(axes, None, None)))
+        return out
     return gather_rows_auto(
         table, gather_idx.reshape(-1)
     ).reshape(B2, T2, D)

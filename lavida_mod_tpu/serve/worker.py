@@ -276,6 +276,19 @@ class ModelWorker:
         server.serve_forever()
 
 
+def _load_tokenizer(model_path):
+    """Shared by every checkpoint branch (tp and quantized alike) so no
+    branch can ship without a tokenizer (a --tp worker used to crash with
+    UnboundLocalError here)."""
+    import os
+
+    if os.path.exists(os.path.join(model_path, "tokenizer.json")):
+        from ..data.tokenizer import load_tokenizer
+
+        return load_tokenizer(model_path)
+    return None
+
+
 def main():
     """`python -m lavida_mod_tpu.serve.worker` — the reference's
     `python -m llava.serve.model_worker` analogue (model_worker.py CLI:
@@ -362,8 +375,14 @@ def main():
         # quantizing (fits a v5e chip from tp=2 — LaViDa.shard docstring)
         if args.int4 or args.mixed:
             raise SystemExit("--tp is bf16 serving; drop --int4/--mixed")
+        if args.kv8 or args.kv4:
+            # the kv8 decode attention is a raw pallas_call with no
+            # shard_map partitioning — sharded generate with a quantized
+            # KV cache is unverified (no AOT row / parity test)
+            raise SystemExit("--tp is bf16 serving; drop --kv8/--kv4")
         model = LaViDa.load(args.model_path, host_staging=True)
         model.shard(tp=args.tp)
+        tokenizer = _load_tokenizer(args.model_path)
     else:
         # host_staging: bf16 8B in HBM pre-quantize OOMs one v5e
         # (rehearse_8b_load); quantize host-side, ship via .to_device()
@@ -380,12 +399,7 @@ def main():
             fuse=(args.int4 and args.decode_batch <= 1
                   and args.gen_len_hint <= 32),
         )
-        tokenizer = None
-        tok_file = os.path.join(args.model_path, "tokenizer.json")
-        if os.path.exists(tok_file):
-            from ..data.tokenizer import load_tokenizer
-
-            tokenizer = load_tokenizer(args.model_path)
+        tokenizer = _load_tokenizer(args.model_path)
 
     eval_model = LavidaEvalModel(model, tokenizer,
                                  conv_template=args.conv_template,

@@ -129,6 +129,13 @@ def main():
                 "--tp is bf16 serving (quantized layouts have custom leaf "
                 "structures the sharding rules don't cover); drop "
                 "--int4/--mixed — tp>=2 fits the bf16 8B without them")
+        if args.kv8 or args.kv4:
+            # quantized-KV decode attention is a raw pallas_call with no
+            # shard_map partitioning; sharded generate with kv8/kv4 has no
+            # parity test or AOT row — reject rather than silently
+            # replicate the cache
+            raise SystemExit("--tp is bf16 serving; drop --kv8/--kv4 "
+                             "(tp>=2 has the HBM headroom kv8 buys)")
         args.no_quant = True
 
     if args.model_path:

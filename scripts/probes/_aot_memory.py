@@ -40,22 +40,32 @@ from lavida_mod_tpu.train.step import make_optimizer, make_train_step
 
 def analyze(dp, fsdp, tp, remat, L=4096, B_global=32, dtype=jnp.bfloat16,
             attention_impl="dense", devices=None, ce_chunk=None,
-            grad_accum=1):
+            grad_accum=1, precision="bf16"):
     cfg = LaViDaConfig()  # full 8B llada geometry
     mesh = make_mesh(dp=dp, fsdp=fsdp, tp=tp, devices=devices)
 
+    # precision="mixed" = the reference-faithful DeepSpeed bf16-engine
+    # policy (zero3.json:10-12): f32 master params + f32 Adam moments +
+    # f32 accumulation, bf16 compute.  Params/opt tree is then 12
+    # bytes/param (+4 for acc_grads at ga>1) vs 6 (+2) for bf16-everything.
+    param_dtype = jnp.float32 if precision == "mixed" else dtype
+    compute_dtype = jnp.bfloat16 if precision == "mixed" else None
     p_shapes = jax.eval_shape(
-        lambda k: jl.init_params(cfg.llada, k, dtype), jax.random.PRNGKey(0))
+        lambda k: jl.init_params(cfg.llada, k, param_dtype),
+        jax.random.PRNGKey(0))
     specs = param_specs(p_shapes)
     p_abs = jax.tree.map(
         lambda s, sp: jax.ShapeDtypeStruct(
             s.shape, s.dtype, sharding=NamedSharding(mesh, sp)),
         p_shapes, specs)
 
-    # grad_accum>1 adds MultiSteps' acc_grads — a FULL f32 params tree
-    # (~4 GiB/chip at 8B fsdp=8) resident across the whole microstep, so
-    # the accumulation recipe must be AOT-verified, not assumed
-    opt = make_optimizer(lr=1e-5, total_steps=100, grad_accum=grad_accum)
+    # grad_accum>1 adds the accumulator — a FULL params-shaped tree (f32
+    # under mixed, bf16 under MultiSteps/bf16) resident across the whole
+    # microstep, so the accumulation recipe must be AOT-verified, not
+    # assumed
+    opt = make_optimizer(lr=1e-5, total_steps=100, grad_accum=grad_accum,
+                         accum_dtype=(jnp.float32 if precision == "bf16"
+                                      and grad_accum > 1 else None))
     o_shapes = jax.eval_shape(opt.init, p_abs)
 
     D = cfg.llada.d_model
@@ -71,7 +81,7 @@ def analyze(dp, fsdp, tp, remat, L=4096, B_global=32, dtype=jnp.bfloat16,
 
     step = make_train_step(cfg, opt, prefix_lm=True, remat=remat,
                            mesh=mesh, attention_impl=attention_impl,
-                           ce_chunk=ce_chunk)
+                           ce_chunk=ce_chunk, compute_dtype=compute_dtype)
     jitted = jax.jit(step, donate_argnums=(0, 1))
     lowered = jitted.lower(p_abs, o_shapes, batch_abs, key_abs)
     compiled = lowered.compile()
@@ -84,7 +94,7 @@ def analyze(dp, fsdp, tp, remat, L=4096, B_global=32, dtype=jnp.bfloat16,
 
     print(f"mesh dp={dp} fsdp={fsdp} tp={tp} remat={remat} "
           f"B={B_global} L={L} attn={attention_impl} ce={ce_chunk} "
-          f"ga={grad_accum} "
+          f"ga={grad_accum} prec={precision} "
           f"backend={'tpu-topo' if devices is not None else 'cpu'}")
     print(f"  args   {g(ma.argument_size_in_bytes):7.2f} GiB  "
           f"(params+opt+batch at rest, per device)")
@@ -111,25 +121,36 @@ if __name__ == "__main__":
                          "full f32 [2B, L, V] logits (~8.3 GB/chip at 8B "
                          "stage-2) never materialize")
     ap.add_argument("--grad-accum", type=int, default=1,
-                    help="MultiSteps accumulation: verifies the stage-2 "
-                         "global-batch-32 recipe (B=16 x accum 2) fits "
-                         "WITH the f32 acc_grads tree resident")
+                    help="accumulation microsteps: verifies the stage-2 "
+                         "effective-global-batch-128 recipe (B=16 x accum "
+                         "8) fits WITH the accumulator tree resident "
+                         "(f32 under --precision mixed or the bf16-mode "
+                         "multi_steps_f32 wrapper)")
+    ap.add_argument("--precision", default="bf16",
+                    choices=["bf16", "mixed"],
+                    help="'mixed' = the reference-faithful policy (f32 "
+                         "masters + f32 Adam states + f32 accum, bf16 "
+                         "compute); 'bf16' = everything bf16")
     ap.add_argument("--tpu-topo", action="store_true",
-                    help="AOT-compile against a detached v5e:2x4 topology "
+                    help="AOT-compile against a detached v5e topology "
                          "(real TPU memory numbers, no chips needed)")
+    ap.add_argument("--topo", default="v5e:2x4",
+                    help="topology name for --tpu-topo (v5e:2x4 = 8 chips, "
+                         "v5e:4x4 = 16)")
     a = ap.parse_args()
     devices = None
     if a.tpu_topo:
         from jax.experimental import topologies
 
         topo = topologies.get_topology_desc(platform="tpu",
-                                            topology_name="v5e:2x4")
+                                            topology_name=a.topo)
         devices = list(topo.devices)
     for part in a.configs.split(";"):
         fsdp, dp = (int(x) for x in part.split(","))
         try:
             analyze(dp=dp, fsdp=fsdp, tp=1, remat=a.remat, L=a.L,
                     B_global=a.B, attention_impl=a.attn, devices=devices,
-                    ce_chunk=a.ce_chunk, grad_accum=a.grad_accum)
+                    ce_chunk=a.ce_chunk, grad_accum=a.grad_accum,
+                    precision=a.precision)
         except Exception as e:
             print(f"fsdp={fsdp} dp={dp} FAILED: {str(e)[:300]}")

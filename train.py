@@ -95,6 +95,17 @@ def main():
                          "at the 8B stage-2 shapes — with --remat nested "
                          "this is what fits global-batch 16 on a v5e-8, "
                          "AOT-verified).  512 is a good default at 8B")
+    ap.add_argument("--precision", default="mixed",
+                    choices=["mixed", "bf16"],
+                    help="'mixed' (default, reference-faithful): f32 master "
+                         "weights + f32 Adam moments + f32 grad "
+                         "accumulation, bf16 forward/backward — DeepSpeed's "
+                         "bf16 engine semantics (scripts/zero3.json:10-12; "
+                         "bf16 updates at lr 2e-5 on O(1e-2) weights round "
+                         "to zero below ~0.4%% relative, the failure f32 "
+                         "masters exist to prevent).  'bf16' = everything "
+                         "bf16 (half the optimizer HBM; grad accumulation "
+                         "still runs f32 via multi_steps_f32)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of steps 2-4 "
                          "(post-compile) to DIR — inspect with "
@@ -186,6 +197,15 @@ def main():
     else:
         params = mm.init_params(cfg, jax.random.PRNGKey(args.seed))
     params = shard_params(params, mesh)
+    if args.precision == "mixed":
+        # f32 master weights (DeepSpeed bf16-engine parity): upcast in
+        # place under the existing shardings; the step casts to bf16 for
+        # compute.  bf16->f32 is exact, so a bf16 checkpoint round-trips.
+        from lavida_mod_tpu.train.step import cast_floating
+
+        params = jax.jit(
+            lambda p: cast_floating(p, jnp.float32), donate_argnums=0
+        )(params)
 
     opt = make_freeze_optimizer(
         args.tunable, lr=args.lr, projector_lr=args.projector_lr,
@@ -193,6 +213,9 @@ def main():
         warmup_steps=int(args.warmup_ratio * args.steps),
         total_steps=args.steps,
         grad_accum=args.grad_accum,
+        # bf16 mode still accumulates f32 (multi_steps_f32) — MultiSteps
+        # would inherit bf16 and diverge from DeepSpeed's f32 flat buffers
+        accum_dtype=jnp.float32 if args.precision == "bf16" else None,
     )
     opt_state = opt.init(params)
 
@@ -219,6 +242,7 @@ def main():
         fim_id=LLADA_FIM_ID if args.fim else None,
         remat=(False if args.remat == "none" else args.remat), mesh=mesh,
         attention_impl=attn_impl, ce_chunk=args.ce_chunk,
+        compute_dtype=jnp.bfloat16 if args.precision == "mixed" else None,
     ))
 
     logger = MetricsLogger(args.output_dir, use_wandb=args.wandb)
@@ -272,6 +296,7 @@ def main():
                    if ga > 1 else ""))
     profiler_ctx = None
     t0 = time.time()
+    window_metrics = []  # microbatch metrics across the accum window
     for step in range(start_step, total_iters):
         if args.profile and step == start_step + 1:
             # skip the compile step; trace 3 steady-state steps
@@ -294,14 +319,24 @@ def main():
         # grad_accum boundary, so gates fire there
         on_update = (step + 1) % ga == 0
         opt_step = (step + 1) // ga
+        window_metrics.append(metrics)
         if on_update and opt_step % args.log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
+            # average across the accumulation window so logged curves
+            # match the reference Trainer's window-averaged loss (the
+            # last microbatch alone is noisier and its grad_norm is the
+            # raw microbatch gradient, not what the optimizer applied)
+            m = {
+                k: float(np.mean([float(w[k]) for w in window_metrics]))
+                for k in metrics
+            }
             m["steps_per_s"] = args.log_every / (time.time() - t0)
             t0 = time.time()
             logger.log(opt_step, m)
             rank0_print(f"[train] step {opt_step}: loss={m['loss']:.4f} "
                         f"acc_mask={m['acc_mask']:.3f} "
                         f"({m['steps_per_s']:.2f} it/s)")
+        if on_update:
+            window_metrics = []
         if args.eval_tasks and on_update and opt_step % args.eval_every == 0:
             from lavida_mod_tpu.train.eval_hook import run_in_training_eval
 
