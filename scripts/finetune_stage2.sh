@@ -1,10 +1,33 @@
 #!/usr/bin/env bash
 # Stage 2 — full-model HD finetune
 # (reference llada-hd-llada-s2.sh: anyres pinpoints, lr 2e-5 with vision
-#  tower at 2e-6, ZeRO-3 -> fsdp mesh, cosine_with_min_lr, in-training
-#  lite evals.  Effective global batch matches the reference's 128 =
-#  8 GPUs x 4/device x accum 4; on v5e-8 the instantaneous batch cap is
-#  16 (B=32 OOMs by 1.9G, NOTES_ROUND5 AOT table) so it's 16 x accum 8.)
+#  tower at 2e-6, ZeRO-3 bf16 engine -> fsdp mesh + mixed-precision policy,
+#  cosine_with_min_lr, in-training lite evals.  Effective global batch
+#  matches the reference's 128 = 8 GPUs x 4/device x accum 4.)
+#
+# Precision recipes (all AOT-verified against real v5e topologies —
+# XLA's compile-time HBM verdict; scripts/probes/_aot_memory.py):
+#
+#   v5e-16 (fsdp=16), FAITHFUL (--precision mixed = DeepSpeed bf16-engine
+#   parity: f32 masters + f32 Adam + f32 accumulation, bf16 compute):
+#     --batch-size 16 --grad-accum 8   (est peak 14.66G/chip)  <- default
+#     --batch-size 32 --grad-accum 4   (also compiles; half the microsteps)
+#
+#   v5e-8 (fsdp=8): the faithful policy does NOT fit at ANY batch
+#   (f32 params+mu+nu = 12G/chip before activations; B=8 ga=1 OOMs by
+#   2.3G, B=16 ga=8 by 8.2G).  The 8-chip fallback is --precision bf16
+#   (bf16 weights+Adam states; gradient ACCUMULATION still f32 via
+#   multi_steps_f32) at --batch-size 8 --grad-accum 16 (compiles; the
+#   old 16x8 bf16 recipe OOMs by 1.32G once the accumulator is f32).
+#   bf16 Adam states are a documented deviation: updates below ~0.2%
+#   relative round to zero (tests/test_mixed_precision.py shows the
+#   stall on RMSNorm scales).
+NCHIPS=${NCHIPS:-16}
+if [ "$NCHIPS" -ge 16 ]; then
+  PREC=mixed;  FSDP=16; BATCH=16; ACCUM=8
+else
+  PREC=bf16;   FSDP=8;  BATCH=8;  ACCUM=16
+fi
 python train.py \
   --data-path "${DATA:-scripts/stage2.yaml}" \
   --model-path runs/stage1/checkpoint-2200 \
@@ -12,6 +35,8 @@ python train.py \
   --output-dir runs/stage2 \
   --tunable mm_mlp_adapter,mm_vision_tower,mm_language_model \
   --lr 2e-5 --vision-tower-lr 2e-6 --warmup-ratio 0.03 \
-  --batch-size 16 --grad-accum 8 --steps 10000 \
-  --dp 1 --fsdp 8 --tp 1 \
+  --precision "$PREC" \
+  --batch-size "$BATCH" --grad-accum "$ACCUM" --steps 10000 \
+  --dp 1 --fsdp "$FSDP" --tp 1 \
+  --remat nested --ce-chunk 512 \
   --eval-tasks chartqa --eval-every 1000 --eval-limit 64
