@@ -55,17 +55,19 @@ def init_params(cfg: LaViDaConfig, key: jax.Array, dtype=jnp.float32) -> dict:
 
 def encode_views(params: dict, cfg: LaViDaConfig, pixel_values: jax.Array,
                  remat: bool = False, pool: bool = True,
-                 act_int8: bool = False) -> jax.Array:
+                 act_int8: bool = False, mesh=None) -> jax.Array:
     """[V, C, S, S] -> projected(+pooled) features [V, T', D_lm].
 
     The jit-compiled device hot path of the vision stack; view count V is a
     static shape (1 for square, 1+tiles for anyres).  `pool=False` is the
     reference's square/pad 4D-tensor path (llava_arch.py:700-702:
-    encode_images only — 729 unpooled tokens, no newline).
+    encode_images only — 729 unpooled tokens, no newline).  `mesh` is
+    forwarded to the tower so its Pallas attention shard_maps under GSPMD
+    (sharded stage-2 training).
     """
     feats = siglip_model.forward(
         params["siglip"], cfg.vision.siglip, pixel_values, remat=remat,
-        act_int8=act_int8,
+        act_int8=act_int8, mesh=mesh,
     )
     feats = projector_model.forward(
         params["projector"], cfg.vision.projector_type, feats
@@ -78,7 +80,8 @@ def encode_views(params: dict, cfg: LaViDaConfig, pixel_values: jax.Array,
 
 
 _encode_views_jit = jax.jit(
-    encode_views, static_argnames=("cfg", "remat", "pool", "act_int8")
+    encode_views, static_argnames=("cfg", "remat", "pool", "act_int8",
+                                   "mesh")
 )
 
 
@@ -362,7 +365,8 @@ def multimodal_embeds(
     D = params["image_newline"].shape[-1]
     if pixel_values.shape[0] > 0:
         feats = encode_views(params, cfg, pixel_values, remat,
-                             act_int8=vision_act_int8)  # [N, Tp, D]
+                             act_int8=vision_act_int8,
+                             mesh=mesh)  # [N, Tp, D]
         flat = feats.reshape(-1, D)
     else:  # text-only batch (static shape decision)
         flat = jnp.zeros((0, D), params["image_newline"].dtype)
@@ -379,13 +383,18 @@ def multimodal_embeds(
     from ..ops.pallas_gather import gather_rows_auto
 
     B2, T2 = gather_idx.shape
-    if mesh is not None:
+    if mesh is not None and mesh.devices.size > 1:
         from jax.sharding import NamedSharding, PartitionSpec
 
         axes = tuple(a for a in batch_axes if a in mesh.axis_names)
         table = jax.lax.with_sharding_constraint(
             table, NamedSharding(mesh, PartitionSpec()))
-        out = gather_rows_auto(table, gather_idx.reshape(-1))
+        # plain XLA gather: GSPMD partitions it (replicated table,
+        # batch-sharded indices/output); the Pallas streamed gather
+        # cannot be auto-partitioned ("Mosaic kernels cannot be
+        # automatically partitioned") and its serving win is negligible
+        # inside a train step
+        out = table[gather_idx.reshape(-1)]
         out = jax.lax.with_sharding_constraint(
             out.reshape(B2, T2, D),
             NamedSharding(mesh, PartitionSpec(axes, None, None)))

@@ -113,6 +113,7 @@ def forward(
     n_layers: Optional[int] = None,
     remat: bool = False,
     act_int8: bool = False,
+    mesh=None,
 ) -> jax.Array:
     """pixel_values: [N, C, H, W] (preprocessed). Returns raw features
     [N, tokens, hidden] after `n_layers` (default cfg.n_layers_used) layers,
@@ -149,7 +150,7 @@ def forward(
         T = z.shape[1]
         att = vision_attention(
             q.reshape(N, T, nh, hd), k.reshape(N, T, nh, hd),
-            v.reshape(N, T, nh, hd),
+            v.reshape(N, T, nh, hd), mesh=mesh,
         ).reshape(N, T, -1)
         h = r + lin(att, p_l["out_proj"])
         r = h

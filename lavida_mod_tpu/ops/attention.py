@@ -136,7 +136,9 @@ def flash_attention(
     return out.transpose(0, 2, 1, 3)[:, :T]
 
 
-def vision_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+def vision_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     mesh=None,
+                     batch_axes: tuple = ("dp", "fsdp")) -> jax.Array:
     """Bidirectional unmasked attention for vision towers.
 
     On TPU: the one-shot VMEM-resident kernel (ops/short_attention.py) —
@@ -145,8 +147,34 @@ def vision_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     tower measured 39 ms dense vs 26 ms one-shot at S=729 on v5e).
     Elsewhere: dense XLA (the interpret-mode kernel is too slow for the
     CPU parity suites; kernel numerics are covered by
-    tests/test_short_attention.py and validated on-chip)."""
+    tests/test_short_attention.py and validated on-chip).
+
+    mesh: required under pjit/GSPMD when the view/head dims are sharded
+    (sharded stage-2 training) — Mosaic kernels cannot be
+    auto-partitioned, so the call is shard_mapped with views on
+    `batch_axes` and heads on tp (matching the siglip qkv projections'
+    sharding in parallel/sharding.py); attention is independent per
+    (view, head), so the wrap is exact."""
     if jax.default_backend() == "tpu" and k.shape[1] <= 4096:
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            axes = tuple(a for a in batch_axes if a in mesh.axis_names)
+            head = "tp" if "tp" in mesh.axis_names else None
+            spec = P(axes, None, head, None)
+
+            def fn(q, k, v):
+                return flash_attention(q, k, v, None, None)
+
+            try:  # jax >= 0.8 top-level API (check_rep -> check_vma)
+                wrapped = jax.shard_map(fn, mesh=mesh, in_specs=(spec,) * 3,
+                                        out_specs=spec, check_vma=False)
+            except (AttributeError, TypeError):  # pragma: no cover
+                from jax.experimental.shard_map import shard_map
+
+                wrapped = shard_map(fn, mesh=mesh, in_specs=(spec,) * 3,
+                                    out_specs=spec, check_rep=False)
+            return wrapped(q, k, v)
         return flash_attention(q, k, v, None, None)
     return dense_attention(q, k, v)
 
