@@ -202,8 +202,13 @@ class LavidaEvalModel:
         prefix = model.encode_prompt(input_ids, views, sizes)
         ans = self.tokenizer(continuation).input_ids
         ans = np.asarray(ans[:300])  # llava_llada.py:322 answer truncation
+        # MC estimation is mc_num full non-causal forwards per doc
+        # (llava_llada.py:277-409) — a compute-bound prefill-shaped
+        # workload, so under mixed serving it rides the int8 prefill tree
+        # (2x MXU rate), not the bandwidth-optimized int4 decode tree
+        lm = self.model.prefill_params or self.model.params["llada"]
         return get_log_likelihood(
-            self.model.params["llada"], self.model.cfg.llada, prefix, ans,
+            lm, self.model.cfg.llada, prefix, ans,
             mc_num=self.mc_num,
         )
 

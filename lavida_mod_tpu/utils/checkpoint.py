@@ -5,6 +5,16 @@ Replaces the reference's DeepSpeed/HF-Trainer checkpoint machinery
 gather-free (the ZeRO-3 "maybe_zero_3" dance disappears under GSPMD),
 auto-resume picks the latest `checkpoint-*`, and projector-tuning stages can
 save the adapter alone (mm_projector.bin analogue).
+
+Async saves (SURVEY §5): `save_checkpoint(..., async_save=True)` stages the
+arrays (device->host copy) and returns; serialization runs on a background
+thread, so the chips only stall for the staging copy, not the disk wall.
+Orbax serializes successive async saves internally (a new save waits for
+the previous commit) and commits atomically (tmp dir + rename), so a kill
+mid-write never leaves a half checkpoint that `latest_checkpoint` could
+resume from.  Call `wait_for_saves()` before process exit or before reading
+a just-written checkpoint in the same process.  train.py uses async;
+the synchronous default stays for tests and one-shot tools.
 """
 
 from __future__ import annotations
@@ -14,6 +24,23 @@ import re
 from typing import Any, Optional
 
 import jax
+
+_ASYNC_CKPTR = None
+
+
+def _async_ckptr():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight async save has committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def _ckpt_dir(output_dir: str, step: int) -> str:
@@ -40,11 +67,12 @@ def save_checkpoint(
     params: Any,
     opt_state: Any = None,
     extra: Optional[dict] = None,
+    async_save: bool = False,
 ) -> str:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(_ckpt_dir(output_dir, step))
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = _async_ckptr() if async_save else ocp.PyTreeCheckpointer()
     payload = {"params": params, "step": step}
     if opt_state is not None:
         payload["opt_state"] = opt_state

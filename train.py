@@ -32,6 +32,16 @@ def main():
     ap.add_argument("--model-path", default=None,
                     help="initial checkpoint (HF layout) or orbax dir")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--geometry", default=None,
+                    choices=["tiny", "457m", "913m", "8b"],
+                    help="model geometry when training from scratch: "
+                         "'913m' = the single-chip bench geometry "
+                         "(scripts/bench_train.py: 12L d2048, llama "
+                         "block, square so400m tower) for driving the "
+                         "full CLI on one real chip; '457m' = its "
+                         "6-layer half, small enough to run --precision "
+                         "mixed on one v5e (913m f32 states are 16.1G); "
+                         "default '8b' (or 'tiny' with --tiny)")
     ap.add_argument("--style", default="llada", choices=["llada", "dream"])
     ap.add_argument("--tunable",
                     default="mm_mlp_adapter,mm_vision_tower,mm_language_model")
@@ -141,13 +151,30 @@ def main():
         save_adapter_only, save_checkpoint,
     )
 
-    if args.tiny:
+    geometry = args.geometry or ("tiny" if args.tiny else "8b")
+    if geometry == "tiny":
         cfg = LaViDaConfig(
             llada=tiny_llada_config(),
             vision=VisionConfig(
                 siglip=tiny_siglip_config(), mm_hidden_size=32,
                 grid_pinpoints=((56, 112), (112, 56), (112, 112)),
             ),
+        )
+        args.tiny = True
+    elif geometry in ("457m", "913m"):
+        # the scripts/bench_train.py single-chip geometry: one square
+        # 384px so400m view per sample, llama-block LM
+        from lavida_mod_tpu.config import LLaDAConfig
+
+        cfg = LaViDaConfig(
+            llada=LLaDAConfig(
+                vocab_size=32000, d_model=2048,
+                n_layers=12 if geometry == "913m" else 6,
+                n_heads=16, n_kv_heads=16, mlp_hidden_size=6144,
+                block_type="llama", activation="silu",
+                max_sequence_length=4096, weight_tying=True,
+            ),
+            vision=VisionConfig(image_aspect_ratio="square"),
         )
     else:
         cfg = LaViDaConfig()
@@ -197,15 +224,19 @@ def main():
     else:
         params = mm.init_params(cfg, jax.random.PRNGKey(args.seed))
     params = shard_params(params, mesh)
-    if args.precision == "mixed":
-        # f32 master weights (DeepSpeed bf16-engine parity): upcast in
-        # place under the existing shardings; the step casts to bf16 for
-        # compute.  bf16->f32 is exact, so a bf16 checkpoint round-trips.
-        from lavida_mod_tpu.train.step import cast_floating
+    # pin the param dtype to the policy: 'mixed' holds f32 master weights
+    # (DeepSpeed bf16-engine parity; the step casts to bf16 for compute —
+    # bf16->f32 is exact so a bf16 checkpoint round-trips), 'bf16' holds
+    # bf16 weights (random init is f32 by default and WOULD otherwise
+    # ship f32 params+Adam states — 16G at the 913m+tower geometry,
+    # measured OOM on one v5e)
+    from lavida_mod_tpu.train.step import cast_floating
 
-        params = jax.jit(
-            lambda p: cast_floating(p, jnp.float32), donate_argnums=0
-        )(params)
+    target_dtype = (jnp.float32 if args.precision == "mixed"
+                    else jnp.bfloat16)
+    params = jax.jit(
+        lambda p: cast_floating(p, target_dtype), donate_argnums=0
+    )(params)
 
     opt = make_freeze_optimizer(
         args.tunable, lr=args.lr, projector_lr=args.projector_lr,
@@ -223,11 +254,13 @@ def main():
     resume = latest_checkpoint(args.output_dir)
     if resume and not resume.endswith("mm_projector"):
         rank0_print(f"[train] resuming from {resume}")
+        t_r = time.time()
         payload = restore_checkpoint(
             resume, {"params": params, "opt_state": opt_state, "step": 0}
         )
         params, opt_state = payload["params"], payload["opt_state"]
         start_step = int(payload["step"])
+        rank0_print(f"[train] restore wall: {time.time() - t_r:.1f}s")
 
     attn_impl = args.attn_impl
     if attn_impl == "auto":
@@ -297,6 +330,7 @@ def main():
     profiler_ctx = None
     t0 = time.time()
     window_metrics = []  # microbatch metrics across the accum window
+    tokens_since_log = 0  # data tokens (B*T), bench_train convention
     for step in range(start_step, total_iters):
         if args.profile and step == start_step + 1:
             # skip the compile step; trace 3 steady-state steps
@@ -306,6 +340,7 @@ def main():
             profiler_ctx.__enter__()
             rank0_print(f"[train] profiler tracing -> {args.profile}")
         batch = make_batch()
+        tokens_since_log += int(np.prod(batch["labels"].shape))
         params, opt_state, metrics = step_fn(
             params, opt_state, batch, jax.random.PRNGKey(args.seed * 131 + step)
         )
@@ -329,12 +364,16 @@ def main():
                 k: float(np.mean([float(w[k]) for w in window_metrics]))
                 for k in metrics
             }
-            m["steps_per_s"] = args.log_every / (time.time() - t0)
+            dt = time.time() - t0
+            m["steps_per_s"] = args.log_every / dt
+            m["tokens_per_s"] = tokens_since_log / dt
+            tokens_since_log = 0
             t0 = time.time()
             logger.log(opt_step, m)
             rank0_print(f"[train] step {opt_step}: loss={m['loss']:.4f} "
                         f"acc_mask={m['acc_mask']:.3f} "
-                        f"({m['steps_per_s']:.2f} it/s)")
+                        f"({m['steps_per_s']:.2f} it/s, "
+                        f"{m['tokens_per_s']:.0f} tok/s)")
         if on_update:
             window_metrics = []
         if args.eval_tasks and on_update and opt_step % args.eval_every == 0:
@@ -345,8 +384,15 @@ def main():
                 for item in args.eval_data_path.split(","):
                     k, _, v = item.partition("=")
                     data_paths[k] = v
+            # generation runs bf16 (serving numerics) even when training
+            # holds f32 masters — the cast is what inference would load
+            eval_params = params
+            if args.precision == "mixed":
+                from lavida_mod_tpu.train.step import cast_floating
+
+                eval_params = cast_floating(params, jnp.bfloat16)
             scores = run_in_training_eval(
-                cfg, params, tokenizer, args.eval_tasks.split(","),
+                cfg, eval_params, tokenizer, args.eval_tasks.split(","),
                 data_paths or None, limit=args.eval_limit,
                 conv_template=args.style, lm_family=args.style,
             )
@@ -357,15 +403,28 @@ def main():
             # payload step is the MICROSTEP index so resume replays the
             # exact microbatch position (checkpoints land on update
             # boundaries, where MultiSteps' mini_step is 0)
+            t_s = time.time()
             if args.adapter_only_save:
                 p = save_adapter_only(args.output_dir, step + 1, params)
             else:
+                # async: the chips stall only for the host staging copy;
+                # serialization overlaps the next training steps (orbax
+                # commits atomically, so a kill mid-write can't leave a
+                # resumable half checkpoint)
                 p = save_checkpoint(
-                    args.output_dir, step + 1, params, opt_state
+                    args.output_dir, step + 1, params, opt_state,
+                    async_save=True,
                 )
-            rank0_print(f"[train] saved {p}")
+            rank0_print(f"[train] saved {p} "
+                        f"(staged in {time.time() - t_s:.1f}s)")
     if profiler_ctx is not None:  # fewer than 3 steps after compile
         profiler_ctx.__exit__(None, None, None)
+    from lavida_mod_tpu.utils import wait_for_saves
+
+    t_w = time.time()
+    wait_for_saves()  # commit in-flight async saves before exit
+    if time.time() - t_w > 0.1:
+        rank0_print(f"[train] final save commit: {time.time() - t_w:.1f}s")
     logger.close()
 
 
