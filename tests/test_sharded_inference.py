@@ -96,3 +96,49 @@ def test_lavida_shard_method_multimodal_parity():
     model.shard(tp=2, fsdp=2, dp=2)
     out = np.asarray(model.generate(ids, [views], [(100, 80)], gen_cfg))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_batched_chunked_prefill_matches(tiny):
+    """Batched serving over the mesh: generate_chunked_prefill (the B>4
+    serving route, preallocated merged [B,P+G] KV buffers) with
+    GSPMD-sharded serving-layout params must be token-identical to the
+    unsharded run — the multi-chip story behind the bench.py --batch
+    numbers (AOT rows: scripts/probes/_aot_serve_tp.py --batch).
+    B=5 exercises the overlapping last chunk."""
+    from lavida_mod_tpu.generation.diffusion import generate_chunked_prefill
+
+    cfg, params = tiny
+    lp = jl.unstack_blocks(params)  # serving layout (list of layers)
+    rng = np.random.default_rng(3)
+    prompt = jnp.asarray(rng.integers(5, 400, size=(5, 12)))
+    gen_cfg = GenerationConfig(max_new_tokens=8, block_length=8,
+                               prefix_lm=True)
+    prefix = jl.embed_tokens(lp, prompt)
+    ref = np.asarray(generate_chunked_prefill(
+        lp, cfg, prefix, gen_cfg, chunk=2, key=jax.random.PRNGKey(0)))
+
+    mesh = make_mesh(dp=1, fsdp=2, tp=4)
+    sharded = shard_params(lp, mesh)
+    out = np.asarray(generate_chunked_prefill(
+        sharded, cfg, jl.embed_tokens(sharded, prompt), gen_cfg,
+        chunk=2, key=jax.random.PRNGKey(0)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_batched_monolithic_generate_matches(tiny):
+    """The monolithic batched graph (B=4, what bench.py --batch 4 runs)
+    under tp sharding: token parity vs unsharded."""
+    cfg, params = tiny
+    rng = np.random.default_rng(4)
+    prompt = jnp.asarray(rng.integers(5, 400, size=(4, 10)))
+    gen_cfg = GenerationConfig(max_new_tokens=8, block_length=8,
+                               prefix_lm=True)
+    prefix = jl.embed_tokens(params, prompt)
+    ref = np.asarray(generate(params, cfg, prefix, gen_cfg,
+                              key=jax.random.PRNGKey(1)))
+    mesh = make_mesh(dp=1, fsdp=1, tp=8)
+    sharded = shard_params(params, mesh)
+    out = np.asarray(generate(sharded, cfg,
+                              jl.embed_tokens(sharded, prompt), gen_cfg,
+                              key=jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(out, ref)
