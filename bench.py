@@ -109,6 +109,12 @@ def main():
                          "(ops/kv8_attention.py): halves the per-step "
                          "cache reads; quality-gate per checkpoint like "
                          "W4A8")
+    ap.add_argument("--shirg", action="store_true",
+                    help="SHIRG 2-view serving: global 448^2 pooled to "
+                         "256 + foveal top-724 (980 vision tokens vs "
+                         "anyres ~3.6k) — the reference's high-res token "
+                         "selection path (models/shirg.py; reference "
+                         "shirg/siglip_shirg.py:46-215)")
     ap.add_argument("--dllm", type=int, default=None,
                     help="dLLM-cache partial recompute size (tokens "
                          "re-forwarded per step; cached K/V + logits for "
@@ -135,6 +141,12 @@ def main():
     if args.dllm is not None and (args.kv8 or args.mixed):
         ap.error("--dllm has no kv8/mixed variant (the partial-recompute "
                  "path has no quantized scattered cache writes)")
+    if args.shirg and (args.dream or args.ar or args.batch != 1
+                       or args.no_cache or args.dllm is not None
+                       or args.vision_int8):
+        ap.error("--shirg rides the B=1 LLaDA fused serve path only "
+                 "(and shirg_encode has no int8-tower activation "
+                 "plumbing) — loud, not silently ignored")
     if (args.dream or args.ar) and args.kv8:
         ap.error("--kv8/--kv4 are only plumbed on the LLaDA denoise scan "
                  "(ops/kv8_attention.py) — loud, not silently ignored")
@@ -376,6 +388,38 @@ def main():
                               not args.no_flash_prefill)
             return jnp.sum(out)
 
+        if args.shirg:
+            from lavida_mod_tpu.models import shirg as shirg_model
+
+            # SHIRG prefix is 980 vision tokens + text (vs ~3.6k anyres):
+            # its own control table (prefix length differs)
+            @_ft.partial(jax.jit, static_argnames=("flash",))
+            def serve_shirg(params, prefill_llada, views, key, flash):
+                block = shirg_model.shirg_encode(params, cfg, views)
+                prefix, _ = multimodal.splice_embeddings(
+                    params, cfg, ids, [block.astype(jnp.bfloat16)])
+                prefix = prefix[None]
+                x = jnp.full((1, args.gen_len), mask_id, jnp.int32)
+                if args.mixed:
+                    return diffusion._generate_cached_fused_body(
+                        prefill_llada, lm_cfg, x, prefix, k_table,
+                        block_end, None, key, temperature=gen.temperature,
+                        remasking=gen.remasking, use_flash=False,
+                        act_int8_prefill=True, use_flash_prefill=flash,
+                        decode_params=params["llada"], kv8=args.kv8)
+                return diffusion._generate_cached_fused_body(
+                    params["llada"], lm_cfg, x, prefix, k_table,
+                    block_end, None, key, temperature=gen.temperature,
+                    remasking=gen.remasking, use_flash=False,
+                    use_flash_prefill=flash, kv8=args.kv8)
+
+            def one_batch(i):  # noqa: F811
+                views = jnp.full((2, 3, 448, 448), 0.001 * i, jnp.bfloat16)
+                out = serve_shirg(params, prefill_llada, views,
+                                  jax.random.PRNGKey(i),
+                                  not args.no_flash_prefill)
+                return jnp.sum(out)
+
     def one_batch_multi(i):
         views = jnp.full((5 * B, 3, 384, 384), 0.001 * i, jnp.bfloat16)
         feats = multimodal._encode_views_jit(params, cfg, views, False, True,
@@ -472,6 +516,7 @@ def main():
             + ("_mixed" if args.mixed else "")
             + ("_v8" if args.vision_int8 else "")
             + ("_kv4" if args.kv8 == 4 else "_kv8" if args.kv8 else "")
+            + ("_shirg" if args.shirg else "")
             + ("_nocache" if args.no_cache else "")
             + ("_dream" if args.dream else "")
             + ("_ar" if args.ar else "")

@@ -101,3 +101,26 @@ def test_worker_routes_through_batcher():
         t.join(timeout=10)
     assert {out[0]["text"], out[1]["text"]} == {"batch:p0", "batch:p1"}
     assert ev.batch_sizes == [2]
+
+
+def test_batch_padded_to_power_of_two_bucket():
+    """3 concurrent requests serve as a 4-row padded batch (last request
+    duplicated): every distinct B is a distinct XLA graph and 8B compiles
+    are minutes, so the batcher bounds the compiled shapes to
+    {1,2,4,...,max_batch}.  Results map back to the 3 real requests."""
+    ev = FakeEval()
+    b = DecodeBatcher(ev, max_batch=8, window_ms=300)
+    kw = {"max_new_tokens": 8}
+    res = _submit_concurrent(b, [(f"q{i}", kw) for i in range(3)])
+    assert sorted(res) == [f"batch:q{i}" for i in range(3)]
+    assert ev.batch_sizes == [4]          # padded to the bucket
+    assert b.served_sizes == [(3, 4)]     # (real, padded) occupancy stat
+
+
+def test_bucket_capped_at_max_batch():
+    ev = FakeEval()
+    b = DecodeBatcher(ev, max_batch=3, window_ms=300)
+    kw = {"max_new_tokens": 8}
+    res = _submit_concurrent(b, [(f"q{i}", kw) for i in range(3)])
+    assert sorted(res) == [f"batch:q{i}" for i in range(3)]
+    assert ev.batch_sizes == [3]          # never padded past max_batch

@@ -70,6 +70,11 @@ def main():
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--fsdp", type=int, default=None)
     ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="input-pipeline prefetch depth (0 disables): a "
+                         "producer thread overlaps PIL decode + anyres + "
+                         "gather-plan + H2D with the device step (the "
+                         "reference's dataloader_num_workers analogue)")
     ap.add_argument("--save-every", type=int, default=500)
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--adapter-only-save", action="store_true")
@@ -132,6 +137,13 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+
+    # persistent compile cache: the 913m multimodal train step is a
+    # ~6-minute compile through the remote-compile tunnel; restarts and
+    # auto-resumes should pay a disk read, not a recompile
+    from lavida_mod_tpu.utils.compile_cache import enable as _cc
+
+    _cc()
 
     import jax.numpy as jnp
 
@@ -327,6 +339,27 @@ def main():
     rank0_print(f"[train] starting at microstep {start_step}/{total_iters}"
                 + (f" (grad_accum={ga}, {args.steps} optimizer steps)"
                    if ga > 1 else ""))
+
+    if args.prefetch > 0:
+        # overlap the host input pipeline (PIL decode + anyres + gather
+        # plan + H2D) with the device step — the torch-DataLoader-workers
+        # analogue (reference dataloader_num_workers=4,
+        # llada-hd-llada-s2.sh).  Measured on the real chip at the 913m
+        # geometry: 3436 -> ~6.5k tok/s (the step was waiting ~0.6s/batch
+        # on make_batch).  One producer thread: make_batch owns the rng.
+        import queue as _queue
+        import threading as _threading
+
+        _q = _queue.Queue(maxsize=args.prefetch)
+
+        def _producer():
+            while True:
+                _q.put(make_batch())
+
+        _threading.Thread(target=_producer, daemon=True).start()
+        next_batch = _q.get
+    else:
+        next_batch = make_batch
     profiler_ctx = None
     t0 = time.time()
     window_metrics = []  # microbatch metrics across the accum window
@@ -339,7 +372,7 @@ def main():
             profiler_ctx = trace(args.profile)
             profiler_ctx.__enter__()
             rank0_print(f"[train] profiler tracing -> {args.profile}")
-        batch = make_batch()
+        batch = next_batch()
         tokens_since_log += int(np.prod(batch["labels"].shape))
         params, opt_state, metrics = step_fn(
             params, opt_state, batch, jax.random.PRNGKey(args.seed * 131 + step)
