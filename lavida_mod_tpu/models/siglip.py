@@ -114,6 +114,7 @@ def forward(
     remat: bool = False,
     act_int8: bool = False,
     mesh=None,
+    fused_mlp: bool = False,
 ) -> jax.Array:
     """pixel_values: [N, C, H, W] (preprocessed). Returns raw features
     [N, tokens, hidden] after `n_layers` (default cfg.n_layers_used) layers,
@@ -137,6 +138,13 @@ def forward(
     # Quality-gate per checkpoint like W4A8 (scripts/verify_checkpoint.py).
     from ..ops.quant import linear_act_int8
     lin = linear_act_int8 if act_int8 else linear
+    if fused_mlp:
+        fc = params["layers"]["fc1"]
+        plain = set(fc) <= {"kernel", "bias"} and "kernel" in fc
+        # the fused kernel reads kernel/bias only: LoRA factors or int8
+        # layouts would be silently dropped — fall back loudly instead
+        assert plain and not act_int8, (
+            "fused_mlp supports plain bf16 fc1/fc2 only (no LoRA/int8)")
 
     def layer_fn(h, p_l):
         # linears go through ops.quant.linear so attached LoRA factors
@@ -153,6 +161,20 @@ def forward(
             v.reshape(N, T, nh, hd), mesh=mesh,
         ).reshape(N, T, -1)
         h = r + lin(att, p_l["out_proj"])
+        if fused_mlp:
+            # inference-only fused LN2+fc1+gelu+fc2+res Pallas kernel
+            # (ops/vit_mlp.py): activations stay in VMEM across the
+            # chain instead of an HBM round-trip per XLA fusion.  Plain
+            # bf16 kernels only (no LoRA factors, no int8) — callers
+            # with either keep the XLA chain.
+            from ..ops.vit_mlp import fused_vit_mlp
+
+            h = fused_vit_mlp(
+                h, p_l["ln2"]["weight"], p_l["ln2"]["bias"],
+                p_l["fc1"]["kernel"], p_l["fc1"]["bias"],
+                p_l["fc2"]["kernel"], p_l["fc2"]["bias"], eps=eps,
+            )
+            return h, None
         r = h
         z = layer_norm(h, p_l["ln2"]["weight"], p_l["ln2"]["bias"], eps)
         z = jax.nn.gelu(lin(z, p_l["fc1"]), approximate=True)
