@@ -99,6 +99,13 @@ def main():
                          "where shapes allow): the compute-bound 5-view "
                          "anyres encode at 2x the bf16 rate; gate per "
                          "checkpoint like W4A8")
+    ap.add_argument("--fused-vit", action="store_true",
+                    help="force the fused ViT-MLP Pallas kernel inside "
+                         "the one-dispatch serve graph (ops/vit_mlp.py). "
+                         "Off by default there: it wins 1.11x standalone "
+                         "but measured ~3ms SLOWER embedded (0.198 vs "
+                         "0.195, NOTES_ROUND6); the multi-executable "
+                         "--batch path keeps it on where it wins")
     ap.add_argument("--kv4", action="store_true",
                     help="int4 KV cache (native XLA S4; quarter the bf16 "
                          "cache reads, ~3%% row rms err — memory-headroom "
@@ -355,7 +362,8 @@ def main():
             # captured-constant warning, pathological compile times)
             prefix = multimodal.multimodal_embeds(
                 params, cfg, views, text_ids_p, gather_idx,
-                vision_act_int8=args.vision_int8)
+                vision_act_int8=args.vision_int8,
+                vision_fused_mlp=args.fused_vit and not args.vision_int8)
             if args.dream:
                 dgen = DreamGenerationConfig(
                     max_new_tokens=args.gen_len, steps=args.steps,
@@ -395,7 +403,8 @@ def main():
             # its own control table (prefix length differs)
             @_ft.partial(jax.jit, static_argnames=("flash",))
             def serve_shirg(params, prefill_llada, views, key, flash):
-                block = shirg_model.shirg_encode(params, cfg, views)
+                block = shirg_model.shirg_encode(params, cfg, views,
+                                                 fused_mlp=args.fused_vit)
                 prefix, _ = multimodal.splice_embeddings(
                     params, cfg, ids, [block.astype(jnp.bfloat16)])
                 prefix = prefix[None]
@@ -423,7 +432,8 @@ def main():
     def one_batch_multi(i):
         views = jnp.full((5 * B, 3, 384, 384), 0.001 * i, jnp.bfloat16)
         feats = multimodal._encode_views_jit(params, cfg, views, False, True,
-                                             args.vision_int8)
+                                             args.vision_int8,
+                                             fused_mlp=not args.vision_int8)
         D = feats.shape[-1]
         if B == 1:
             block = multimodal.merge_anyres(

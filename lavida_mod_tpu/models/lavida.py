@@ -152,7 +152,8 @@ def merge_lora_state(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "gen_length", "temperature", "remasking",
-                     "use_flash_prefill", "kv8", "act_int8_prefill"),
+                     "use_flash_prefill", "kv8", "act_int8_prefill",
+                     "vision_fused_mlp"),
 )
 def _fused_predict(
     params,
@@ -171,12 +172,14 @@ def _fused_predict(
     kv8: bool = False,
     prefill_llada=None,
     act_int8_prefill: bool = False,
+    vision_fused_mlp: bool = False,
 ):
     from ..generation.diffusion import _generate_cached_fused_body
     from . import multimodal as mm
 
     prefix = mm.multimodal_embeds(
-        params, cfg, pixel_values, text_ids, gather_idx
+        params, cfg, pixel_values, text_ids, gather_idx,
+        vision_fused_mlp=vision_fused_mlp,
     )
     x = jnp.full((1, gen_length), cfg.llada.mask_token_id, jnp.int32)
     if prefill_llada is not None:
@@ -213,6 +216,14 @@ class LaViDa:
         # bandwidth-bound decode keeps params["llada"]).  Populate via
         # quantize_params(bits=8) on the host-staged bf16 tree.
         self.prefill_params = None
+        # fused ViT-MLP Pallas kernel in the vision encode
+        # (ops/vit_mlp.py).  Measured on the v5e (NOTES_ROUND6): wins
+        # 1.11x when the tower runs as its OWN executable (encode_prompt
+        # / eval adapter path) but LOSES ~3 ms inside the monolithic
+        # fused serve graph, where XLA overlaps the op-by-op MLP with
+        # the rest of the dispatch.  None = auto (standalone encodes
+        # only, iff the tower is plain bf16); True/False forces both.
+        self.use_vision_fused_mlp: Optional[bool] = None
 
     @classmethod
     def load(cls, path: str, cfg: Optional[LaViDaConfig] = None,
@@ -392,6 +403,15 @@ class LaViDa:
     # Inference
     # ------------------------------------------------------------------
 
+    def _vision_fused_mlp(self) -> bool:
+        """Resolve the fused ViT-MLP policy: explicit override, else auto
+        on a plain-bf16 tower (siglip.fused_mlp_ok)."""
+        if self.use_vision_fused_mlp is not None:
+            return self.use_vision_fused_mlp
+        from . import siglip as siglip_model
+
+        return siglip_model.fused_mlp_ok(self.params.get("siglip", {}))
+
     def encode_prompt(
         self,
         input_ids: np.ndarray,
@@ -404,7 +424,8 @@ class LaViDa:
         precomputed blocks (e.g. SHIRG's 980-token selection) instead."""
         feats = image_features if image_features is not None else [
             multimodal.encode_image(
-                self.params, self.cfg, jnp.asarray(views), size
+                self.params, self.cfg, jnp.asarray(views), size,
+                fused_mlp=self._vision_fused_mlp(),
             )
             for views, size in zip(images, image_sizes)
         ]
@@ -557,6 +578,10 @@ class LaViDa:
             kv8=kv8,
             prefill_llada=self.prefill_params,
             act_int8_prefill=self.prefill_params is not None,
+            # embedded in the one-dispatch graph the kernel measured
+            # SLOWER than XLA's schedule (0.198 vs 0.195 same-session,
+            # NOTES_ROUND6) — only an explicit True turns it on here
+            vision_fused_mlp=self.use_vision_fused_mlp is True,
         )
         return np.asarray(out)[0]
 

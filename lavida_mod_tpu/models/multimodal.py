@@ -55,7 +55,8 @@ def init_params(cfg: LaViDaConfig, key: jax.Array, dtype=jnp.float32) -> dict:
 
 def encode_views(params: dict, cfg: LaViDaConfig, pixel_values: jax.Array,
                  remat: bool = False, pool: bool = True,
-                 act_int8: bool = False, mesh=None) -> jax.Array:
+                 act_int8: bool = False, mesh=None,
+                 fused_mlp: bool = False) -> jax.Array:
     """[V, C, S, S] -> projected(+pooled) features [V, T', D_lm].
 
     The jit-compiled device hot path of the vision stack; view count V is a
@@ -67,7 +68,7 @@ def encode_views(params: dict, cfg: LaViDaConfig, pixel_values: jax.Array,
     """
     feats = siglip_model.forward(
         params["siglip"], cfg.vision.siglip, pixel_values, remat=remat,
-        act_int8=act_int8, mesh=mesh,
+        act_int8=act_int8, mesh=mesh, fused_mlp=fused_mlp,
     )
     feats = projector_model.forward(
         params["projector"], cfg.vision.projector_type, feats
@@ -81,7 +82,7 @@ def encode_views(params: dict, cfg: LaViDaConfig, pixel_values: jax.Array,
 
 _encode_views_jit = jax.jit(
     encode_views, static_argnames=("cfg", "remat", "pool", "act_int8",
-                                   "mesh")
+                                   "mesh", "fused_mlp")
 )
 
 
@@ -124,6 +125,7 @@ def encode_image(
     views: jax.Array,
     image_size: Optional[tuple[int, int]] = None,
     remat: bool = False,
+    fused_mlp: bool = False,
 ) -> jax.Array:
     """One image's views [V, C, S, S] -> merged token block [n, D_lm]."""
     if views.shape[0] == 1 and cfg.vision.image_aspect_ratio in (
@@ -131,8 +133,10 @@ def encode_image(
     ):
         # reference square/pad path: tower+projector only — UNPOOLED
         # tokens, no newline (llava_arch.py:700-702)
-        return _encode_views_jit(params, cfg, views, remat, False)[0]
-    feats = _encode_views_jit(params, cfg, views, remat)
+        return _encode_views_jit(params, cfg, views, remat, False,
+                                 fused_mlp=fused_mlp)[0]
+    feats = _encode_views_jit(params, cfg, views, remat,
+                              fused_mlp=fused_mlp)
     assert image_size is not None or views.shape[0] == 1
     return merge_anyres(
         feats, image_size or (cfg.vision.siglip.image_size,) * 2,
@@ -349,6 +353,7 @@ def multimodal_embeds(
     vision_act_int8: bool = False,
     mesh=None,
     batch_axes: tuple = ("dp", "fsdp"),
+    vision_fused_mlp: bool = False,
 ) -> jax.Array:
     """The jitted splice: encode all views, build the flat table, gather.
     Differentiable end-to-end (tower -> projector -> newline -> wte).
@@ -366,7 +371,8 @@ def multimodal_embeds(
     if pixel_values.shape[0] > 0:
         feats = encode_views(params, cfg, pixel_values, remat,
                              act_int8=vision_act_int8,
-                             mesh=mesh)  # [N, Tp, D]
+                             mesh=mesh,
+                             fused_mlp=vision_fused_mlp)  # [N, Tp, D]
         flat = feats.reshape(-1, D)
     else:  # text-only batch (static shape decision)
         flat = jnp.zeros((0, D), params["image_newline"].dtype)

@@ -286,6 +286,7 @@ def shirg_encode(
     method: str = "base",
     selection_params: Optional[dict] = None,
     key: Optional[jax.Array] = None,
+    fused_mlp: bool = False,
 ) -> jax.Array:
     """2-view SHIRG pipeline -> projected tokens [980, D_lm].
 
@@ -293,8 +294,11 @@ def shirg_encode(
     hidden state) -> global 2x2 avg pool to 256 + foveal top-724 ->
     mm_projector; pooling in llava_arch is bypassed for non-729 counts
     (llava_arch.py:205-213)."""
+    # fused_mlp: inference-only Pallas MLP kernel (ops/vit_mlp.py has no
+    # VJP; the LoRA train step differentiates through this encode, so the
+    # flag must stay caller-explicit rather than auto-detected)
     feats = siglip_model.forward(
-        params["siglip"], cfg.vision.siglip, views
+        params["siglip"], cfg.vision.siglip, views, fused_mlp=fused_mlp,
     )  # [2, 1024, D]
     g_feat = feats[0:1]
     f_feat = feats[1:2]

@@ -81,6 +81,25 @@ def quantize_tower(params: Params) -> Params:
     return {**params, "layers": layers}
 
 
+def fused_mlp_ok(params: Params) -> bool:
+    """True when the tower can ride the fused ViT-MLP Pallas kernel
+    (ops/vit_mlp.py): plain bf16 fc1/fc2 with no LoRA factors and no
+    int8 layout.  Serving auto-enables the kernel on this predicate
+    (measured 1.11x on the 5-view so400m forward, NOTES_ROUND6)."""
+    try:
+        fc1, fc2 = params["layers"]["fc1"], params["layers"]["fc2"]
+    except (KeyError, TypeError):
+        return False
+    for fc in (fc1, fc2):
+        if not (isinstance(fc, dict) and set(fc) == {"kernel", "bias"}):
+            return False
+        if fc["kernel"].dtype != jnp.bfloat16:
+            return False
+    # the kernel requires lane-aligned D (so400m's 1152 is; tiny test
+    # towers are not)
+    return fc1["kernel"].shape[-2] % 128 == 0
+
+
 def _interp_pos_embed(pos_embed: jax.Array, target_grid: int) -> jax.Array:
     """Bicubic pos-embed interpolation for non-384 inputs
     (siglip_base.py:193-264). Called outside jit, cached by grid size."""

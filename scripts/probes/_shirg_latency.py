@@ -29,6 +29,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--methods", default="base,entropy,edge,full")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--no-fused-vit", action="store_true",
+                    help="keep the XLA op-chain MLP in the tower (the "
+                         "fused ViT-MLP kernel wins standalone, "
+                         "NOTES_ROUND6 A/B)")
     args = ap.parse_args()
 
     import jax
@@ -55,16 +59,19 @@ def main():
     model = LaViDa.zero_init(cfg, jnp.bfloat16, quantized=True)
     params = model.params
 
+    fused = not args.no_fused_vit
+
     @functools.partial(jax.jit, static_argnames=("method",))
     def full(params, views, key, method):
         return shirg_model.shirg_encode(
             params, cfg, views, method=method,
-            selection_params={"merge_similar": method == "full"}, key=key)
+            selection_params={"merge_similar": method == "full"}, key=key,
+            fused_mlp=fused)
 
     @jax.jit
     def tower_only(params, views):
         return siglip_model.forward(params["siglip"], cfg.vision.siglip,
-                                    views)
+                                    views, fused_mlp=fused)
 
     def amortize(fn, *argfns):
         # warmup/compile, then one timed window of chained calls with the
