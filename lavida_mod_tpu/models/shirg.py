@@ -210,7 +210,13 @@ def topk_select(tokens: jax.Array, scores: jax.Array, k: int) -> jax.Array:
     scores = scores + 1e-6
     _, idx = jax.lax.top_k(scores, k)
     B, N, D = tokens.shape
-    if B == 1 and jax.default_backend() == "tpu" and D % 128 == 0:
+    # the streamed gather views a row as [D//128, 128] and Mosaic needs
+    # the sublane dim to be 8-aligned too, i.e. 1024 | D (same constraint
+    # gather_rows_auto encodes).  SigLIP's D=1152 does NOT qualify —
+    # sub=9 crashed the real-TPU compile (memref_slice "must be aligned
+    # to tiling (8), but is 9"); CPU interpret mode had hidden it.  The
+    # XLA gather of [K, 1152] rows is cheap at this size anyway.
+    if B == 1 and jax.default_backend() == "tpu" and D % 1024 == 0:
         from ..ops.pallas_gather import gather_rows_ad
 
         return gather_rows_ad(tokens[0], idx[0])[None]
