@@ -21,6 +21,7 @@ The per-round computation is one jitted function; rounds loop on host
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -31,7 +32,8 @@ from ..config import LLaDAConfig
 from ..models import llada as llada_model
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "batch_size", "use_flash"))
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "batch_size", "use_flash", "act_int8", "forward_chunk"))
 def _mc_round(
     params,
     cfg: LLaDAConfig,
@@ -40,6 +42,8 @@ def _mc_round(
     key: jax.Array,
     batch_size: int,
     use_flash: bool = False,
+    act_int8: bool = False,
+    forward_chunk: int = 8,
 ):
     P = prefix_embeds.shape[1]
     Ta = answer.shape[0]
@@ -70,12 +74,60 @@ def _mc_round(
          ans_embeds.astype(prefix_embeds.dtype)],
         axis=1,
     )
-    logits, _ = llada_model.forward(
-        params, cfg, embeds, use_flash=use_flash
+    # hidden states only: the full-sequence f32 logits are
+    # [b, P+Ta, V] = 10.3G at MMMU geometry (b=16, P=1061, Ta=300,
+    # V=126k) — measured OOM next to the 8B serving weights
+    # (scripts/probes/_loglik_chip.py).  Only answer positions need the
+    # head, and the head runs in sequence chunks so no [b, Ta, V] f32
+    # ever materializes (same trick as the training ce_chunk head,
+    # train/loss.py).  log_softmax is per-position, so chunking is exact.
+    def fwd(e):
+        hidden, _ = llada_model.forward(
+            params, cfg, e, use_flash=use_flash, return_logits=False,
+            act_int8=act_int8,
+        )
+        return hidden[:, P:]                          # answer positions
+
+    # forward in row chunks: rows are independent (attention is within-
+    # row), so chunking is EXACT — it only bounds the live activation
+    # set.  At MMMU geometry over the fused-int4 layout the whole-batch
+    # forward holds 13G of HLO temps (the w4 kernels' padded buffers +
+    # f32 rope temps across 32 unrolled layers) and OOMs one v5e; in
+    # chunks of 8 it fits.  M = 8*1361 rows still saturates the MXU.
+    fb = forward_chunk if b % forward_chunk == 0 else b
+    if fb < b:
+        h = jax.lax.map(fwd, embeds.reshape(b // fb, fb, *embeds.shape[1:]))
+        h = h.reshape(b, Ta, -1)
+    else:
+        h = fwd(embeds)                               # [b, Ta, D]
+    c = min(64, Ta)
+    Tp = -(-Ta // c) * c
+    ans_p = ans
+    if Tp != Ta:
+        h = jnp.pad(h, ((0, 0), (0, Tp - Ta), (0, 0)))
+        ans_p = jnp.pad(ans, ((0, 0), (0, Tp - Ta)))
+    nc = Tp // c
+
+    from ..ops.quant import linear as _qlinear
+
+    def head_chunk(args):
+        h_c, t_c = args                               # [b, c, D], [b, c]
+        if cfg.weight_tying:
+            lg = jnp.einsum("bcd,vd->bcv", h_c, params["wte"],
+                            preferred_element_type=jnp.float32)
+        else:
+            lg = _qlinear(h_c, params["ff_out"], preferred=jnp.float32)
+        if cfg.scale_logits:
+            lg = lg * (1.0 / math.sqrt(cfg.d_model))
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        return -jnp.take_along_axis(lp, t_c[..., None], axis=-1)[..., 0]
+
+    chunks = (
+        h.reshape(b, nc, c, h.shape[-1]).transpose(1, 0, 2, 3),
+        ans_p.reshape(b, nc, c).transpose(1, 0, 2),
     )
-    logits = logits[:, P:]                            # answer positions
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, ans[..., None], axis=-1)[..., 0]
+    nll = jax.lax.map(head_chunk, chunks)             # [nc, b, c]
+    nll = nll.transpose(1, 0, 2).reshape(b, Tp)[:, :Ta]
     p_mask = (x.astype(jnp.float32) / Ta)[:, None]
     loss = jnp.where(is_mask, nll / p_mask, 0.0).sum() / b
     return loss
@@ -89,9 +141,25 @@ def get_log_likelihood(
     mc_num: int = 128,
     batch_size: int = 16,
     key: Optional[jax.Array] = None,
-    use_flash: bool = False,
+    use_flash: Optional[bool] = None,
+    act_int8: bool = False,
 ) -> float:
-    """log p(answer | prefix) MC estimate (negative expected weighted CE)."""
+    """log p(answer | prefix) MC estimate (negative expected weighted CE).
+
+    use_flash=None resolves to True on TPU: the estimator's attention is
+    full bidirectional (no mask), and dense XLA attention materializes
+    f32 [b, H, P+Ta, P+Ta] score tensors — 14.5G of HLO temps at MMMU
+    geometry (b=16, T=1361), measured OOM on one v5e next to the int8
+    weights (scripts/probes/_loglik_chip.py).  The flash path routes
+    T<=4096 to the one-shot VMEM-resident kernel (ops/short_attention.py)
+    which never writes scores to HBM.
+
+    act_int8=True runs the W8A8 prefill kernels (2x MXU rate on v5e,
+    the mixed-serving prefill path) — opt-in only: the estimator SCORES
+    answers, and the ~0.2-0.5% activation-quant logit error can flip
+    close multiple-choice rankings, so the default stays weight-only."""
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
     if key is None:
         key = jax.random.PRNGKey(0)
     answer = jnp.asarray(answer)
@@ -101,6 +169,6 @@ def get_log_likelihood(
         total += float(
             _mc_round(params, cfg, prefix_embeds, answer,
                       jax.random.fold_in(key, i), batch_size,
-                      use_flash=use_flash)
+                      use_flash=use_flash, act_int8=act_int8)
         )
     return -total / rounds

@@ -33,7 +33,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--prefix", type=int, default=1061)
     ap.add_argument("--answer", type=int, default=300)
-    ap.add_argument("--layouts", default="int8,int4fused")
+    ap.add_argument("--layouts", default="int8,int4fused,int8+a8",
+                    help="comma list; '+a8' suffix = act_int8 W8A8 "
+                         "prefill kernels (the opt-in speed knob)")
     args = ap.parse_args()
 
     import jax
@@ -108,16 +110,21 @@ def main():
 
     results = {}
     for kind in args.layouts.split(","):
-        params, cfg = zero_layout(kind)
+        act = kind.endswith("+a8")
+        params, cfg = zero_layout(kind[:-3] if act else kind)
         prefix = jnp.zeros((1, args.prefix, cfg.d_model), jnp.bfloat16)
         rounds = max(args.mc_num // args.batch_size, 1)
 
         def one_doc(i):
             tot = 0.0
             for r in range(rounds):
+                # use_flash mirrors get_log_likelihood's auto default
+                # (dense scores are 14.5G of temps at this geometry)
                 tot += _mc_round(params, cfg, prefix, answer,
                                  jax.random.PRNGKey(i * 131 + r),
-                                 args.batch_size)
+                                 args.batch_size,
+                                 use_flash=jax.default_backend() == "tpu",
+                                 act_int8=act)
             return tot
 
         float(one_doc(0))  # compile
@@ -126,6 +133,9 @@ def main():
         _ = [float(s) for s in sums]
         s_doc = (time.perf_counter() - t0) / args.iters
         results[f"s_per_doc_{kind}"] = round(s_doc, 4)
+        # incremental: a later layout's compile OOM must not eat this row
+        print(json.dumps({f"s_per_doc_{kind}": round(s_doc, 4)}),
+              flush=True)
         del params
     results.update({
         "mc_num": args.mc_num, "batch_size": args.batch_size,

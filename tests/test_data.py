@@ -160,6 +160,53 @@ def test_dataset_and_collator(tmp_path):
     assert batch["image_sizes"][0] == [(100, 60)] and batch["image_sizes"][1] == []
 
 
+def test_get_batch_parallel_decode_matches_sequential(tmp_path):
+    """ds.get_batch(idx, pool) must be bit-identical to [ds[i] for i in
+    idx]: the thread pool only runs the rng-free image decode; the
+    rng-dependent text preprocess stays sequential in index order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for k in range(4):
+        Image.new("RGB", (90 + k, 60), (k * 40, 128, 0)).save(
+            img_dir / f"i{k}.png")
+    recs = [
+        {"conversations": SRC[:2], "image": f"i{k}.png"} for k in range(4)
+    ] + [{"conversations": SRC}]
+    (tmp_path / "d.json").write_text(json.dumps(recs))
+
+    from lavida_mod_tpu.config import VisionConfig, tiny_siglip_config
+
+    vc = VisionConfig(
+        siglip=tiny_siglip_config(),
+        grid_pinpoints=((56, 112), (112, 56), (112, 112)),
+    )
+
+    def build():
+        return SupervisedDataset(
+            str(tmp_path / "d.json"), CharTokenizer(), vc,
+            image_folder=str(img_dir), seed=7,
+        )
+
+    idx = [2, 0, 4, 1, 3]
+    ds_seq = build()
+    seq_items = [ds_seq[i] for i in idx]
+    ds = build()  # fresh dataset: rng stream restarts from the seed
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        par_items = ds.get_batch(idx, pool=pool)
+    assert len(par_items) == len(seq_items)
+    for a, b in zip(seq_items, par_items):
+        np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+        assert a["image_sizes"] == b["image_sizes"]
+        assert len(a["images"]) == len(b["images"])
+        for va, vb in zip(a["images"], b["images"]):
+            np.testing.assert_array_equal(va, vb)
+
+
 def test_collator_negative_extra_pad():
     items = [
         {"input_ids": np.arange(5), "labels": np.arange(5),

@@ -116,6 +116,43 @@ def test_loglikelihood_int8_layout_matches_bf16():
     assert abs(ll_int8 - ll_bf16) / abs(ll_bf16) < 0.05, (ll_int8, ll_bf16)
 
 
+def test_mc_round_forward_chunking_is_exact(tiny):
+    """Row-chunked forward (forward_chunk < b) must match the whole-batch
+    forward bit-for-bit in f32 tolerance: rows are attention-independent,
+    chunking only bounds the live activation set (the OOM fix for MMMU
+    geometry over the fused-int4 layout)."""
+    from lavida_mod_tpu.generation.log_likelihood import _mc_round
+
+    cfg, params, prefix = tiny
+    answer = jnp.asarray(np.random.default_rng(1).integers(5, 500, size=8))
+    key = jax.random.PRNGKey(3)
+    whole = _mc_round(params, cfg, prefix, answer, key, 4,
+                      forward_chunk=4)
+    chunked = _mc_round(params, cfg, prefix, answer, key, 4,
+                        forward_chunk=2)
+    np.testing.assert_allclose(float(whole), float(chunked), rtol=2e-6)
+
+
+def test_loglikelihood_act_int8_knob_tracks_weight_only():
+    """The opt-in W8A8 knob (act_int8=True, the 2x-MXU-rate prefill
+    kernels) must track the weight-only int8 estimate within the
+    documented ~0.5% activation-quant band — same key, same masks."""
+    cfg = _quant_cfg()
+    params = jl.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    prompt = jnp.arange(5, 21)[None]
+    q8 = jl.quantize_params(jl.unstack_blocks(params), bits=8)
+    prefix8 = jl.embed_tokens(q8, prompt)
+    answer = jnp.asarray(np.random.default_rng(0).integers(5, 500, size=12))
+
+    ll_w = get_log_likelihood(q8, cfg, prefix8, answer, mc_num=8,
+                              batch_size=4, key=jax.random.PRNGKey(7))
+    ll_a8 = get_log_likelihood(q8, cfg, prefix8, answer, mc_num=8,
+                               batch_size=4, key=jax.random.PRNGKey(7),
+                               act_int8=True)
+    assert np.isfinite(ll_a8)
+    assert abs(ll_a8 - ll_w) / abs(ll_w) < 0.05, (ll_a8, ll_w)
+
+
 def test_loglikelihood_fused_int4_self_consistent():
     """Ta=1 exactness against the fused-int4 model's OWN forward: the
     estimator must be internally exact over the serving layout (quant noise

@@ -70,6 +70,12 @@ def main():
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--fsdp", type=int, default=None)
     ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--decode-workers", type=int, default=4,
+                    help="threads for the rng-free image decode inside "
+                         "make_batch (0 = sequential); rng stream and "
+                         "batch contents are bit-identical either way "
+                         "(dataset.get_batch). Reference "
+                         "dataloader_num_workers=4 analogue.")
     ap.add_argument("--prefetch", type=int, default=2,
                     help="input-pipeline prefetch depth (0 disables): a "
                          "producer thread overlaps PIL decode + anyres + "
@@ -294,9 +300,15 @@ def main():
     rng = np.random.default_rng(args.seed)
     eos_id = cfg.llada.eos_token_id
 
+    decode_pool = None
+    if args.decode_workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        decode_pool = ThreadPoolExecutor(max_workers=args.decode_workers)
+
     def make_batch():
         idx = rng.choice(len(ds), size=args.batch_size, replace=False)
-        items = [ds[int(i)] for i in idx]
+        items = ds.get_batch(idx, pool=decode_pool)
         b = collate_batch(
             items, pad_token_id=cfg.llada.pad_token_id, eos_token_id=eos_id,
             model_max_length=cfg.tokenizer_model_max_length, rng=rng,
@@ -431,7 +443,8 @@ def main():
             )
             logger.log(opt_step, scores)
             rank0_print(f"[train] eval @ {opt_step}: {scores}")
-        if (on_update and opt_step % args.save_every == 0) \
+        if (on_update and args.save_every > 0
+                and opt_step % args.save_every == 0) \
                 or step + 1 == total_iters:
             # payload step is the MICROSTEP index so resume replays the
             # exact microbatch position (checkpoints land on update
