@@ -143,6 +143,7 @@ def get_log_likelihood(
     key: Optional[jax.Array] = None,
     use_flash: Optional[bool] = None,
     act_int8: bool = False,
+    forward_chunk: Optional[int] = None,
 ) -> float:
     """log p(answer | prefix) MC estimate (negative expected weighted CE).
 
@@ -160,6 +161,11 @@ def get_log_likelihood(
     close multiple-choice rankings, so the default stays weight-only."""
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
+    if forward_chunk is None:
+        # the W8A8 kernels' padded int8/int32 staging buffers add ~1G of
+        # temps over weight-only at MMMU geometry (measured 178M over
+        # budget at chunk 8) — halve the chunk under act_int8
+        forward_chunk = 4 if act_int8 else 8
     if key is None:
         key = jax.random.PRNGKey(0)
     answer = jnp.asarray(answer)
@@ -169,6 +175,7 @@ def get_log_likelihood(
         total += float(
             _mc_round(params, cfg, prefix_embeds, answer,
                       jax.random.fold_in(key, i), batch_size,
-                      use_flash=use_flash, act_int8=act_int8)
+                      use_flash=use_flash, act_int8=act_int8,
+                      forward_chunk=forward_chunk)
         )
     return -total / rounds

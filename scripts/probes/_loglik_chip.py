@@ -124,7 +124,8 @@ def main():
                                  jax.random.PRNGKey(i * 131 + r),
                                  args.batch_size,
                                  use_flash=jax.default_backend() == "tpu",
-                                 act_int8=act)
+                                 act_int8=act,
+                                 forward_chunk=4 if act else 8)
             return tot
 
         float(one_doc(0))  # compile
