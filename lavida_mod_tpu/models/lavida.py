@@ -382,21 +382,36 @@ class LaViDa:
 
     @classmethod
     def zero_init(cls, cfg: LaViDaConfig, dtype=jnp.bfloat16,
-                  quantized: bool = True) -> "LaViDa":
+                  quantized: bool | str = True) -> "LaViDa":
         """Weight-free instantiation for latency smoke runs: allocates the
-        exact serving layout (optionally int8) without materializing any
-        transient full-precision tensors — 8B random init doesn't fit a
-        v5e next to its quantized copy."""
+        exact serving layout without materializing any transient
+        full-precision tensors — 8B random init doesn't fit a v5e next to
+        its quantized copy.  quantized: True/"int8" (per-channel int8),
+        "int4" (the W4A8 grouped layout — what batched serving runs: the
+        int8 tree + a B=8 merged KV cache cannot co-reside on one v5e),
+        False/"none" (bf16).  Zeros materialize in ONE jitted dispatch:
+        eager per-leaf jnp.zeros costs a tunnel RPC each (~900 leaves,
+        minutes of round-trips — bench.py build_zero_trees)."""
+        quant = {True: "int8", False: "none"}.get(quantized, quantized)
+
         def build(k):
             p = multimodal.init_params(cfg, k, dtype)
-            if quantized:
+            if quant == "int8":
                 p["llada"] = llada_model.quantize_params(
-                    llada_model.unstack_blocks(p["llada"])
-                )
+                    llada_model.unstack_blocks(p["llada"]))
+            elif quant == "int4":
+                # quantize_linear4 is host-side numpy (untraceable):
+                # unstack here, map to the int4 layout shape-level below
+                p["llada"] = llada_model.unstack_blocks(p["llada"])
             return p
 
         shapes = jax.eval_shape(build, jax.random.PRNGKey(0))
-        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        if quant == "int4":
+            from ..ops.quant import int4_layout_shapes
+
+            shapes["llada"] = int4_layout_shapes(shapes["llada"])
+        params = jax.jit(lambda: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
         return cls(cfg, params)
 
     # ------------------------------------------------------------------

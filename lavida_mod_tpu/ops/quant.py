@@ -75,6 +75,48 @@ def quantize_linear4(p: dict, group: int = 128) -> dict:
     return out
 
 
+def int4_layout_shapes(tree, group: int = 128):
+    """Shape-level twin of quantize_params(bits=4) (models/llada.py): map a
+    pytree of ShapeDtypeStructs whose linear dicts hold 2D "kernel"s to the
+    W4A8 serving layout (kernel_p4/scales4/__trim_N__), with the same
+    per-channel-int8 fallback for in-dims that break the scale grouping.
+    For weight-free serving layouts (LaViDa.zero_init): quantize_linear4
+    runs host-side numpy, so it cannot trace through jax.eval_shape.
+    Parity with the real quantizer: tests/test_quant.py."""
+    from .pallas_w4 import padded_in_dim
+
+    def one(d):
+        if isinstance(d, (list, tuple)):
+            return type(d)(one(x) for x in d)
+        if isinstance(d, dict):
+            if "kernel" in d and len(d["kernel"].shape) == 2:
+                K, N = d["kernel"].shape
+                if K % group != 0:
+                    out = {
+                        "kernel_q": jax.ShapeDtypeStruct((K, N), jnp.int8),
+                        "scale": jax.ShapeDtypeStruct((N,), jnp.float32),
+                    }
+                else:
+                    Kp = padded_in_dim(K)
+                    Np = -(-N // 512) * 512
+                    out = {
+                        "kernel_p4": jax.ShapeDtypeStruct(
+                            (Kp // 2, Np), jnp.int8),
+                        "scales4": jax.ShapeDtypeStruct(
+                            (Kp // group, Np), jnp.float32),
+                    }
+                    if Np != N:
+                        out[f"__trim_{N}__"] = ()
+                if "bias" in d:
+                    out["bias"] = jax.ShapeDtypeStruct(
+                        d["bias"].shape, d["bias"].dtype)
+                return out
+            return {k: one(v) for k, v in d.items()}
+        return d
+
+    return one(tree)
+
+
 def _linear_w4(x: jax.Array, p: dict, preferred=None) -> jax.Array:
     from .pallas_w4 import w4_matmul_grouped
 

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--gen-len", type=int, default=32)
     ap.add_argument("--port", type=int, default=21077)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--quant", default="int4", choices=["int8", "int4"],
+                    help="8B serving layout (int4 = the batched "
+                         "convention; int8 OOMs one v5e at bucket 8)")
     args = ap.parse_args()
 
     import jax
@@ -77,7 +80,10 @@ def main():
         model = LaViDa.random_init(cfg, 0, jnp.float32)
     else:
         cfg = LaViDaConfig()  # 8B/so400m geometry
-        model = LaViDa.zero_init(cfg, jnp.bfloat16, quantized=True)
+        # int4 W4A8 layout: the batched serving convention (bench --batch)
+        # — the int8 tree (7.5G) + a B=8 merged KV cache (~7.9G) cannot
+        # co-reside on one v5e (first probe run OOM'd at bucket 8)
+        model = LaViDa.zero_init(cfg, jnp.bfloat16, quantized=args.quant)
 
     class _ToyTokenizer:
         bos_token_id = 1
@@ -174,6 +180,7 @@ def main():
         "clients": args.clients,
         "requests": n,
         "decode_batch": args.decode_batch,
+        "quant": "tiny" if args.tiny else args.quant,
         "wall_s": round(wall, 3),
         "p50_s": round(p50, 3),
         "p95_s": round(p95, 3),

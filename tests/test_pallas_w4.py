@@ -242,3 +242,37 @@ def test_quantize_linear4_padded_in_dim():
     x = jnp.asarray(rng.standard_normal((4, K)), jnp.float32)
     np.testing.assert_array_equal(
         np.asarray(linear(x, qp)), np.asarray(linear(x, q_ref)))
+
+
+def test_int4_layout_shapes_matches_real_quantizer():
+    """ops/quant.int4_layout_shapes (the shape-level twin LaViDa.zero_init
+    uses to build weight-free int4 serving layouts — quantize_linear4 is
+    host-side numpy and cannot trace through eval_shape) must produce the
+    exact pytree structure, shapes and dtypes of quantize_params(bits=4),
+    including the odd-out-dim __trim__ metadata and the odd-in-dim int8
+    fallback."""
+    import jax
+
+    from lavida_mod_tpu.config import tiny_llada_config
+    from lavida_mod_tpu.models import llada as jl
+    from lavida_mod_tpu.ops.quant import int4_layout_shapes
+
+    # 128-divisible dims so the int4 path engages; vocab 500 exercises the
+    # 512-pad + trim; weight_tying=False gives a top-level ff_out head
+    cfg = tiny_llada_config(d_model=128, n_heads=4, n_kv_heads=4,
+                            mlp_hidden_size=256, vocab_size=500,
+                            weight_tying=False)
+    params = jl.init_params(cfg, jax.random.PRNGKey(0))
+    real = jl.quantize_params(jl.unstack_blocks(params), bits=4)
+
+    shapes = jax.eval_shape(
+        lambda k: jl.unstack_blocks(jl.init_params(cfg, k)),
+        jax.random.PRNGKey(0))
+    twin = int4_layout_shapes(shapes)
+
+    real_td = jax.tree.structure(real)
+    twin_td = jax.tree.structure(twin)
+    assert real_td == twin_td, (real_td, twin_td)
+    for rp, tp in zip(jax.tree.leaves(real), jax.tree.leaves(twin)):
+        assert rp.shape == tp.shape, (rp.shape, tp.shape)
+        assert rp.dtype == tp.dtype, (rp.dtype, tp.dtype)
