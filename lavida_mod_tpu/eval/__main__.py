@@ -49,6 +49,12 @@ def main():
     ap.add_argument("--gen-kwargs", default="")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--mc-num", type=int, default=16)
+    ap.add_argument("--loglik-act-int8", action="store_true",
+                    help="W8A8 kernels for the MC loglikelihood forwards "
+                         "(1.857 vs 2.463 s/doc at MMMU geometry, "
+                         "probes/_loglik_chip.py) — opt-in: ~0.2-0.5%% "
+                         "activation-quant logit error can flip close "
+                         "multiple-choice rankings")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel bf16 serving over N devices "
                          "(requires --quant none; LaViDa.shard)")
@@ -148,6 +154,7 @@ def main():
         model, tokenizer,
         conv_template=args.conv_template or model.lm_family,
         mc_num=args.mc_num, kv8=args.kv8,
+        loglik_act_int8=args.loglik_act_int8,
     )
     data_paths = {}
     if args.data_path:

@@ -71,11 +71,17 @@ class LavidaEvalModel:
         mc_num: int = 16,
         prefix_bucket: Optional[int] = 128,
         kv8: bool = False,
+        loglik_act_int8: bool = False,
     ):
         self.model = model
         self.tokenizer = tokenizer
         self.conv_template = conv_template
         self.mc_num = mc_num
+        # W8A8 kernels for the MC estimator's forwards: 1.857 vs 2.463
+        # s/doc at MMMU geometry (scripts/probes/_loglik_chip.py) —
+        # opt-in, the ~0.2-0.5% activation-quant logit error can flip
+        # close multiple-choice rankings
+        self.loglik_act_int8 = loglik_act_int8
         # pad prompt lengths to buckets so a task sweep compiles O(1)
         # executables instead of one per prompt length
         self.prefix_bucket = prefix_bucket
@@ -209,7 +215,7 @@ class LavidaEvalModel:
         lm = self.model.prefill_params or self.model.params["llada"]
         return get_log_likelihood(
             lm, self.model.cfg.llada, prefix, ans,
-            mc_num=self.mc_num,
+            mc_num=self.mc_num, act_int8=self.loglik_act_int8,
         )
 
     def generate_until_batch(
