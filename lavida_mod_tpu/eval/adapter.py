@@ -229,6 +229,7 @@ class LavidaEvalModel:
         so batch B costs ~the same weight reads as one sample (measured
         1.5x throughput at B=4 on a v5e).  The throughput analogue of the
         reference's 8-way accelerate DP eval."""
+        import jax
         import jax.numpy as jnp
 
         from ..generation import diffusion
@@ -264,13 +265,26 @@ class LavidaEvalModel:
                 "mixed decode_params needs the prefix-cache mode "
                 "(prefix_lm=True) — the no-cache path has no "
                 "prefill/decode split; drop --mixed or prefix_lm=False")
+        # flash prefill on TPU (bench.py convention): the dense prefill
+        # attention's f32 score tensors plus the int4 layout's per-layer
+        # staging temps OOM the batched B=8 worker graph on one v5e
+        # (scripts/probes/_serve_concurrency.py bucket-8 failure; same
+        # law the MC-loglikelihood path hit at MMMU geometry)
+        flash = jax.default_backend() == "tpu"
         if B > 4 and gen.prefix_lm:
             # the monolithic B>4 prefill graph blows XLA's compile
             # budget at 8B (bench.py batched path, same rule): prefill
-            # in 4-row chunks (one compile), decode the merged batch
+            # in 2-row chunks (one compile), decode the merged batch.
+            # chunk=2, not bench's 4: the chunk-prefill graph holds the
+            # donated merged cache PLUS per-chunk temps that scale with
+            # chunk*P rows, and at the adapter's bucket-padded P=1152
+            # the chunk-4 graph is 18.83G — 3.09G over one v5e (XLA
+            # compile verdict; bench's unpadded P=1029 chunk-4 squeaks
+            # under).  Prefill at 2*1184 rows still saturates the MXU.
             out = diffusion.generate_chunked_prefill(
                 self.model.params["llada"], self.model.cfg.llada, batch,
-                gen, chunk=4, prefix_valid=jnp.asarray(valid),
+                gen, chunk=2, prefix_valid=jnp.asarray(valid),
+                use_flash_prefill=flash,
                 kv8=self.kv8,
                 prefill_params=(self.model.prefill_params
                                 if mixed else None),
@@ -282,6 +296,7 @@ class LavidaEvalModel:
             out = diffusion.generate(
                 self.model.prefill_params, self.model.cfg.llada, batch,
                 gen, prefix_valid=jnp.asarray(valid), kv8=self.kv8,
+                use_flash_prefill=flash,
                 act_int8_prefill=True,
                 decode_params=self.model.params["llada"],
             )
@@ -289,6 +304,7 @@ class LavidaEvalModel:
             out = diffusion.generate(
                 self.model.params["llada"], self.model.cfg.llada, batch,
                 gen, prefix_valid=jnp.asarray(valid), kv8=self.kv8,
+                use_flash_prefill=flash,
             )
         dt = time.perf_counter() - t0
         self.latencies.extend([dt / B] * B)

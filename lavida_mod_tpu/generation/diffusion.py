@@ -201,7 +201,15 @@ def _denoise_scan_cached_body(
     remasking: str,
     use_flash: bool,
     kv8: bool = False,
+    return_cache: bool = False,
 ):
+    # return_cache=True: also return the final scan-carry cache so a
+    # DONATED input cache has an output to alias — without an aliasable
+    # output XLA rejects the donation ("donated buffers were not usable")
+    # and the while-loop carry double-buffers the merged [B, P+G] cache
+    # (+4.96G at B=8/8B: the 18.83G OOM the batched worker hit on one
+    # v5e).  Only meaningful on the bf16 prealloc-list path; kv8
+    # re-quantizes into differently-shaped buffers nothing can alias.
     mask_id = cfg.mask_token_id
     B, G = x.shape
 
@@ -281,10 +289,10 @@ def _denoise_scan_cached_body(
             )
             return (x, cache_l, key), None
 
-        (x, _, _), _ = jax.lax.scan(
+        (x, cache_f, _), _ = jax.lax.scan(
             step_w, (x, cache_l, key), (k_table, block_end)
         )
-        return x
+        return (x, cache_f) if return_cache else x
 
     def step(carry, ctl):
         x, key = carry
@@ -303,13 +311,29 @@ def _denoise_scan_cached_body(
         return (x, key), None
 
     (x, _), _ = jax.lax.scan(step, (x, key), (k_table, block_end))
-    return x
+    # read-only cache here: returning it unchanged gives the donated
+    # input an identity-aliased output
+    return (x, cache) if return_cache else x
 
 
 _denoise_scan_cached = jax.jit(
     _denoise_scan_cached_body,
     static_argnames=("cfg", "temperature", "remasking", "use_flash",
-                     "kv8"),
+                     "kv8", "return_cache"),
+)
+
+# Donated-cache variant for the chunked-prefill batched path: the merged
+# [B, P+G] cache is a scan CARRY (gen K/V written in place every step),
+# and without donation XLA must preserve the non-donated input buffer —
+# a second full cache copy that at B=8/8B adapter geometry (S=1184,
+# 4.96G bf16) pushed the decode graph to 18.83G, 3.09G over one v5e
+# (XLA compile verdict, scripts/probes/_serve_concurrency.py).  NOT for
+# _generate_verbose, which reuses the same cache across step calls.
+_denoise_scan_cached_donated = jax.jit(
+    _denoise_scan_cached_body,
+    static_argnames=("cfg", "temperature", "remasking", "use_flash",
+                     "kv8", "return_cache"),
+    donate_argnums=(3,),
 )
 
 
@@ -482,13 +506,27 @@ def generate_chunked_prefill(
     if k_table.shape[0] == 0:
         return x
     positions = jnp.arange(P, P + G, dtype=jnp.int32)
-    return _denoise_scan_cached(
+    # Donate + return the cache only when the carry keeps the donated
+    # buffers' shapes (bf16 prealloc path): under kv8 the carry is
+    # re-quantized into differently-shaped buffers, so there is nothing
+    # to alias — donation would just warn and the extra output would
+    # materialize a copy instead of saving one
+    if kv8:
+        return _denoise_scan_cached(
+            params, cfg, x, cache,
+            jnp.asarray(k_table), jnp.asarray(block_end), positions,
+            prefix_valid, key,
+            temperature=gen.temperature, remasking=gen.remasking,
+            use_flash=False, kv8=kv8,
+        )
+    x, _ = _denoise_scan_cached_donated(
         params, cfg, x, cache,
         jnp.asarray(k_table), jnp.asarray(block_end), positions,
         prefix_valid, key,
         temperature=gen.temperature, remasking=gen.remasking,
-        use_flash=False, kv8=kv8,
+        use_flash=False, kv8=False, return_cache=True,
     )
+    return x
 
 
 @functools.partial(

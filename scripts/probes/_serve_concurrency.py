@@ -129,20 +129,38 @@ def main():
             return json.loads(r.read())
 
     # warmup: compile every batch bucket the batcher can form (1,2,4,..,
-    # max) so the measurement sees steady state, not compile walls
+    # max) so the measurement sees steady state, not compile walls.
+    # Error-checked: a silent warmup OOM poisons the whole measurement
+    # (first chip run: int8+B=8 KV OOM surfaced only as 16 failed
+    # measurement requests)
     buckets = [1]
     while args.decode_batch > 1 and buckets[-1] < args.decode_batch:
         buckets.append(buckets[-1] * 2)
     for b in buckets:
         t0 = time.perf_counter()
-        th = [threading.Thread(target=fire, args=(f"warm {i} bucket {b}",))
-              for i in range(b)]
+        outs = [None] * b
+
+        def warm(i, b=b, outs=outs):
+            outs[i] = fire(f"warm {i} bucket {b}")
+
+        th = [threading.Thread(target=warm, args=(i,)) for i in range(b)]
         for t in th:
             t.start()
         for t in th:
             t.join()
-        print(f"[warmup] bucket {b}: {time.perf_counter() - t0:.1f}s",
+        errs = [o for o in outs if o and o.get("error_code")]
+        print(f"[warmup] bucket {b}: {time.perf_counter() - t0:.1f}s"
+              + (f"  ERRORS {len(errs)}/{b}: {errs[0].get('error')}"
+                 if errs else ""),
               flush=True)
+        if errs and b == args.decode_batch:
+            print(json.dumps({
+                "metric": "serve_concurrency_images_per_s", "value": 0.0,
+                "unit": "img/s", "decode_batch": args.decode_batch,
+                "quant": "tiny" if args.tiny else args.quant,
+                "error": f"bucket {b} failed: {errs[0].get('error')}",
+            }), flush=True)
+            return
 
     # measurement: clients fire sequentially, all starting together
     lat = []
@@ -150,14 +168,18 @@ def main():
     occ_start = len(worker.batcher.served_sizes) if worker.batcher else 0
     t_start = time.perf_counter()
 
+    failures = []
+
     def client(cid: int):
         for r in range(args.requests):
             t0 = time.perf_counter()
             out = fire(f"client {cid} request {r}: describe region {cid+r}")
             dt = time.perf_counter() - t0
-            assert out.get("error_code") == 0, out
             with lat_lock:
-                lat.append(dt)
+                if out.get("error_code") == 0:
+                    lat.append(dt)
+                else:
+                    failures.append(out.get("error", "?"))
 
     th = [threading.Thread(target=client, args=(c,))
           for c in range(args.clients)]
@@ -169,6 +191,11 @@ def main():
 
     lat.sort()
     n = len(lat)
+    if n == 0:
+        print(json.dumps({"metric": "serve_concurrency_images_per_s",
+                          "value": 0.0, "unit": "img/s",
+                          "failures": failures[:2]}), flush=True)
+        return
     p50 = lat[n // 2]
     p95 = lat[min(n - 1, int(n * 0.95))]
     occ = (worker.batcher.served_sizes[occ_start:]
@@ -187,6 +214,7 @@ def main():
         "batcher_sizes": occ,
         "mean_real_batch": (round(sum(r for r, _ in occ) /
                                   max(len(occ), 1), 2) if occ else 1.0),
+        "failed_requests": len(failures),
     }
     print(json.dumps(result), flush=True)
 

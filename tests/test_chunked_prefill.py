@@ -105,3 +105,38 @@ def test_chunked_prefill_mixed_identity_tree():
     out = np.asarray(diffusion.generate_chunked_prefill(
         PARAMS, CFG, prefix, gen, chunk=2, prefill_params=PARAMS))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_chunked_prefill_flash_bucketed_token_exact():
+    """The batched worker/eval configuration: bucket-padded prefixes
+    (prefix_valid front-pad mask) + use_flash_prefill (segment-id masked
+    Pallas kernel, interpret on CPU) through the chunked prefill must be
+    token-exact vs the dense unpadded run.  This is what
+    eval/adapter.generate_until_batch serves on TPU — the dense prefill's
+    f32 score temps plus the int4 staging temps OOM'd the B=8 worker
+    graph on one v5e (scripts/probes/_serve_concurrency.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, P, pad = 5, 8, 8
+    prefix = _prefix(B, P)
+    gen = _gen_cfg()
+    ref = np.asarray(diffusion.generate(PARAMS, CFG, prefix, gen))
+
+    padded = jnp.concatenate(
+        [jnp.zeros((B, pad, prefix.shape[-1]), prefix.dtype), prefix],
+        axis=1)
+    valid = jnp.concatenate(
+        [jnp.zeros((B, pad), bool), jnp.ones((B, P), bool)], axis=1)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(diffusion.generate_chunked_prefill(
+            PARAMS, CFG, padded, gen, chunk=4, prefix_valid=valid,
+            use_flash_prefill=True))
+    np.testing.assert_array_equal(out, ref)
+
+    # unrolled (serving-layout) params through the prealloc path
+    lp = jl.unstack_blocks(PARAMS)
+    with pltpu.force_tpu_interpret_mode():
+        out_u = np.asarray(diffusion.generate_chunked_prefill(
+            lp, CFG, padded, gen, chunk=4, prefix_valid=valid,
+            use_flash_prefill=True))
+    np.testing.assert_array_equal(out_u, ref)
