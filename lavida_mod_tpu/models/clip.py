@@ -92,7 +92,11 @@ def forward(
     """[N, C, H, W] -> features at hidden_states[select_layer]; "patch"
     drops CLS (clip_encoder.py:47-74)."""
     N = pixel_values.shape[0]
-    x = patchify(pixel_values, cfg.patch_size)
+    # cast pixels to the tower dtype (llava_arch.py:700 images.to(dtype));
+    # f32 processor output x bf16 weights would promote the whole tower
+    # forward to f32
+    x = patchify(pixel_values, cfg.patch_size).astype(
+        params["patch_embed"]["kernel"].dtype)
     x = x @ params["patch_embed"]["kernel"]  # CLIP patch conv has no bias
     cls = jnp.broadcast_to(
         params["class_embed"][None, None], (N, 1, cfg.hidden_size)

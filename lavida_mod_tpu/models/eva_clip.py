@@ -201,7 +201,9 @@ def forward(params: dict, cfg: EVAConfig, pixel_values: jax.Array,
     eva_vit.py:747-749 + :846-848)."""
     eps = cfg.layer_norm_eps
     nh, hd = cfg.n_heads, cfg.head_width
-    x = _patchify(pixel_values, cfg.patch_size)
+    # pixels -> tower dtype (llava_arch.py:700 images.to(dtype))
+    x = _patchify(pixel_values, cfg.patch_size).astype(
+        params["patch_embed"]["kernel"].dtype)
     x = x @ params["patch_embed"]["kernel"] + params["patch_embed"]["bias"]
     N, n_patch, D = x.shape
     cls = jnp.broadcast_to(params["cls_token"][None, None, :], (N, 1, D))

@@ -98,7 +98,9 @@ def forward(
     """[N, C, H, W] -> hidden_states[select_layer] features."""
     N, _, H, W = pixel_values.shape
     gh, gw = H // cfg.patch_size, W // cfg.patch_size
-    x = patchify(pixel_values, cfg.patch_size)
+    # pixels -> tower dtype (llava_arch.py:700 images.to(dtype))
+    x = patchify(pixel_values, cfg.patch_size).astype(
+        params["patch_embed"]["kernel"].dtype)
     x = x @ params["patch_embed"]["kernel"]
     cls = jnp.broadcast_to(
         params["class_embed"][None, None], (N, 1, cfg.hidden_size)

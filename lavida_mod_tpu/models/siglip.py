@@ -138,6 +138,17 @@ def forward(
     """pixel_values: [N, C, H, W] (preprocessed). Returns raw features
     [N, tokens, hidden] after `n_layers` (default cfg.n_layers_used) layers,
     no post-layernorm (matching hidden_states[-1] of the truncated tower)."""
+    # Cast pixels to the tower's compute dtype (the reference's
+    # images.to(dtype=self.dtype), llava_arch.py:700): the image
+    # processor emits f32 numpy, and f32 x bf16 promotes to f32 — which
+    # silently ran the whole serving prefill AND the KV cache in f32
+    # (caught on chip: the B=8 worker graph carried f32[8,1184,32,128]
+    # caches, 2x the bf16 HBM, scripts/probes/_serve_concurrency.py).
+    # patch_embed stays float under every quantized layout, so its
+    # kernel dtype IS the compute dtype.
+    wdt = params["patch_embed"]["kernel"].dtype
+    if pixel_values.dtype != wdt:
+        pixel_values = pixel_values.astype(wdt)
     N, C, H, W = pixel_values.shape
     p = cfg.patch_size
     x = patchify(pixel_values, p)

@@ -264,3 +264,33 @@ def test_siglip_int8_tower_parity():
     # bf16-weight params + act_int8=True is a harmless no-op fallback
     same = siglip.forward(p, cfg, views, act_int8=True)
     assert float(jnp.max(jnp.abs(same - ref))) == 0.0
+
+
+def test_tower_casts_pixels_to_param_dtype():
+    """f32 processor pixels into a bf16 tower must run the tower in
+    bf16 (llava_arch.py:700 images.to(dtype)): before the fix the
+    f32 x bf16 promotion ran the whole serving prefill AND the KV
+    cache in f32 — caught on chip as f32[8,1184,32,128] cache buffers
+    that OOM'd the B=8 worker graph (_serve_concurrency probe)."""
+    from lavida_mod_tpu.config import tiny_siglip_config
+    from lavida_mod_tpu.models import clip, eva_clip, mlcd, siglip
+
+    cfg = tiny_siglip_config()
+    views_f32 = jax.random.normal(
+        jax.random.PRNGKey(1), (2, 3, cfg.image_size, cfg.image_size),
+        jnp.float32)
+
+    p = siglip.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    assert siglip.forward(p, cfg, views_f32).dtype == jnp.bfloat16
+
+    pc = clip.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    assert clip.forward(pc, cfg, views_f32).dtype == jnp.bfloat16
+
+    pm = mlcd.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    assert mlcd.forward(pm, cfg, views_f32).dtype == jnp.bfloat16
+
+    ecfg = eva_clip.EVAConfig(
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        width=64, layers=2, head_width=16, mlp_ratio=2.0)
+    pe = eva_clip.init_params(ecfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    assert eva_clip.forward(pe, ecfg, views_f32).dtype == jnp.bfloat16

@@ -81,6 +81,16 @@ def main():
                          "producer thread overlaps PIL decode + anyres + "
                          "gather-plan + H2D with the device step (the "
                          "reference's dataloader_num_workers analogue)")
+    ap.add_argument("--prefetch-workers", type=int, default=1,
+                    help="producer threads feeding the prefetch queue. "
+                         "1 (default) keeps the single-rng batch stream "
+                         "bit-deterministic; >1 gives each producer its "
+                         "own seeded rng stream — batch CONTENTS stay "
+                         "seed-deterministic per worker but arrival "
+                         "ORDER does not. On the real chip one producer "
+                         "cannot keep the queue full at B=4 x 5 anyres "
+                         "views (windows alternate 6.3k/3.4k tok/s, "
+                         "NOTES_ROUND6); 2 producers close that.")
     ap.add_argument("--save-every", type=int, default=500)
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--adapter-only-save", action="store_true")
@@ -306,7 +316,7 @@ def main():
 
         decode_pool = ThreadPoolExecutor(max_workers=args.decode_workers)
 
-    def make_batch():
+    def make_batch(rng=rng):
         idx = rng.choice(len(ds), size=args.batch_size, replace=False)
         items = ds.get_batch(idx, pool=decode_pool)
         b = collate_batch(
@@ -362,14 +372,34 @@ def main():
         import queue as _queue
         import threading as _threading
 
-        _q = _queue.Queue(maxsize=args.prefetch)
+        nw = max(1, args.prefetch_workers)
+        _q = _queue.Queue(maxsize=max(args.prefetch, nw))
 
-        def _producer():
+        def _producer(wrng):
             while True:
-                _q.put(make_batch())
+                try:
+                    b = make_batch(rng=wrng)
+                except BaseException as e:  # noqa: BLE001
+                    # a dead producer must not leave the consumer
+                    # blocked on _q.get forever (observed: a dataset
+                    # path error hung the whole run until timeout)
+                    _q.put(e)
+                    return
+                _q.put(b)
 
-        _threading.Thread(target=_producer, daemon=True).start()
-        next_batch = _q.get
+        # worker 0 keeps the base seed so --prefetch-workers 1 is
+        # bit-identical to the historical single-producer stream
+        for w in range(nw):
+            wrng = rng if w == 0 else np.random.default_rng(
+                [args.seed, w])
+            _threading.Thread(
+                target=_producer, args=(wrng,), daemon=True).start()
+
+        def next_batch():
+            b = _q.get()
+            if isinstance(b, BaseException):
+                raise b
+            return b
     else:
         next_batch = make_batch
     profiler_ctx = None
