@@ -92,6 +92,10 @@ class LavidaEvalModel:
             size=model.cfg.vision.siglip.image_size
         )
         self.latencies: list[float] = []
+        # opt-in per-batch stage instrumentation for generate_until_batch:
+        # set to [] to collect (B, encode_s, generate_s, detok_s) tuples
+        # (adds sync points — leave None in production)
+        self.stage_walls: Optional[list] = None
 
     # ------------------------------------------------------------------
 
@@ -245,6 +249,12 @@ class LavidaEvalModel:
             prefixes.append(
                 model.encode_prompt(ids, views, sizes)[0]
             )
+        if self.stage_walls is not None:
+            # opt-in instrumentation (scripts/probes/_serve_concurrency):
+            # the sync point costs a tunnel round-trip, so it only exists
+            # when someone is reading the split
+            jax.block_until_ready(prefixes)
+        t_enc = time.perf_counter()
         bucket = self.prefix_bucket or 128
         Pb = max(-(-p.shape[0] // bucket) * bucket for p in prefixes)
         B = len(prefixes)
@@ -306,12 +316,20 @@ class LavidaEvalModel:
                 gen, prefix_valid=jnp.asarray(valid), kv8=self.kv8,
                 use_flash_prefill=flash,
             )
-        dt = time.perf_counter() - t0
-        self.latencies.extend([dt / B] * B)
-        return [
+        if self.stage_walls is not None:
+            jax.block_until_ready(out)
+        t_gen = time.perf_counter()
+        res = [
             self.model.decode_output(np.asarray(out)[b], self.tokenizer)
             for b in range(B)
         ]
+        dt = time.perf_counter() - t0
+        self.latencies.extend([dt / B] * B)
+        if self.stage_walls is not None:
+            self.stage_walls.append(
+                (B, round(t_enc - t0, 4), round(t_gen - t_enc, 4),
+                 round(time.perf_counter() - t_gen, 4)))
+        return res
 
     @property
     def avg_latency(self) -> float:

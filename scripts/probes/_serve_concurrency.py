@@ -40,12 +40,23 @@ def main():
     ap.add_argument("--decode-batch", type=int, default=8)
     ap.add_argument("--window-ms", type=float, default=20.0)
     ap.add_argument("--gen-len", type=int, default=32)
-    ap.add_argument("--port", type=int, default=21077)
+    ap.add_argument("--port", type=int, default=0,
+                    help="0 = pick a free port (two concurrent probes on "
+                         "a fixed port silently cross-fire requests into "
+                         "each other's worker — observed polluting a chip "
+                         "measurement with a CPU smoke's warmup traffic)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--quant", default="int4", choices=["int8", "int4"],
                     help="8B serving layout (int4 = the batched "
                          "convention; int8 OOMs one v5e at bucket 8)")
     args = ap.parse_args()
+    if args.port == 0:
+        import socket
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        args.port = s.getsockname()[1]
+        s.close()
 
     import jax
 
@@ -100,6 +111,7 @@ def main():
             return " ".join(str(int(i)) for i in ids)
 
     adapter = LavidaEvalModel(model, _ToyTokenizer(), conv_template="llada")
+    adapter.stage_walls = []  # per-batch (B, encode_s, generate_s, detok_s)
     worker = ModelWorker(
         adapter, limit_concurrency=max(2, args.decode_batch),
         decode_batch=args.decode_batch, batch_window_ms=args.window_ms,
@@ -166,6 +178,7 @@ def main():
     lat = []
     lat_lock = threading.Lock()
     occ_start = len(worker.batcher.served_sizes) if worker.batcher else 0
+    sw_start = len(adapter.stage_walls)
     t_start = time.perf_counter()
 
     failures = []
@@ -215,6 +228,9 @@ def main():
         "mean_real_batch": (round(sum(r for r, _ in occ) /
                                   max(len(occ), 1), 2) if occ else 1.0),
         "failed_requests": len(failures),
+        # per-batch (B, encode_s, generate_s, detok_s) from the adapter's
+        # opt-in instrumentation — where the batch wall actually goes
+        "stage_walls": adapter.stage_walls[sw_start:],
     }
     print(json.dumps(result), flush=True)
 
