@@ -207,8 +207,9 @@ def test_adapter_loglikelihood_uses_prefill_tree_when_mixed():
 
     seen = {}
 
-    def fake_get_ll(lm, cfg, prefix, ans, mc_num):
+    def fake_get_ll(lm, cfg, prefix, ans, mc_num, act_int8=False):
         seen["lm"] = lm
+        seen["act_int8"] = act_int8
         return -1.0
 
     orig = adapter_mod.get_log_likelihood
@@ -217,6 +218,7 @@ def test_adapter_loglikelihood_uses_prefill_tree_when_mixed():
         a = adapter_mod.LavidaEvalModel.__new__(adapter_mod.LavidaEvalModel)
         a.model = FakeModel()
         a.mc_num = 4
+        a.loglik_act_int8 = False
         a.tokenizer = type("T", (), {"__call__": lambda s, t: type(
             "R", (), {"input_ids": [1, 2]})()})()
         a._build_inputs = lambda text, images: (None, None, None, type(
@@ -227,3 +229,4 @@ def test_adapter_loglikelihood_uses_prefill_tree_when_mixed():
     finally:
         adapter_mod.get_log_likelihood = orig
     assert seen["lm"] == {"tag": "int8-prefill"}
+    assert seen["act_int8"] is False  # W8A8 stays opt-in (quality dial)
